@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided star schema + stream/LLM tables
+  * (schemas: /root/repo/FIXTURES.md). All graded queries read ONLY via this
+  * helper so scan behavior (parquet vectorized read, pushdown) is uniform.
+  *
+  * Scale note: each table is a single parquet file locally; on a real cluster
+  * these would be partitioned directories — `spark.read.parquet` handles both
+  * unchanged, and Catalyst still gets pushdown/pruning from the scan node.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame = t("region")
+  // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type for.
+  // Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench),
+  // making ts a LONG of epoch-nanos; convert to a µs TimestampType here — the
+  // data is µs-precision (verified), so `div 1000` is lossless. Integer `div`,
+  // not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range.
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Exact-decimal view of a 2-decimal money/percentage double column.
+    * The driver's data has ≤2 decimal places on every money column
+    * (verified empirically), so this cast is lossless and makes
+    * sums/products order-independent and bit-identical across engines
+    * (Spark vs the DuckDB oracle). Cast back to DOUBLE at query output.
+    */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+}

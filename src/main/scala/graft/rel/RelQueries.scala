@@ -1,0 +1,486 @@
+package graft.rel
+
+import graft.Tables
+import graft.Tables.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** R1–R26: the relational operator surface (SURVEY.md §2.3) — the host layer
+  * every graph/LLM/stream operator compiles down to. Each query is a graded
+  * `SparkEntry.queries` entry with a DuckDB oracle mirror kept adjacent.
+  *
+  * Hash-parity discipline (SURVEY.md §5.3):
+  *  - total-order ORDER BY on every query (unique key or all columns);
+  *  - money math through decimal(18,2) (exact — data is 2-decimal), cast back
+  *    to DOUBLE at the output so schemas match;
+  *  - integer-ish outputs cast to LONG on the Spark side (DuckDB counts and
+  *    date_diff are BIGINT);
+  *  - explicit NULLS FIRST in DuckDB ORDER BY (Spark asc = nulls first,
+  *    DuckDB asc default = nulls last);
+  *  - no raw timestamps/dates/decimals/arrays in outputs — epoch longs,
+  *    strings, doubles only.
+  */
+object RelQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private final case class E(name: String, fn: Q, sql: Option[String])
+
+  private val entries: Seq[E] = Seq(
+
+    // R1 — projection with computed column (exact decimal → double)
+    E("r01_projection", (s, d) => {
+      Tables(s, d).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) * (lit(1.0).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("net_price"))
+        // (l_orderkey, l_linenumber) is NOT unique in this data — include
+        // net_price so the sort totally orders distinct rows (identical
+        // leftover ties hash the same).
+        .orderBy("l_orderkey", "l_linenumber", "net_price")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price""")),
+
+    // R2 — compound predicates: BETWEEN / = / IS NOT NULL / OR / IN / LIKE
+    E("r02_filter", (s, d) => {
+      Tables(s, d).lineitem.filter(
+        col("l_quantity").between(10, 20) &&
+        col("l_returnflag") === "R" &&
+        col("l_shipdate").isNotNull &&
+        (col("l_linestatus") === "F" || col("l_discount") < 0.05) &&
+        col("l_suppkey").isin(1L, 2L, 3L, 4L, 5L) &&
+        col("l_returnflag").like("R%"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+        AND l_shipdate IS NOT NULL
+        AND (l_linestatus = 'F' OR l_discount < 0.05)
+        AND l_suppkey IN (1, 2, 3, 4, 5)
+        AND l_returnflag LIKE 'R%'
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // R3 — inner equi-join; dimension side explicitly broadcast
+    E("r03_join_broadcast", (s, d) => {
+      val t = Tables(s, d)
+      t.orders.join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""")),
+
+    // R4 — left outer join (customers with no orders survive)
+    E("r04_left_outer_join", (s, d) => {
+      val t = Tables(s, d)
+      t.customer.join(t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }, Some("""
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""")),
+
+    // R4b — full outer join (orphans on both sides)
+    E("r04_full_outer_join", (s, d) => {
+      val t = Tables(s, d)
+      val cb = t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      cb.join(t.orders.select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }, Some("""
+      SELECT c_custkey, o_orderkey
+      FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+      FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""")),
+
+    // R5 — left semi join (EXISTS)
+    E("r05_semi_join", (s, d) => {
+      val t = Tables(s, d)
+      t.orders.join(t.customer.filter(col("c_acctbal") < 0).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey")).orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey FROM orders
+      WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0)
+      ORDER BY o_orderkey""")),
+
+    // R5b — left anti join (NOT EXISTS): customers with no recent orders
+    // (time-filtered so the result is non-empty at every sf).
+    E("r05_anti_join", (s, d) => {
+      val t = Tables(s, d)
+      val recent = t.orders
+        .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+      t.customer.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      ORDER BY c_custkey""")),
+
+    // R6 — equi + temporal-range join: same-user event pairs within 5 minutes
+    E("r06_range_join", (s, d) => {
+      val e = Tables(s, d).events
+      val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      a.join(b, col("a_user") === col("b_user") &&
+               col("b_ts") > col("a_ts") &&
+               col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("a_id"), col("b_id")).orderBy("a_id", "b_id")
+    }, Some("""
+      SELECT a.event_id AS a_id, b.event_id AS b_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      ORDER BY a_id, b_id""")),
+
+    // R7 — as-of join: latest order per customer at the 1997-01-01 cutoff
+    E("r07_asof_join", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables(s, d).orders
+        .filter(col("o_orderdate") <= lit("1997-01-01 00:00:00").cast("timestamp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate <= TIMESTAMP '1997-01-01 00:00:00') t
+      WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // R8 — cross join (bounded: 5×5 regions)
+    E("r08_cross_join", (s, d) => {
+      val t = Tables(s, d)
+      val a = t.region.select(col("r_name").as("a_name"))
+      val b = t.region.select(col("r_name").as("b_name"))
+      a.crossJoin(b).orderBy("a_name", "b_name")
+    }, Some("""
+      SELECT a.r_name AS a_name, b.r_name AS b_name FROM region a CROSS JOIN region b
+      ORDER BY a_name, b_name""")),
+
+    // R9 — hash aggregation: count/sum/avg/min/max + count distinct
+    E("r09_agg", (s, d) => {
+      Tables(s, d).lineitem.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(col("l_extendedprice"))).as("avg_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // R10 — distinct
+    E("r10_distinct", (s, d) => {
+      Tables(s, d).orders.select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct().orderBy("o_orderstatus", "o_orderpriority")
+    }, Some("""
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // R11 — approx count-distinct (HLL). No SQL oracle (approximate);
+    // bounded-error asserted in ScalaTest instead.
+    E("r11_approx_count_distinct", (s, d) => {
+      Tables(s, d).lineitem.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    }, None),
+
+    // R12 — rollup with subtotals
+    E("r12_rollup", (s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+                coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+                col("n_cust"), col("sum_bal"))
+        .orderBy("region_name", "nation_name")
+    }, Some("""
+      SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+             COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region_name, nation_name""")),
+
+    // R12b — cube
+    E("r12_cube", (s, d) => {
+      Tables(s, d).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("cnt"))
+        .orderBy("status", "priority")
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")),
+
+    // R13 — ranking windows: top-3 orders per customer by price
+    E("r13_window_rank", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d).orders
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("rnk"), col("drnk"), col("tile"))
+        .orderBy("o_custkey", "rn")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, rn, rnk, drnk, tile FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS tile
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // R14 — analytic windows: lag/lead/first + day gap between orders
+    E("r14_window_lag", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, d).orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             LAG(o_orderkey, 1) OVER w AS prev_order,
+             LEAD(o_orderkey, 1) OVER w AS next_order,
+             FIRST_VALUE(o_orderkey) OVER w AS first_order,
+             DATE_DIFF('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // R15 — aggregate windows with explicit frames: running + moving
+    E("r15_window_frame", (s, d) => {
+      val base = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables(s, d).lineitem.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity")))
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"),
+        min(col("l_quantity"))
+          .over(base.rowsBetween(-2, Window.currentRow)).as("mov3_min_qty"))
+        // running_qty is strictly increasing per supplier, so it breaks the
+        // (l_orderkey, l_linenumber) duplicate ties into a total order.
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty", "mov3_min_qty")
+    }, Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+             MIN(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_min_qty
+      FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty, mov3_min_qty""")),
+
+    // R16 — top-k (TakeOrderedAndProject)
+    E("r16_topk", (s, d) => {
+      Tables(s, d).orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(100)
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // R17 — set ops: EXCEPT / INTERSECT / UNION ALL in one query
+    E("r17_setops", (s, d) => {
+      val t = Tables(s, d)
+      val building = t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val ordered = t.orders.select(col("o_custkey").as("k"))
+      val only = building.except(ordered).withColumn("tag", lit("only_building"))
+      val both = building.intersect(ordered).withColumn("tag", lit("both"))
+      only.unionByName(both).select(col("tag"), col("k")).orderBy("tag", "k")
+    }, Some("""
+      SELECT 'only_building' AS tag, k FROM
+        (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' EXCEPT SELECT o_custkey FROM orders) t1
+      UNION ALL
+      SELECT 'both' AS tag, k FROM
+        (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey FROM orders) t2
+      ORDER BY tag, k""")),
+
+    // R18 — pivot: order counts by status × priority (safe column names)
+    E("r18_pivot", (s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val piv = Tables(s, d).orders
+        .groupBy(col("o_orderstatus")).pivot("o_orderpriority", prios).count()
+        .na.fill(0L, prios)
+      prios.foldLeft(piv)((df, p) => df.withColumnRenamed(p, "p" + p.charAt(0)))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+             COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+             COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+             COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+             COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+             COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // R19 — explode/unnest: token frequencies over documents
+    E("r19_explode", (s, d) => {
+      Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy("token")
+    }, Some("""
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token ORDER BY token""")),
+
+    // R20 — string functions (name normalization for conflict matching)
+    E("r20_string_fns", (s, d) => {
+      Tables(s, d).customer.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_name")).as("lo"),
+        trim(col("c_name")).as("tr"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        length(col("c_name")).cast("long").as("len"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("anon"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("lev"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_name) AS lo, TRIM(c_name) AS tr,
+             SUBSTR(c_name, 1, 8) AS pre, LENGTH(c_name) AS len,
+             REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS anon,
+             REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+             CONCAT_WS('|', c_mktsegment, c_name) AS joined,
+             LEVENSHTEIN(c_name, 'Customer#000000001') AS lev
+      FROM customer ORDER BY c_custkey""")),
+
+    // R21 — date/time functions (temporal-evolution support, README.md:17)
+    E("r21_date_fns", (s, d) => {
+      Tables(s, d).orders.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        expr("weekday(o_orderdate)").cast("long").as("wd"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_95"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo, DAY(o_orderdate) AS dom,
+             QUARTER(o_orderdate) AS qtr, ISODOW(o_orderdate) - 1 AS wd,
+             DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+             CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders ORDER BY o_orderkey""")),
+
+    // R22 — math functions (exact-on-doubles subset + IEEE-exact sqrt)
+    E("r22_math_fns", (s, d) => {
+      Tables(s, d).part.select(
+        col("p_partkey"),
+        abs(col("p_retailprice") - 1000.0).as("abs_diff"),
+        floor(col("p_retailprice")).cast("long").as("flr"),
+        ceil(col("p_retailprice")).cast("long").as("cl"),
+        round(dec(col("p_retailprice")), 1).cast("double").as("rnd1"),
+        greatest(col("p_retailprice"), (col("p_size") * 100).cast("double")).as("gr"),
+        least(col("p_retailprice"), (col("p_size") * 100).cast("double")).as("ls"),
+        (col("p_size") % 7).cast("long").as("md"),
+        pow(col("p_size").cast("double"), 2).as("sq"),
+        sqrt(col("p_size").cast("double")).as("rt"),
+        signum(col("p_retailprice") - 1000.0).as("sgn"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             ABS(p_retailprice - 1000.0) AS abs_diff,
+             CAST(FLOOR(p_retailprice) AS BIGINT) AS flr,
+             CAST(CEIL(p_retailprice) AS BIGINT) AS cl,
+             CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rnd1,
+             GREATEST(p_retailprice, CAST(p_size * 100 AS DOUBLE)) AS gr,
+             LEAST(p_retailprice, CAST(p_size * 100 AS DOUBLE)) AS ls,
+             CAST(p_size % 7 AS BIGINT) AS md,
+             POW(CAST(p_size AS DOUBLE), 2) AS sq,
+             SQRT(CAST(p_size AS DOUBLE)) AS rt,
+             CAST(SIGN(p_retailprice - 1000.0) AS DOUBLE) AS sgn
+      FROM part ORDER BY p_partkey""")),
+
+    // R23 — JSON extraction from the events.props column
+    E("r23_json", (s, d) => {
+      Tables(s, d).events.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("kx"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("kj"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kx,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kj
+      FROM events ORDER BY event_id""")),
+
+    // R24 — array / higher-order functions over embeddings
+    E("r24_array_fns", (s, d) => {
+      Tables(s, d).embeddings.select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("sum_all"),
+        array_min(col("embedding")).cast("double").as("min_val"),
+        array_max(col("embedding")).cast("double").as("max_val"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id, len(embedding) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first_val,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS sum_all,
+             CAST(list_min(embedding) AS DOUBLE) AS min_val,
+             CAST(list_max(embedding) AS DOUBLE) AS max_val
+      FROM embeddings ORDER BY vec_id""")),
+
+    // R25 — map construction + access (dynamic-props pattern, SURVEY §1.2)
+    E("r25_map_fns", (s, d) => {
+      Tables(s, d).customer
+        .select(col("c_custkey"),
+          map(lit("segment"), col("c_mktsegment"), lit("name"), col("c_name")).as("m"))
+        .select(col("c_custkey"),
+          element_at(col("m"), "segment").as("seg"),
+          size(col("m")).cast("long").as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment AS seg, CAST(2 AS BIGINT) AS n_keys,
+             'segment,name' AS keys
+      FROM customer ORDER BY c_custkey""")),
+
+    // R26 — CASE / COALESCE / NULLIF (risk-flag shape, README.md:15)
+    E("r26_case", (s, d) => {
+      Tables(s, d).customer.select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("-")).as("seg_masked"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
+             COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '-') AS seg_masked
+      FROM customer ORDER BY c_custkey"""))
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
+  val oracleSql: Map[String, String] = entries.flatMap(e => e.sql.map(sql => e.name -> sql.trim)).toMap
+}
