@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native bounded traversals (SURVEY.md §2 G2/G5/G14, §4.3).
+  *
+  * Spark 4.1's DataFrame API has no recursion operator, so bounded iteration
+  * runs as a driver-side loop of joins — the idiomatic Spark pattern. Each
+  * level is `localCheckpoint`ed: it truncates the logical plan so the k-th
+  * level doesn't re-derive levels 1..k-1 (lineage blowup is the classic
+  * failure mode of iterative DataFrame code; SURVEY.md §7.3).
+  *
+  * Scale posture: each hop is one equi-join on `src` — a shuffle-partitioned
+  * hash join that AQE can skew-split if a supernode appears. The visited-set
+  * anti-join keeps the frontier a set, so path multiplicity never multiplies
+  * the data volume (unlike the naive path-enumeration join).
+  */
+object Traversals {
+
+  /** Min-depth BFS: nodes reachable from `start` (column `id`) in ≤ maxHops
+    * directed hops over `edges` (columns `src`, `dst`). Returns (id, depth)
+    * where depth is the minimum hop count — BFS order guarantees min-depth.
+    */
+  def kHop(edges: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = start.select(col("id")).distinct()
+      .withColumn("depth", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("id")
+    var i = 1
+    while (i <= maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier.withColumnRenamed("id", "fid"), col("src") === col("fid"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
+        .localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    visited
+  }
+
+  /** Undirected view of a directed edge list. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Ego network: the subgraph induced by the ≤ radius undirected
+    * neighborhood of `centerId` (reference: interactive relationship mapping
+    * renders a neighborhood, README.md:11).
+    */
+  def egoNet(edges: DataFrame, centerId: Long, radius: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val start = spark.range(1).select(lit(centerId).as("id"))
+    val reach = kHop(symmetrize(edges), start, radius).select(col("id"))
+    edges
+      .join(reach.withColumnRenamed("id", "sid"), col("src") === col("sid"), "left_semi")
+      .join(reach.withColumnRenamed("id", "did"), col("dst") === col("did"), "left_semi")
+  }
+}
