@@ -98,6 +98,97 @@ object GraphQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY shared_parts DESC, cust_a, cust_b""")),
 
+    // G3 — UBO computation (README.md:13): total customer→supplier exposure
+    // over the normalized 3-layer ownership DAG — multiply weights along each
+    // path, sum over parallel paths (matrix-power propagation, 3 steps).
+    E("g03_ubo_exposure", (s, d) => {
+      val e = Ubo.uboEdges(Tables(s, d))
+      val init = e.filter(col("src") >= GraphBuilder.CustomerBase && col("src") < GraphBuilder.SupplierBase)
+        .select(col("src").as("owner")).distinct()
+        .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
+      Ubo.propagate(e, init, 3)
+        .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("exposure"))
+        .filter(col("exposure") >= 0.01)
+        .orderBy("owner", "supplier")
+    }, Some(s"""
+      WITH ${UboSql.uboEdgesCte},
+      s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
+             FROM ubo_edges WHERE src >= 3000000000 AND src < 4000000000),
+      ${UboSql.step("s0", "s1", "ubo_edges")},
+      ${UboSql.step("s1", "s2", "ubo_edges")},
+      ${UboSql.step("s2", "s3", "ubo_edges")}
+      SELECT owner, entity AS supplier, ROUND(share, 6) AS exposure
+      FROM s3 WHERE ROUND(share, 6) >= 0.01
+      ORDER BY owner, supplier""")),
+
+    // G3b — depth-capped propagation on a CYCLIC graph ("circular ownership
+    // loops", README.md:15): 4 bounded steps over the INTERACTED user graph.
+    E("g03_ubo_cyclic", (s, d) => {
+      val e = Ubo.interactedWeighted(Tables(s, d))
+      val init = e.select(col("src").as("owner")).distinct()
+        .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
+      Ubo.propagate(e, init, 4)
+        .select(col("owner"), col("entity"), round(col("share"), 6).as("share6"))
+        .filter(col("share6") >= 0.001)
+        .orderBy("owner", "entity")
+    }, Some(s"""
+      WITH ${UboSql.interactedWeightedCte},
+      s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share FROM ie_edges),
+      ${UboSql.step("s0", "s1", "ie_edges")},
+      ${UboSql.step("s1", "s2", "ie_edges")},
+      ${UboSql.step("s2", "s3", "ie_edges")},
+      ${UboSql.step("s3", "s4", "ie_edges")}
+      SELECT owner, entity, ROUND(share, 6) AS share6
+      FROM s4 WHERE ROUND(share, 6) >= 0.001
+      ORDER BY owner, entity""")),
+
+    // G5 — simple-path enumeration ≤3 hops from customer #1 (the ownership
+    // chains behind a UBO figure), with cycle guard.
+    E("g05_path_enum", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      Traversals.simplePaths(g.edges, GraphBuilder.CustomerBase + 1L, 3)
+        .orderBy("path_str", "depth")
+    }, Some(s"""
+      WITH RECURSIVE $edgesCte,
+      paths(path_str, last, depth, visited) AS (
+        SELECT CAST(3000000001 AS VARCHAR), CAST(3000000001 AS BIGINT), 0, [CAST(3000000001 AS BIGINT)]
+        UNION ALL
+        SELECT p.path_str || '->' || CAST(e.dst AS VARCHAR), e.dst, p.depth + 1,
+               list_append(p.visited, e.dst)
+        FROM paths p JOIN graph_edges e ON e.src = p.last
+        WHERE p.depth < 3 AND NOT list_contains(p.visited, e.dst))
+      SELECT path_str, depth FROM paths WHERE depth >= 1
+      ORDER BY path_str, depth""")),
+
+    // G6 — bounded cycle detection on the user graph (README.md:15):
+    // directed 2- and 3-cycles over strong (multiplicity ≥2) edges,
+    // canonicalized so n1 is the smallest node.
+    E("g06_cycle_detect", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val a = e2.select(col("src").as("a_src"), col("dst").as("a_dst"))
+      val b = e2.select(col("src").as("b_src"), col("dst").as("b_dst"))
+      val c = e2.select(col("src").as("c_src"), col("dst").as("c_dst"))
+      val cyc2 = a.join(b, col("a_dst") === col("b_src") && col("b_dst") === col("a_src") &&
+          col("a_src") < col("b_src"))
+        .select(lit(2).as("len"), col("a_src").as("n1"), col("a_dst").as("n2"), lit(-1L).as("n3"))
+      val cyc3 = a.join(b, col("a_dst") === col("b_src"))
+        .join(c, col("b_dst") === col("c_src") && col("c_dst") === col("a_src"))
+        .filter(col("a_src") < col("a_dst") && col("a_src") < col("b_dst") &&
+          col("a_dst") =!= col("b_dst"))
+        .select(lit(3).as("len"), col("a_src").as("n1"), col("a_dst").as("n2"), col("b_dst").as("n3"))
+      cyc2.unionByName(cyc3).orderBy("len", "n1", "n2", "n3")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2)
+      SELECT 2 AS len, a.src AS n1, a.dst AS n2, CAST(-1 AS BIGINT) AS n3
+      FROM e a JOIN e b ON a.dst = b.src AND b.dst = a.src AND a.src < b.src
+      UNION ALL
+      SELECT 3 AS len, a.src, a.dst, b.dst
+      FROM e a JOIN e b ON a.dst = b.src JOIN e c ON b.dst = c.src AND c.dst = a.src
+      WHERE a.src < a.dst AND a.src < b.dst AND a.dst <> b.dst
+      ORDER BY len, n1, n2, n3""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

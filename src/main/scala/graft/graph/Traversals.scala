@@ -46,6 +46,31 @@ object Traversals {
     edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
 
+  /** All simple paths (no node revisits) of length 1..maxDepth from startId,
+    * as '->'-joined id strings (the ownership chains behind a UBO figure,
+    * README.md:11,13). Path enumeration DOES multiply with fan-out — callers
+    * bound it with maxDepth and a small start set; at 100 TB this is a
+    * per-entity drill-down, never a whole-graph operator.
+    */
+  def simplePaths(edges: DataFrame, startId: Long, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    var frontier = spark.range(1).select(
+      lit(startId.toString).as("path_str"), lit(startId).as("last"),
+      lit(0).as("depth"), array(lit(startId)).as("visited"))
+    var acc: Option[DataFrame] = None
+    for (i <- 1 to maxDepth) {
+      frontier = frontier.join(e, col("src") === col("last"))
+        .filter(!array_contains(col("visited"), col("dst")))
+        .select(concat(col("path_str"), lit("->"), col("dst").cast("string")).as("path_str"),
+                col("dst").as("last"), lit(i).as("depth"),
+                array_append(col("visited"), col("dst")).as("visited"))
+        .localCheckpoint(true)
+      acc = Some(acc.map(_.unionByName(frontier)).getOrElse(frontier))
+    }
+    acc.get.select(col("path_str"), col("depth"))
+  }
+
   /** Ego network: the subgraph induced by the ≤ radius undirected
     * neighborhood of `centerId` (reference: interactive relationship mapping
     * renders a neighborhood, README.md:11).

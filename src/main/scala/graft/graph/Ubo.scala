@@ -1,0 +1,136 @@
+package graft.graph
+
+import graft.Tables
+import graft.Tables.dec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** UBO-style ownership propagation (reference: "Automatically calculate …
+  * Ultimate Beneficial Owners", /root/reference/README.md:13; cycle safety
+  * per README.md:15 "circular ownership loops").
+  *
+  * Semantics: share(owner → entity) = Σ over all paths of Π edge weights,
+  * computed as `steps` matrix-power iterations (join + groupBy-sum per step).
+  * A step count is a depth cap — on cyclic graphs the propagation is bounded
+  * by construction, the documented cycle-safe semantics (SURVEY.md §7.3.2).
+  *
+  * Scale posture: each step is a shuffle join keyed on the current entity —
+  * the frontier stays (owner, entity)-aggregated, so size is bounded by
+  * |owners| × |entities| regardless of path multiplicity (no path-enumeration
+  * blowup). `localCheckpoint` every 3 steps truncates lineage.
+  *
+  * Numeric discipline: weights are ratios of exact decimal sums (deterministic
+  * doubles in both engines); path-sum aggregation is float-order-dependent, so
+  * graded outputs round to 6 decimals (SURVEY.md §5.3 rule 2).
+  */
+object Ubo {
+  import GraphBuilder._
+
+  /** Normalized 3-layer ownership DAG: customer -(1/n_orders)-> order
+    * -(qty share)-> part -(supply share)-> supplier. Out-weights sum to 1.0
+    * per source node, the ownership-percentage invariant.
+    */
+  def uboEdges(t: Tables): DataFrame = {
+    val placed = t.orders
+      .select((lit(CustomerBase) + col("o_custkey")).as("src"),
+              (lit(OrderBase) + col("o_orderkey")).as("dst"))
+      .withColumn("weight", lit(1.0) / count(lit(1)).over(Window.partitionBy(col("src"))))
+
+    val contains = t.lineitem
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_orderkey"))))
+      .select((lit(OrderBase) + col("l_orderkey")).as("src"),
+              (lit(PartBase) + col("l_partkey")).as("dst"),
+              (col("qty").cast("double") / col("total").cast("double")).as("weight"))
+
+    val suppliedBy = t.lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .select((lit(PartBase) + col("l_partkey")).as("src"),
+              (lit(SupplierBase) + col("l_suppkey")).as("dst"),
+              (col("qty").cast("double") / col("total").cast("double")).as("weight"))
+
+    placed.select(col("src"), col("dst"), col("weight"))
+      .unionByName(contains).unionByName(suppliedBy)
+  }
+
+  /** Collapsed INTERACTED user pairs with multiplicity. */
+  def interactedPairs(t: Tables): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    t.events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("user_id"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .groupBy((lit(UserBase) + col("prev")).as("src"),
+               (lit(UserBase) + col("user_id")).as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Out-normalized INTERACTED user graph — cyclic, for the depth-capped
+    * propagation demo. weight(u,v) = cnt(u,v) / out_cnt(u).
+    */
+  def interactedWeighted(t: Tables): DataFrame =
+    interactedPairs(t)
+      .withColumn("weight",
+        col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy(col("src"))).cast("double"))
+      .select(col("src"), col("dst"), col("weight"))
+
+  /** `steps` propagation iterations of (owner, entity, share) over
+    * (src, dst, weight) edges. Matrix-power semantics: shares over parallel
+    * paths sum at every step.
+    */
+  def propagate(edges: DataFrame, init: DataFrame, steps: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+    var own = init.select(col("owner"), col("entity"), col("share"))
+    var i = 1
+    while (i <= steps) {
+      own = own.join(e, col("entity") === col("src"))
+        .groupBy(col("owner"), col("dst"))
+        .agg(sum(col("share") * col("weight")).as("share"))
+        .select(col("owner"), col("dst").as("entity"), col("share"))
+      if (i % 3 == 0) own = own.localCheckpoint(true)
+      i += 1
+    }
+    own
+  }
+}
+
+/** DuckDB mirrors for [[Ubo]] — MUST stay in lockstep with the Spark code. */
+object UboSql {
+  val uboEdgesCte: String =
+    """ubo_edges AS (
+      |  SELECT 3000000000 + o_custkey AS src, 6000000000 + o_orderkey AS dst,
+      |         CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY o_custkey) AS weight
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 6000000000 + l_orderkey, 5000000000 + l_partkey,
+      |         CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY l_orderkey) AS DOUBLE)
+      |  FROM (SELECT l_orderkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty FROM lineitem GROUP BY 1, 2)
+      |  UNION ALL
+      |  SELECT 5000000000 + l_partkey, 4000000000 + l_suppkey,
+      |         CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      |  FROM (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty FROM lineitem GROUP BY 1, 2)
+      |)""".stripMargin
+
+  /** Collapsed INTERACTED pairs with multiplicity (cnt kept for thresholds). */
+  val interactedPairsCte: String =
+    """ie_pairs AS (
+      |  SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst, COUNT(*) AS cnt
+      |  FROM (SELECT user_id, ts, event_id, LAG(user_id) OVER (ORDER BY ts, event_id) AS prev FROM events)
+      |  WHERE prev IS NOT NULL AND prev <> user_id GROUP BY 1, 2
+      |)""".stripMargin
+
+  val interactedWeightedCte: String = interactedPairsCte + """,
+      |ie_edges AS (
+      |  SELECT src, dst, CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE) AS weight
+      |  FROM ie_pairs
+      |)""".stripMargin
+
+  /** One unrolled propagation step (the CTE equivalent of one loop pass). */
+  def step(prev: String, cur: String, edges: String): String =
+    s"""$cur AS (
+       |  SELECT p.owner, e.dst AS entity, SUM(p.share * e.weight) AS share
+       |  FROM $prev p JOIN $edges e ON e.src = p.entity GROUP BY 1, 2)""".stripMargin
+}
