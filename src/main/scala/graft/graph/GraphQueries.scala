@@ -189,6 +189,104 @@ object GraphQueries {
       WHERE a.src < a.dst AND a.src < b.dst AND a.dst <> b.dst
       ORDER BY len, n1, n2, n3""")),
 
+    // G4 — shortest path, bounded weighted (Bellman-Ford, 4 relaxation
+    // rounds) from user 0 over the strong user graph, cost = 1/multiplicity.
+    // The unbounded GraphX Pregel variant is Algorithms.ssspGraphX (tested
+    // in ScalaTest; convergence loops aren't CTE-mirrorable).
+    E("g04_sssp_bounded", (s, d) => {
+      val ce = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"),
+          (lit(1.0) / col("cnt").cast("double")).as("cost"))
+      Algorithms.boundedSssp(ce, GraphBuilder.UserBase, 4)
+        .select(col("id"), round(col("d"), 6).as("dist"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      ce AS (SELECT src, dst, CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE) AS cost
+             FROM ie_pairs WHERE cnt >= 2),
+      d0 AS (SELECT CAST(7000000000 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS d),
+      d1 AS (SELECT id, MIN(d) AS d FROM (SELECT id, d FROM d0 UNION ALL
+             SELECT e.dst, p.d + e.cost FROM d0 p JOIN ce e ON e.src = p.id) GROUP BY id),
+      d2 AS (SELECT id, MIN(d) AS d FROM (SELECT id, d FROM d1 UNION ALL
+             SELECT e.dst, p.d + e.cost FROM d1 p JOIN ce e ON e.src = p.id) GROUP BY id),
+      d3 AS (SELECT id, MIN(d) AS d FROM (SELECT id, d FROM d2 UNION ALL
+             SELECT e.dst, p.d + e.cost FROM d2 p JOIN ce e ON e.src = p.id) GROUP BY id),
+      d4 AS (SELECT id, MIN(d) AS d FROM (SELECT id, d FROM d3 UNION ALL
+             SELECT e.dst, p.d + e.cost FROM d3 p JOIN ce e ON e.src = p.id) GROUP BY id)
+      SELECT id, ROUND(d, 6) AS dist FROM d4 ORDER BY id""")),
+
+    // G6 (exhaustive) — strongly connected components via GraphX on the
+    // strong user graph; nontrivial SCCs ⇒ circular ownership loops.
+    // Oracle: mutual-reachability closure (feasible at oracle sf: ≤150 nodes).
+    E("g06_scc", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      Algorithms.stronglyConnectedComponents(e2).orderBy("id")
+    }, Some(s"""
+      WITH RECURSIVE ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      reach(a, b) AS (
+        SELECT src, src FROM e UNION SELECT dst, dst FROM e
+        UNION SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+      SELECT f.a AS id, MIN(f.b) AS component
+      FROM reach f JOIN reach b ON f.a = b.b AND f.b = b.a
+      GROUP BY f.a ORDER BY id""")),
+
+    // G7 — connected components (GraphX) on the strong user graph.
+    // Oracle: min-label closure over symmetrized edges.
+    E("g07_cc_users", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      Algorithms.connectedComponents(e2).orderBy("id")
+    }, Some(s"""
+      WITH RECURSIVE ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      lab(id, l) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id)
+      SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
+
+    // G7b — connected components over the FULL property graph (GraphX at
+    // real scale; the closure oracle is infeasible there, so this entry is
+    // rows-only checked): component size histogram.
+    E("g07_cc_full", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      Algorithms.connectedComponents(g.edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .orderBy("component")
+    }, None),
+
+    // G9 — PageRank: weighted power iteration, 5 fixed steps, on the full
+    // INTERACTED graph (DataFrame twin; GraphX variant in Algorithms).
+    E("g09_pagerank", (s, d) => {
+      Algorithms.pageRankBounded(Ubo.interactedWeighted(Tables(s, d)), 5)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }, Some({
+      def step(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.id, 0.15 + 0.85 * COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes n LEFT JOIN (SELECT e.dst, SUM(p.pr * e.weight) AS s
+           |    FROM $prev p JOIN ie_edges e ON e.src = p.id GROUP BY 1) m ON m.dst = n.id)""".stripMargin
+      s"""
+      WITH ${UboSql.interactedWeightedCte},
+      nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ie_edges UNION ALL SELECT dst FROM ie_edges)),
+      p0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+      ${step("p0", "p1")}, ${step("p1", "p2")}, ${step("p2", "p3")},
+      ${step("p3", "p4")}, ${step("p4", "p5")}
+      SELECT id, ROUND(pr, 6) AS pr FROM p5 ORDER BY id"""
+    })),
+
+    // G10 — sampled Brandes betweenness on the undirected strong user graph
+    // (golden-tested; no SQL oracle — rows-only check).
+    E("g10_betweenness", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      Algorithms.betweennessSampled(Traversals.symmetrize(e2), 16)
+        .select(col("id"), round(col("betweenness"), 6).as("betweenness"))
+        .orderBy("id")
+    }, None),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

@@ -1,0 +1,133 @@
+package graft
+
+import graft.graph.{Algorithms, Traversals, Ubo}
+import org.apache.spark.sql.functions._
+
+class TraversalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1->2->3->4, 1->3 (shortcut), 5 isolated-ish: 5->1
+  private def edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 1L))
+    .toDF("src", "dst")
+
+  test("kHop returns min BFS depth") {
+    val start = Seq(1L).toDF("id")
+    val got = Traversals.kHop(edges, start, 3).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("kHop respects hop cap") {
+    val got = Traversals.kHop(edges, Seq(1L).toDF("id"), 1).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("simplePaths guards cycles") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val paths = Traversals.simplePaths(cyc, 1L, 5).as[(String, Int)].collect().toMap
+    // 1->2, 1->2->3 only; the step back to 1 is blocked by the visited guard
+    assert(paths.keySet === Set("1->2", "1->2->3"))
+  }
+
+  test("egoNet induces the neighborhood subgraph") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("src", "dst")
+      .withColumn("rel_type", lit("E"))
+    val got = Traversals.egoNet(e, 1L, 2).select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 3L))) // 3->4 excluded: 4 is 3 hops out
+  }
+}
+
+class AlgorithmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels components by min id") {
+    val e = Seq((1L, 2L), (3L, 4L), (4L, 5L), (7L, 7L)).toDF("src", "dst")
+    val got = Algorithms.connectedComponents(e).as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(got(3L) === 3L && got(4L) === 3L && got(5L) === 3L)
+    assert(got(7L) === 7L)
+  }
+
+  test("scc finds the cycle, leaves the tail trivial") {
+    // 1->2->3->1 cycle, 3->4 tail
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Algorithms.stronglyConnectedComponents(e).as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(4L) === 4L)
+  }
+
+  test("ssspGraphX equals boundedSssp when rounds cover the diameter") {
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "weight")
+    val viaGraphX = Algorithms.ssspGraphX(e, 1L).as[(Long, Double)].collect().toMap
+    val viaDf = Algorithms.boundedSssp(e.withColumnRenamed("weight", "cost"), 1L, 4)
+      .as[(Long, Double)].collect().toMap
+    assert(viaGraphX === Map(1L -> 0.0, 2L -> 1.0, 3L -> 3.0, 4L -> 4.0))
+    assert(viaDf === viaGraphX)
+  }
+
+  test("pageRankBounded: sink fed by all nodes ranks highest") {
+    // star into 9: everyone points at 9
+    val e = (1L to 8L).map(i => (i, 9L, 1.0)).toDF("src", "dst", "weight")
+    val pr = Algorithms.pageRankBounded(e, 5).as[(Long, Double)].collect().toMap
+    assert(pr(9L) > pr(1L) * 5)
+    assert((1L to 8L).map(pr).toSet.size === 1) // symmetric sources tie exactly
+  }
+
+  test("betweennessSampled: middle of a path carries the load") {
+    // undirected path 1-2-3
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Algorithms.betweennessSampled(Traversals.symmetrize(e), 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) === 2.0) // (1,3) and (3,1) shortest paths pass through 2
+    assert(got.getOrElse(1L, 0.0) === 0.0 && got.getOrElse(3L, 0.0) === 0.0)
+  }
+
+  test("pageRankGraphX agrees with pageRankBounded on uniform weights") {
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val outDeg = raw.groupBy("src").agg(count(lit(1)).as("n"))
+    val weighted = raw.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("n")).as("weight"))
+    val iters = 20
+    val gx = Algorithms.pageRankGraphX(raw, iters).as[(Long, Double)].collect().toMap
+    val df = Algorithms.pageRankBounded(weighted, iters).as[(Long, Double)].collect().toMap
+    gx.foreach { case (id, v) => assert(math.abs(v - df(id)) < 1e-4, s"node $id: $v vs ${df(id)}") }
+  }
+}
+
+class UboSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("propagate sums parallel paths (diamond)") {
+    // owner 1 -> {2: 0.6, 3: 0.4}; 2 -> 4: 1.0; 3 -> 4: 1.0
+    val e = Seq((1L, 2L, 0.6), (1L, 3L, 0.4), (2L, 4L, 1.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "weight")
+    val init = Seq((1L, 1L, 1.0)).toDF("owner", "entity", "share")
+    val got = Ubo.propagate(e, init, 2).as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 4L, 1.0))) // 0.6*1 + 0.4*1, summed over paths
+  }
+
+  test("propagate is depth-capped on cycles") {
+    val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "weight")
+    val init = Seq((1L, 1L, 1.0)).toDF("owner", "entity", "share")
+    val got = Ubo.propagate(e, init, 5).as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1.0))) // odd steps land on 2; terminates
+  }
+
+  test("ubo edge weights are out-normalized (sum to 1 per source)") {
+    val t = Tables(spark, sfDir)
+    val sums = Ubo.uboEdges(t).groupBy("src").agg(sum("weight").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+}
+
+class ApproxSpec extends SparkSpec {
+  test("approx_count_distinct is within its error bound") {
+    val l = Tables(spark, sfDir).lineitem
+    val row = l.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head()
+    val (a, e) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e")
+  }
+}
