@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.RelQueries.queries ++
-    graph.GraphQueries.queries
+    graph.GraphQueries.queries ++
+    text.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     rel.RelQueries.oracleSql ++
-    graph.GraphQueries.oracleSql
+    graph.GraphQueries.oracleSql ++
+    text.LlmQueries.oracleSql
 }

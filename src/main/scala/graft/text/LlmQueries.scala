@@ -1,0 +1,317 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH, Tokenizer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L-series: LLM-training-data pipeline operators (SURVEY.md §2.6; driver
+  * north-star scope extension) over `documents` / `embeddings`.
+  *
+  * Scale notes per operator family:
+  *  - dedup: exact dedup is one hash aggregation; near-dup has TWO paths —
+  *    the exact n-gram Jaccard join (oracle-able, quadratic in shared-shingle
+  *    fan-out, fine at test sf) and MinHashLSH banding (the 100 TB path:
+  *    candidate pairs only via band-bucket join, no all-pairs).
+  *  - similarity: brute-force cosine is the correctness baseline (broadcast
+  *    query vector — no shuffle); BucketedRandomProjectionLSH is the scale
+  *    path (bucketed candidate retrieval).
+  *  - all float folds are ordered left-folds (zip_with/aggregate), mirrored
+  *    by DuckDB list_reduce over range() — bit-identical, then rounded.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private final case class E(name: String, fn: Q, sql: Option[String])
+
+  // Ordered left-fold dot product / norms as a reusable Spark expression.
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  // DuckDB mirror of the same fold.
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  private val entries: Seq[E] = Seq(
+
+    // L1 — exact dedup: canonical (min) doc per distinct text + copy count.
+    E("l01_exact_dedup", (s, d) => {
+      Tables(s, d).documents.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy("canonical_id")
+    }, Some("""
+      SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY canonical_id""")),
+
+    // L2 — MinHash LSH near-dup candidates (the at-scale banding path;
+    // approximate → rows-only check + planted-dup ScalaTest).
+    E("l02_minhash_lsh", (s, d) => {
+      val docs = Tables(s, d).documents
+      // shingle → minhash → band-bucket join: 3-gram shingles (token sets
+      // can't discriminate on a 31-word shared vocabulary), hashed to a
+      // sparse space, MinHash-banded; approxSimilarityJoin only compares
+      // bucket-colliding candidates — the 100 TB-safe near-dup path.
+      val words = new Tokenizer().setInputCol("text").setOutputCol("words").transform(docs)
+      val shingled = new org.apache.spark.ml.feature.NGram()
+        .setN(3).setInputCol("words").setOutputCol("shingles").transform(words)
+      val feat = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 18).transform(shingled)
+      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42)
+      mh.fit(feat).approxSimilarityJoin(feat, feat, 0.8, "dist")
+        .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"),
+                round(col("dist"), 6).as("jaccard_dist"))
+        .filter(col("a") < col("b"))
+        .orderBy("a", "b")
+    }, None),
+
+    // L2b — exact 3-gram Jaccard near-dup join (oracle-able ground truth for
+    // the LSH path; inverted-index join, NOT an all-pairs cross join).
+    E("l03_ngram_jaccard", (s, d) => {
+      val ws = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val tg = ws.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+        .distinct()
+      val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = tg.select(col("doc_id").as("da"), col("g"))
+        .join(tg.select(col("doc_id").as("db"), col("g")), Seq("g"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy("da", "db")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      tg AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+             FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2
+      ORDER BY da, db""")),
+
+    // L2c — SimHash: 16-bit fingerprint from per-token xxhash64 bit votes
+    // (rows-only: hash function isn't oracle-mirrorable; property-tested).
+    E("l04_simhash", (s, d) => {
+      val tok = Tables(s, d).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 16).map { b =>
+        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b")
+      }
+      val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val fp = (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    }, None),
+
+    // L3 — similarity search: brute-force cosine top-20 around vec 0
+    // (broadcast query vector; ordered-fold arithmetic, oracle-checked).
+    E("l05_cosine_topk", (s, d) => {
+      val emb = Tables(s, d).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("cos", dot("embedding", "qv") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("qv", "qv"))))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }, Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+               ${dotSql("embedding", "qv")} /
+               (SQRT(${dotSql("embedding", "embedding")}) * SQRT(${dotSql("qv", "qv")})) AS cos
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(cos, 6) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20""")),
+
+    // L3b — ANN via random-projection LSH (the scale path; approximate →
+    // rows-only + recall ScalaTest against the brute-force baseline).
+    E("l05_ann_lsh", (s, d) => {
+      val emb = Tables(s, d).embeddings
+        .withColumn("v", array_to_vector(col("embedding")))
+      val brp = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
+        .setBucketLength(1.0).setNumHashTables(4).setSeed(42)
+      val model = brp.fit(emb)
+      val key = org.apache.spark.ml.linalg.Vectors.dense(
+        Tables(s, d).embeddings.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble).toArray)
+      model.approxNearestNeighbors(emb, key, 21).toDF()
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(col("distCol"), 6).as("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+    }, None),
+
+    // L6 — TF-IDF term statistics (explode → tf, df, ln(N/df)).
+    E("l06_tfidf", (s, d) => {
+      val docs = Tables(s, d).documents
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(df_, "token").crossJoin(broadcast(n))
+        .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .select(col("doc_id"), col("token"), col("tf"), col("idf"), col("tfidf"))
+        .orderBy("doc_id", "token")
+    }, Some("""
+      WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+                  GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(LN(CAST(n_docs AS DOUBLE) / df.df), 6) AS idf,
+             ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      ORDER BY tf.doc_id, tf.token""")),
+
+    // L7 — text quality scoring: token counts, type-token ratio, mean word
+    // length, length-capped composite score.
+    E("l07_text_quality", (s, d) => {
+      Tables(s, d).documents
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("long"))
+        .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+        .withColumn("mean_word_len",
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"), 6))
+        .withColumn("quality",
+          round(col("ttr") * least(col("n_tokens").cast("double") / 50.0, lit(1.0)), 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("ttr"),
+                col("mean_word_len"), col("quality"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS ttr,
+             ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_word_len,
+             ROUND(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6)
+                   * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0), 6) AS quality
+      FROM documents ORDER BY doc_id""")),
+
+    // L7b — language ID: marker-word voting with deterministic tiebreak
+    // (n-gram heuristic shape; markers drawn from the corpus vocabulary).
+    E("l08_langid", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val markers = Seq(
+        "en" -> "the", "en" -> "a", "en" -> "order", "en" -> "row",
+        "es" -> "data", "es" -> "table", "es" -> "fast",
+        "zh" -> "spark", "zh" -> "query", "zh" -> "join",
+        "de" -> "group", "de" -> "sort", "de" -> "filter",
+        "fr" -> "merge", "fr" -> "window", "fr" -> "scan").toDF("mlang", "word")
+      val docs = Tables(s, d).documents
+      val hits = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(markers), col("token") === col("word"))
+        .groupBy("doc_id", "mlang").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("mlang"))
+      val guessed = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("mlang").as("guessed"), col("hits"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(guessed, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang"),
+                coalesce(col("guessed"), lit("unk")).as("guessed"),
+                coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH markers(mlang, word) AS (VALUES
+        ('en','the'),('en','a'),('en','order'),('en','row'),
+        ('es','data'),('es','table'),('es','fast'),
+        ('zh','spark'),('zh','query'),('zh','join'),
+        ('de','group'),('de','sort'),('de','filter'),
+        ('fr','merge'),('fr','window'),('fr','scan')),
+      hits AS (SELECT doc_id, mlang, COUNT(*) AS hits
+               FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents) t
+               JOIN markers ON token = word GROUP BY 1, 2),
+      guessed AS (SELECT doc_id, mlang AS guessed, hits FROM
+        (SELECT doc_id, mlang, hits,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn
+         FROM hits) WHERE rn = 1)
+      SELECT d.doc_id, d.lang, COALESCE(g.guessed, 'unk') AS guessed,
+             COALESCE(g.hits, 0) AS hits
+      FROM documents d LEFT JOIN guessed g ON d.doc_id = g.doc_id
+      ORDER BY d.doc_id""")),
+
+    // L9 — embedding column ops: L2 norm, unit first component, mean-pool.
+    E("l09_embedding_ops", (s, d) => {
+      Tables(s, d).embeddings
+        .withColumn("l2", sqrt(dot("embedding", "embedding")))
+        .select(col("vec_id"),
+          round(col("l2"), 6).as("l2_norm"),
+          round(element_at(col("embedding"), 1).cast("double") / col("l2"), 6).as("unit_first"),
+          round(dot("embedding", "embedding") / lit(64.0), 6).as("mean_sq"))
+        .orderBy("vec_id")
+    }, Some(s"""
+      SELECT vec_id,
+             ROUND(SQRT(${dotSql("embedding", "embedding")}), 6) AS l2_norm,
+             ROUND(CAST(embedding[1] AS DOUBLE) / SQRT(${dotSql("embedding", "embedding")}), 6) AS unit_first,
+             ROUND(${dotSql("embedding", "embedding")} / 64.0, 6) AS mean_sq
+      FROM embeddings ORDER BY vec_id""")),
+
+    // L10 — token counting: whitespace + regex-class token counts.
+    E("l10_token_count", (s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").cast("long").as("n_alpha_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_ws_tokens,
+             len(list_filter(string_split(text, ' '), x -> regexp_full_match(x, '[a-z]+'))) AS n_alpha_tokens,
+             LENGTH(text) AS n_chars_actual
+      FROM documents ORDER BY doc_id""")),
+
+    // L11 — document fingerprint: polynomial rolling hash over chars,
+    // identical ordered fold in both engines (exact integers, no floats).
+    E("l11_fingerprint", (s, d) => {
+      Tables(s, d).documents.select(col("doc_id"),
+        expr("aggregate(sequence(1, length(text)), 0L, (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)")
+          .as("fingerprint"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, LENGTH(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id""")),
+
+    // L8 — multimodal column plumbing: opaque binary payload + typed
+    // metadata; "decode" is a deterministic stub (media codecs aren't in
+    // this container) but the Spark-side schema/partition/batch shape is
+    // real: mapPartitions over the binary column (rows-only + ScalaTest).
+    E("l12_multimodal", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // STUB decode: real pipelines would demux/decode media here; the
+          // deterministic fake keeps plumbing testable offline.
+          val checksum = bytes.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
+          (id, bytes.length, if (bytes.nonEmpty) bytes(0) & 0xff else -1, checksum)
+        })
+        .toDF("doc_id", "byte_len", "first_byte", "checksum")
+        .orderBy("doc_id")
+    }, None)
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
+  val oracleSql: Map[String, String] = entries.flatMap(e => e.sql.map(sql => e.name -> sql.trim)).toMap
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.text.LlmQueries
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH recalls every exact near-dup pair (planted dups)") {
+    val lsh = LlmQueries.queries("l02_minhash_lsh")(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = LlmQueries.queries("l03_ngram_jaccard")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
+  }
+
+  test("simhash: identical docs collide, near-dups are hamming-close") {
+    val fp = LlmQueries.queries("l04_simhash")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val pair = LlmQueries.queries("l03_ngram_jaccard")(spark, sfDir)
+      .orderBy(col("jaccard").desc).select("da", "db").as[(Long, Long)].head()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(pair._1), fp(pair._2)) <= 4,
+      s"near-dup pair $pair should be hamming-close")
+    // random non-dup pair should not be close on average — spot-check spread
+    val vals = fp.values.toSeq
+    assert(vals.distinct.size > 10, "fingerprints should spread")
+  }
+
+  test("ann lsh top-k overlaps brute-force cosine top-k") {
+    val brute = LlmQueries.queries("l05_cosine_topk")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = LlmQueries.queries("l05_ann_lsh")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    // L2-NN vs cosine-NN agree loosely on this data; require non-trivial overlap
+    assert((brute & ann).size >= 5, s"overlap too small: ${(brute & ann).size}")
+  }
+
+  test("multimodal plumbing: schema, determinism, payload round-trip") {
+    val q = LlmQueries.queries("l12_multimodal")
+    val a = q(spark, sfDir).collect()
+    val b = q(spark, sfDir).collect()
+    assert(a.sameElements(b), "decode stub must be deterministic")
+    val row = a.head
+    assert(row.schema.fieldNames.toSeq === Seq("doc_id", "byte_len", "first_byte", "checksum"))
+    // byte_len equals the text length (payload is the utf-8 text)
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), length(col("text")).cast("int").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(a.forall(r => docs(r.getLong(0)) === r.getInt(1)))
+  }
+
+  test("exact dedup is idempotent") {
+    val once = LlmQueries.queries("l01_exact_dedup")(spark, sfDir)
+    assert(once.count() === once.distinct().count())
+  }
+}
