@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.RelQueries.queries ++
     graph.GraphQueries.queries ++
-    text.LlmQueries.queries
+    text.LlmQueries.queries ++
+    stream.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     rel.RelQueries.oracleSql ++
     graph.GraphQueries.oracleSql ++
-    text.LlmQueries.oracleSql
+    text.LlmQueries.oracleSql ++
+    stream.StreamQueries.oracleSql
 }

@@ -1,0 +1,112 @@
+package graft.stream
+
+import graft.Tables
+import graft.Tables.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** T-series batch twins (SURVEY.md §2.4 streaming plan note): each graded
+  * query runs the window/session/dedup SEMANTICS on the batch events table so
+  * the DuckDB oracle can check it; the incremental StateStore behaviors are
+  * covered by StreamingSpec over MemoryStream.
+  *
+  * Timestamp discipline: outputs carry epoch seconds/micros (BIGINT), never
+  * raw timestamps — engine-dependent parquet timestamp units would break the
+  * hash compare (SURVEY §5.3 rule 3).
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private final case class E(name: String, fn: Q, sql: Option[String])
+
+  private val entries: Seq[E] = Seq(
+
+    // T1 — tumbling 1h window counts per event type (batch twin of
+    // EventOps.tumblingCounts).
+    E("t01_tumbling_window", (s, d) => {
+      Tables(s, d).events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+                col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("win_start_s", "event_type")
+    }, Some("""
+      SELECT CAST(EPOCH(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+             event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""")),
+
+    // T2 — sliding 1h/15min windows: each event lands in 4 windows
+    // (batch twin of EventOps.slidingCounts).
+    E("t02_sliding_window", (s, d) => {
+      Tables(s, d).events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("n_users"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+                col("cnt"), col("n_users"))
+        .orderBy("win_start_s")
+    }, Some("""
+      SELECT (epoch_us(ts) // 900000000 - o) * 900 AS win_start_s,
+             COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS n_users
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(o)
+      GROUP BY 1 ORDER BY win_start_s""")),
+
+    // T3 — session windows (30-minute gap) per user; gap-island SQL twin.
+    // Spark session semantics: a session spans [first, last+gap); an event at
+    // exactly prev+gap starts a NEW session ⇒ island break when diff >= gap.
+    E("t03_session_window", (s, d) => {
+      Tables(s, d).events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("session_window.start")).as("sess_start_us"),
+                col("user_id"), col("n_events"))
+        .orderBy("user_id", "sess_start_us")
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT epoch_us(MIN(ts)) AS sess_start_us, user_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us""")),
+
+    // T5 — dedup twin: first event per (user, type, minute) bucket.
+    E("t05_dedup", (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("minute_b"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .withColumn("minute_b", (unix_timestamp(col("ts")).cast("long") / 60).cast("long"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, CAST(EPOCH(ts) AS BIGINT) // 60
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY event_id""")),
+
+    // T7 — stream-static enrichment twin: events joined to a static per-user
+    // dimension (its streaming form broadcast-joins the dim each microbatch).
+    E("t07_stream_static_join", (s, d) => {
+      val t = Tables(s, d)
+      val dim = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+      EventOps.enrich(t.events, dim)
+        .select(col("event_id"), col("user_id"), col("user_total"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT e.event_id, e.user_id, d.user_total
+      FROM events e LEFT JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY 1) d
+        ON e.user_id = d.user_id
+      ORDER BY e.event_id"""))
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
+  val oracleSql: Map[String, String] = entries.flatMap(e => e.sql.map(sql => e.name -> sql.trim)).toMap
+}

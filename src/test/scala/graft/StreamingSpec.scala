@@ -1,0 +1,103 @@
+package graft
+
+import graft.stream.{Ev, EventOps}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Real incremental-execution tests (SURVEY.md §2.4 T1/T3/T4/T5/T6/T7):
+  * MemoryStream → StateStore-backed operators → memory sink. These assert
+  * the behaviors the batch twins can't: watermark late-drop, cross-batch
+  * session merging, stateful dedup, and arbitrary running state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(3600000L * 10 + min * 60000L)
+
+  private def runToCompletion(name: String)(build: MemoryStream[Ev] => (MemoryStream[Ev], org.apache.spark.sql.DataFrame, OutputMode)): org.apache.spark.sql.DataFrame = {
+    val source = MemoryStream[Ev](spark)
+    val (src, out, mode) = build(source)
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  test("T1+T4: tumbling agg drops data later than the watermark") {
+    val source = MemoryStream[Ev](spark)
+    val out = EventOps.tumblingCounts(source.toDF())
+    val q = out.writeStream.format("memory").queryName("t1wm").outputMode(OutputMode.Append()).start()
+    // batch 1: two events in hour-10 window
+    source.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: jump far ahead -> watermark passes end of hour-10 window
+    source.addData(Ev(3, ts(200), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: late event back in hour-10, beyond watermark -> dropped
+    source.addData(Ev(4, ts(10), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("t1wm").select("win_start", "cnt")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(counts(ts(0)) === 2L, "late event must NOT be counted")
+  }
+
+  test("T3: sessions merge across batches within the gap") {
+    // session-window streaming aggs only support Append mode: sessions emit
+    // once the watermark passes their end, so a far-future batch flushes them.
+    val source = MemoryStream[Ev](spark)
+    val out = EventOps.sessionize(source.toDF())
+    val q = out.writeStream.format("memory").queryName("t3sess")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(Ev(1, ts(0), 7, "a", 0), Ev(2, ts(10), 7, "a", 0))
+    q.processAllAvailable()
+    source.addData(Ev(3, ts(25), 7, "a", 0),           // within 30m of ts(10) -> merges
+                   Ev(4, ts(120), 7, "a", 0),          // new session
+                   Ev(5, ts(121), 9, "a", 0))          // other user
+    q.processAllAvailable()
+    source.addData(Ev(6, ts(600), 1, "a", 0))          // advance watermark -> flush
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("t3sess")
+      .select("user_id", "sess_start", "n_events").as[(Long, Timestamp, Long)].collect()
+    val u7 = sessions.filter(_._1 == 7L).map(s => (s._2, s._3)).toMap
+    assert(u7(ts(0)) === 3L, "three events merge into the first session")
+    assert(u7(ts(120)) === 1L)
+    assert(sessions.exists(s => s._1 == 9L && s._3 == 1L))
+  }
+
+  test("T5: duplicate event ids within the watermark are dropped") {
+    val got = runToCompletion("t5dedup") { src =>
+      src.addData(Ev(1, ts(0), 1, "a", 0), Ev(1, ts(1), 1, "a", 0), Ev(2, ts(2), 1, "a", 0))
+      (src, EventOps.dedupEvents(src.toDF()), OutputMode.Append())
+    }
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("T6: flatMapGroupsWithState keeps running per-user state across batches") {
+    val source = MemoryStream[Ev](spark)
+    val out = EventOps.runningUserState(source.toDS())
+    val q = out.writeStream.format("memory").queryName("t6state").outputMode(OutputMode.Update()).start()
+    source.addData(Ev(1, ts(0), 5, "click", 0), Ev(2, ts(1), 5, "view", 0))
+    q.processAllAvailable()
+    source.addData(Ev(3, ts(2), 5, "purchase", 0))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("t6state").as[(Long, Long, String)].collect()
+    assert(updates.contains((5L, 2L, "view")), "first batch folds two events")
+    assert(updates.contains((5L, 3L, "purchase")), "state carries across batches")
+  }
+
+  test("T7: stream-static join enriches each microbatch") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val got = runToCompletion("t7join") { src =>
+      src.addData(Ev(1, ts(0), 1, "a", 0), Ev(2, ts(1), 3, "a", 0))
+      (src, EventOps.enrich(src.toDF(), dim).select(col("event_id"), col("tier")),
+        OutputMode.Append())
+    }
+    val rows = got.as[(Long, Option[String])].collect().toMap
+    assert(rows(1L) === Some("gold"))
+    assert(rows(2L) === None, "left join keeps unmatched stream rows")
+  }
+}
