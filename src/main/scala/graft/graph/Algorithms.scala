@@ -76,7 +76,7 @@ object Algorithms {
     */
   def boundedSssp(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"), col("cost"))
+    val e = edges.select(col("src"), col("dst"), col("cost")).localCheckpoint(true)
     var dist = spark.range(1).select(lit(source).as("id"), lit(0.0).as("d"))
     var i = 0
     while (i < rounds) {
@@ -98,7 +98,7 @@ object Algorithms {
     * literal).
     */
   def pageRankBounded(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight"))
+    val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var pr = nodes.withColumn("pr", lit(1.0))

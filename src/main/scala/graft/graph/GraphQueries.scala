@@ -106,7 +106,7 @@ object GraphQueries {
       val init = e.filter(col("src") >= GraphBuilder.CustomerBase && col("src") < GraphBuilder.SupplierBase)
         .select(col("src").as("owner")).distinct()
         .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
-      Ubo.propagate(e, init, 3)
+      Ubo.propagate(e, init, 3, epsilon = Some(0.002))
         .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("exposure"))
         .filter(col("exposure") >= 0.01)
         .orderBy("owner", "supplier")
@@ -114,30 +114,36 @@ object GraphQueries {
       WITH ${UboSql.uboEdgesCte},
       s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
              FROM ubo_edges WHERE src >= 3000000000 AND src < 4000000000),
-      ${UboSql.step("s0", "s1", "ubo_edges")},
-      ${UboSql.step("s1", "s2", "ubo_edges")},
-      ${UboSql.step("s2", "s3", "ubo_edges")}
+      ${UboSql.step("s0", "s1", "ubo_edges", Some(0.002))},
+      ${UboSql.step("s1", "s2", "ubo_edges", Some(0.002))},
+      ${UboSql.step("s2", "s3", "ubo_edges", Some(0.002))}
       SELECT owner, entity AS supplier, ROUND(share, 6) AS exposure
       FROM s3 WHERE ROUND(share, 6) >= 0.01
       ORDER BY owner, supplier""")),
 
     // G3b — depth-capped propagation on a CYCLIC graph ("circular ownership
     // loops", README.md:15): 4 bounded steps over the INTERACTED user graph.
+    // Owner set bounded to 100 users: UBO on a cyclic graph is a per-owner
+    // drill-down at scale — propagating ALL owners over a fast-mixing graph
+    // is dense |owners|×|entities| state by step 2 (measured 30 s at sf0.1).
+    // Bounded owners + per-step epsilon pruning is the documented contract.
     E("g03_ubo_cyclic", (s, d) => {
       val e = Ubo.interactedWeighted(Tables(s, d))
-      val init = e.select(col("src").as("owner")).distinct()
+      val init = e.filter(col("src") < GraphBuilder.UserBase + 100L)
+        .select(col("src").as("owner")).distinct()
         .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
-      Ubo.propagate(e, init, 4)
+      Ubo.propagate(e, init, 4, epsilon = Some(1e-4))
         .select(col("owner"), col("entity"), round(col("share"), 6).as("share6"))
         .filter(col("share6") >= 0.001)
         .orderBy("owner", "entity")
     }, Some(s"""
       WITH ${UboSql.interactedWeightedCte},
-      s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share FROM ie_edges),
-      ${UboSql.step("s0", "s1", "ie_edges")},
-      ${UboSql.step("s1", "s2", "ie_edges")},
-      ${UboSql.step("s2", "s3", "ie_edges")},
-      ${UboSql.step("s3", "s4", "ie_edges")}
+      s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
+             FROM ie_edges WHERE src < 7000000100),
+      ${UboSql.step("s0", "s1", "ie_edges", Some(1e-4))},
+      ${UboSql.step("s1", "s2", "ie_edges", Some(1e-4))},
+      ${UboSql.step("s2", "s3", "ie_edges", Some(1e-4))},
+      ${UboSql.step("s3", "s4", "ie_edges", Some(1e-4))}
       SELECT owner, entity, ROUND(share, 6) AS share6
       FROM s4 WHERE ROUND(share, 6) >= 0.001
       ORDER BY owner, entity""")),
@@ -221,7 +227,7 @@ object GraphQueries {
     E("g06_scc", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
-      Algorithms.stronglyConnectedComponents(e2).orderBy("id")
+      Algorithms.stronglyConnectedComponents(e2, numIter = 8).orderBy("id")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
       e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),

@@ -23,7 +23,9 @@ object Traversals {
     * where depth is the minimum hop count — BFS order guarantees min-depth.
     */
   def kHop(edges: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // Materialize the edge list once: the edge derivation (unions + window
+    // functions in GraphBuilder) would otherwise recompute on every hop.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var visited = start.select(col("id")).distinct()
       .withColumn("depth", lit(0L)).localCheckpoint(true)
     var frontier = visited.select("id")
@@ -54,7 +56,7 @@ object Traversals {
     */
   def simplePaths(edges: DataFrame, startId: Long, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var frontier = spark.range(1).select(
       lit(startId.toString).as("path_str"), lit(startId).as("last"),
       lit(0).as("depth"), array(lit(startId)).as("visited"))
@@ -77,10 +79,10 @@ object Traversals {
     */
   def egoNet(edges: DataFrame, centerId: Long, radius: Int): DataFrame = {
     val spark = edges.sparkSession
+    val e = edges.localCheckpoint(true) // reused: symmetrize + 2 induced joins
     val start = spark.range(1).select(lit(centerId).as("id"))
-    val reach = kHop(symmetrize(edges), start, radius).select(col("id"))
-    edges
-      .join(reach.withColumnRenamed("id", "sid"), col("src") === col("sid"), "left_semi")
+    val reach = kHop(symmetrize(e), start, radius).select(col("id"))
+    e.join(reach.withColumnRenamed("id", "sid"), col("src") === col("sid"), "left_semi")
       .join(reach.withColumnRenamed("id", "did"), col("dst") === col("did"), "left_semi")
   }
 }

@@ -80,16 +80,25 @@ object Ubo {
   /** `steps` propagation iterations of (owner, entity, share) over
     * (src, dst, weight) edges. Matrix-power semantics: shares over parallel
     * paths sum at every step.
+    *
+    * `epsilon`: prune (owner, entity) pairs whose share drops below it after
+    * each step — THE scale lever. Without it, a fast-mixing graph degrades to
+    * |owners|×|entities| dense state times out-degree per step (observed:
+    * 30 s at sf0.1 on the cyclic user graph). Pruned semantics are part of
+    * the operator contract and mirrored exactly in the oracle SQL (HAVING
+    * share >= eps per step), per SURVEY.md §7.3.2.
     */
-  def propagate(edges: DataFrame, init: DataFrame, steps: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight"))
+  def propagate(edges: DataFrame, init: DataFrame, steps: Int,
+                epsilon: Option[Double] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
     var own = init.select(col("owner"), col("entity"), col("share"))
     var i = 1
     while (i <= steps) {
-      own = own.join(e, col("entity") === col("src"))
+      var next = own.join(e, col("entity") === col("src"))
         .groupBy(col("owner"), col("dst"))
         .agg(sum(col("share") * col("weight")).as("share"))
-        .select(col("owner"), col("dst").as("entity"), col("share"))
+      epsilon.foreach(eps => next = next.filter(col("share") >= eps))
+      own = next.select(col("owner"), col("dst").as("entity"), col("share"))
       if (i % 3 == 0) own = own.localCheckpoint(true)
       i += 1
     }
@@ -128,9 +137,13 @@ object UboSql {
       |  FROM ie_pairs
       |)""".stripMargin
 
-  /** One unrolled propagation step (the CTE equivalent of one loop pass). */
-  def step(prev: String, cur: String, edges: String): String =
+  /** One unrolled propagation step (the CTE equivalent of one loop pass).
+    * `epsilon` mirrors Ubo.propagate's per-step pruning.
+    */
+  def step(prev: String, cur: String, edges: String, epsilon: Option[Double] = None): String = {
+    val having = epsilon.map(e => s" HAVING SUM(p.share * e.weight) >= $e").getOrElse("")
     s"""$cur AS (
        |  SELECT p.owner, e.dst AS entity, SUM(p.share * e.weight) AS share
-       |  FROM $prev p JOIN $edges e ON e.src = p.entity GROUP BY 1, 2)""".stripMargin
+       |  FROM $prev p JOIN $edges e ON e.src = p.entity GROUP BY 1, 2$having)""".stripMargin
+  }
 }
