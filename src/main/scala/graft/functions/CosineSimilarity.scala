@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: cosine similarity of two float-array columns.
+  *
+  * Why a custom Expression (SURVEY.md §2.5 ladder): the composable form
+  * (`aggregate(zip_with(...))`) allocates two intermediate arrays per row and
+  * runs interpreted lambdas; this expression is a single fused loop and
+  * participates in WholeStageCodegen via doGenCode — the hot-path shape for
+  * 100 TB embedding scans. Accumulation order (index 0..n-1 left fold) is
+  * IDENTICAL to the composable form and the DuckDB list_reduce mirror, so the
+  * same oracle SQL validates both.
+  *
+  * Null contract: null if either input is null or either norm is zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two array<float> inputs, got ${left.dataType} and ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = (double) $a.getFloat(i);
+         |  double yi = (double) $b.getFloat(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |if (nx == 0.0 || ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = dot / (Math.sqrt(nx) * Math.sqrt(ny));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private val cosineInfo = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
+    (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+
+  /** Imperative registration for sessions not built with the extension. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(cosineInfo._1, cosineInfo._2, cosineInfo._3)
+}
+
+/** SparkSessionExtensions entry point — the injection mechanism a deployment
+  * would use: `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+}

@@ -153,6 +153,54 @@ object LlmQueries {
         .orderBy("l2_dist", "vec_id")
     }, None),
 
+    // L3c — cosine top-k via the NATIVE codegen'd Catalyst expression
+    // (graft.functions.CosineSimilarity): same accumulation order as the
+    // composable fold, so the same oracle validates both; single fused loop,
+    // no intermediate arrays — the hot-path form for embedding scans.
+    E("l05_cosine_topk_native", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables(s, d).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }, Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+               ${dotSql("embedding", "qv")} /
+               (SQRT(${dotSql("embedding", "embedding")}) * SQRT(${dotSql("qv", "qv")})) AS cos
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(cos, 6) AS cos FROM scored
+      ORDER BY cos DESC, vec_id LIMIT 20""")),
+
+    // L5 — stopword removal (custom list so the oracle can mirror it;
+    // MLlib StopWordsRemover preserves token order).
+    E("l13_stopwords", (s, d) => {
+      val stop = Array("the", "a", "data", "table", "row")
+      val words = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      new org.apache.spark.ml.feature.StopWordsRemover()
+        .setInputCol("words").setOutputCol("kept")
+        .setStopWords(stop).setCaseSensitive(true)
+        .transform(words)
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_raw"),
+          size(col("kept")).cast("long").as("n_kept"),
+          concat_ws(" ", col("kept")).as("kept_text"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_raw,
+             len(list_filter(string_split(text, ' '),
+                 x -> NOT list_contains(['the', 'a', 'data', 'table', 'row'], x))) AS n_kept,
+             array_to_string(list_filter(string_split(text, ' '),
+                 x -> NOT list_contains(['the', 'a', 'data', 'table', 'row'], x)), ' ') AS kept_text
+      FROM documents ORDER BY doc_id""")),
+
     // L6 — TF-IDF term statistics (explode → tf, df, ln(N/df)).
     E("l06_tfidf", (s, d) => {
       val docs = Tables(s, d).documents

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f)),
+    (4L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+  ).toDF("id", "a", "b")
+
+  test("cosine_sim: identity, orthogonality, scale-invariance, zero-norm null") {
+    GraftFunctions.register(spark)
+    val got = vecs.select(col("id"), expr("cosine_sim(a, b)").as("c"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(got(1L).get - 1.0) < 1e-12)
+    assert(math.abs(got(2L).get) < 1e-12)
+    assert(math.abs(got(3L).get - 1.0) < 1e-12, "parallel vectors -> 1.0")
+    assert(got(4L).isEmpty, "zero norm -> null")
+  }
+
+  test("cosine_sim matches the composable fold bit-for-bit on real embeddings") {
+    GraftFunctions.register(spark)
+    val emb = Tables(spark, sfDir).embeddings.limit(100)
+      .select(col("vec_id"), col("embedding").as("a"),
+              reverse(col("embedding")).as("b"))
+    val both = emb.select(col("vec_id"),
+      expr("cosine_sim(a, b)").as("native"),
+      (expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") /
+        (sqrt(expr("aggregate(zip_with(a, a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")) *
+         sqrt(expr("aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")))).as("fold"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, n, f) => assert(n == f, s"vec $id: native $n != fold $f") }
+  }
+
+  test("cosine_sim codegen path agrees with interpreted eval") {
+    GraftFunctions.register(spark)
+    val withCodegen = vecs.select(expr("cosine_sim(a, b)")).collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = vecs.select(expr("cosine_sim(a, b)")).collect()
+      assert(withCodegen.sameElements(interpreted))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.Export
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Scale-posture demonstrations: bucketed co-located joins (no shuffle),
+  * partition-pruned exports, and sink round-trips (SURVEY.md §2 S5, §4.2).
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join and aggregate with no shuffle exchange") {
+    val t = Tables(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket layout co-locates both the join and the same-key aggregation
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("csv and json sinks round-trip with explicit schemas") {
+    val dir = Files.createTempDirectory("graft-export").toString
+    val df = Tables(spark, sfDir).region
+    Export.csv(df, s"$dir/csv")
+    Export.json(df, s"$dir/json")
+    Export.parquet(df, s"$dir/pq")
+    val expected = df.orderBy("r_regionkey").collect().toSeq
+    assert(Export.readCsv(spark, s"$dir/csv", df.schema).orderBy("r_regionkey").collect().toSeq === expected)
+    assert(Export.readJson(spark, s"$dir/json", df.schema).orderBy("r_regionkey").collect().toSeq === expected)
+    assert(Export.readParquet(spark, s"$dir/pq").orderBy("r_regionkey").collect().toSeq === expected)
+  }
+
+  test("partitioned export enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val t = Tables(spark, sfDir)
+    Export.parquetPartitioned(t.orders, s"$dir/orders", Seq("o_orderstatus"))
+    val pruned = Export.readParquet(spark, s"$dir/orders").filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() === t.orders.filter(col("o_orderstatus") === "F").count())
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected partition filter in scan:\n$plan")
+  }
+}
