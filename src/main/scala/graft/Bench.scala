@@ -1,6 +1,25 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line with per-query seconds.
+  *
+  * Runs a PINNED headline set — stable across rounds so BENCH_r{N} totals are
+  * comparable to the BASELINE.md record regardless of how many new graded
+  * queries later rounds add (adding operators must not read as a regression).
+  * The set spans the engine's cost centers: scan+agg, range join, windows,
+  * BFS traversal, UBO propagation, GraphX (SCC/CC/PageRank), the flagship
+  * self-join, LSH dedup, exact Jaccard, native cosine top-k, and streaming
+  * batch twins.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "r01_projection", "r06_range_join", "r09_agg", "r13_window_rank",
+    "g02_khop", "g03_ubo_exposure", "g03_ubo_cyclic", "g06_scc",
+    "g07_cc_full", "g09_pagerank", "g11_conflict_shared_part",
+    "l02_minhash_lsh", "l03_ngram_jaccard", "l05_cosine_topk_native",
+    "t01_tumbling_window", "t03_session_window")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,14 +31,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warmup: absorb session/codegen/readers startup outside the timings.
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
