@@ -70,6 +70,7 @@ object GraphQueries {
              COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS total_deg
       FROM o FULL OUTER JOIN i ON o.id = i.id ORDER BY id""")),
 
+    // G11 — shared-attribute conflict join (reference: "shared directors,
     // common registered addresses", README.md:15). Here: customer pairs
     // linked by ordering the same part — scan → join → self-join → agg → sort.
     // Scale note: the self-join fans out per-part; part fan-out is bounded
@@ -106,7 +107,7 @@ object GraphQueries {
       val init = e.filter(col("src") >= GraphBuilder.CustomerBase && col("src") < GraphBuilder.SupplierBase)
         .select(col("src").as("owner")).distinct()
         .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
-      Ubo.propagate(e, init, 3, epsilon = Some(0.002))
+      Ubo.propagate(e, init, 3, epsilon = Some(0.005))
         .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("exposure"))
         .filter(col("exposure") >= 0.01)
         .orderBy("owner", "supplier")
@@ -114,9 +115,9 @@ object GraphQueries {
       WITH ${UboSql.uboEdgesCte},
       s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
              FROM ubo_edges WHERE src >= 3000000000 AND src < 4000000000),
-      ${UboSql.step("s0", "s1", "ubo_edges", Some(0.002))},
-      ${UboSql.step("s1", "s2", "ubo_edges", Some(0.002))},
-      ${UboSql.step("s2", "s3", "ubo_edges", Some(0.002))}
+      ${UboSql.step("s0", "s1", "ubo_edges", Some(0.005))},
+      ${UboSql.step("s1", "s2", "ubo_edges", Some(0.005))},
+      ${UboSql.step("s2", "s3", "ubo_edges", Some(0.005))}
       SELECT owner, entity AS supplier, ROUND(share, 6) AS exposure
       FROM s3 WHERE ROUND(share, 6) >= 0.01
       ORDER BY owner, supplier""")),
