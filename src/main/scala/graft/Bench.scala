@@ -33,16 +33,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: absorb session/codegen/readers startup outside the timings.
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    var errors = Map.empty[String, String]
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      // noop sink consumes every output row with the FULL plan intact —
+      // count() would let Catalyst elide final sorts and computed
+      // projections, timing a different (cheaper) workload than graded.
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        errors += name -> e.getClass.getSimpleName
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

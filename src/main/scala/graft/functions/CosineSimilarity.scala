@@ -40,9 +40,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Null contract matches the composable zip_with/aggregate form: ragged
+    // lengths or any null element poison the result to null.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -54,17 +58,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
-         |}
-         |if (nx == 0.0 || ny == 0.0) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / (Math.sqrt(nx) * Math.sqrt(ny));
+         |  int n = $a.numElements();
+         |  double dot = 0.0, nx = 0.0, ny = 0.0;
+         |  boolean anyNull = false;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
+         |    double xi = (double) $a.getFloat(i);
+         |    double yi = (double) $b.getFloat(i);
+         |    dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |  }
+         |  if (anyNull || nx == 0.0 || ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = dot / (Math.sqrt(nx) * Math.sqrt(ny));
+         |  }
          |}
        """.stripMargin
     })

@@ -36,6 +36,26 @@ object GraphBuilder {
 
   def apply(t: Tables): PropertyGraph = PropertyGraph(nodes(t), edges(t))
 
+  /** Consecutive-event user transitions (prev_user → user) in global feed
+    * order — the SINGLE Spark-side source of truth for every
+    * INTERACTED-derived structure: multigraph edges below, collapsed /
+    * weighted forms in [[Ubo]]. The SQL mirrors (GraphSql.edgesCte INTERACTED
+    * branch, UboSql.interactedPairsCte) must track this definition.
+    *
+    * NOTE: the global (unpartitioned) window is intentional — event order is
+    * a total order over the feed. At 100 TB this would be a per-shard or
+    * sessionized derivation; a limitation of the synthetic derivation, not
+    * of the engine.
+    */
+  def userTransitions(t: Tables): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    t.events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("user_id"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select((lit(UserBase) + col("prev")).as("src"),
+              (lit(UserBase) + col("user_id")).as("dst"), col("ts"))
+  }
+
   def nodes(t: Tables): DataFrame = {
     def n(df: DataFrame, base: Long, key: String, label: String, name: org.apache.spark.sql.Column) =
       df.select((lit(base) + col(key).cast("long")).as("id"), lit(label).as("label"), name.as("name"))
@@ -95,17 +115,8 @@ object GraphBuilder {
               (col("qty").cast("double") / col("total").cast("double")).as("weight"),
               col("vf").as("valid_from"))
 
-    // Consecutive-event user links. NOTE: the global (unpartitioned) window is
-    // intentional — event order is a total order over the feed. At 100 TB this
-    // would be a per-shard/sessionized derivation instead; documented
-    // limitation of the synthetic derivation, not of the engine.
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    val interacted = t.events
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("prev", lag(col("user_id"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-      .select((lit(UserBase) + col("prev")).as("src"),
-              (lit(UserBase) + col("user_id")).as("dst"),
+    val interacted = userTransitions(t)
+      .select(col("src"), col("dst"),
               lit("INTERACTED").as("rel_type"), one.as("weight"), col("ts").as("valid_from"))
 
     custNation.unionByName(suppNation).unionByName(nationRegion).unionByName(placed)

@@ -228,7 +228,10 @@ object GraphQueries {
     E("g06_scc", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
-      Algorithms.stronglyConnectedComponents(e2, numIter = 8).orderBy("id")
+      // full default iteration budget: the DuckDB oracle is an EXACT
+      // mutual-reachability closure, so an under-converged SCC coloring
+      // would be a graded mismatch — never trade iterations for bench time
+      Algorithms.stronglyConnectedComponents(e2).orderBy("id")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
       e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),

@@ -70,7 +70,8 @@ object Traversals {
         .localCheckpoint(true)
       acc = Some(acc.map(_.unionByName(frontier)).getOrElse(frontier))
     }
-    acc.get.select(col("path_str"), col("depth"))
+    // maxDepth < 1 → no paths (empty result, not a crash)
+    acc.getOrElse(frontier.limit(0)).select(col("path_str"), col("depth"))
   }
 
   /** Ego network: the subgraph induced by the ≤ radius undirected

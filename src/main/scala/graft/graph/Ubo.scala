@@ -57,16 +57,13 @@ object Ubo {
       .unionByName(contains).unionByName(suppliedBy)
   }
 
-  /** Collapsed INTERACTED user pairs with multiplicity. */
-  def interactedPairs(t: Tables): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    t.events.select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("prev", lag(col("user_id"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-      .groupBy((lit(UserBase) + col("prev")).as("src"),
-               (lit(UserBase) + col("user_id")).as("dst"))
+  /** Collapsed INTERACTED user pairs with multiplicity (single-sourced from
+    * [[GraphBuilder.userTransitions]]).
+    */
+  def interactedPairs(t: Tables): DataFrame =
+    GraphBuilder.userTransitions(t)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Out-normalized INTERACTED user graph — cyclic, for the depth-capped
     * propagation demo. weight(u,v) = cnt(u,v) / out_cnt(u).

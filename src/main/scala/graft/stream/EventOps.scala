@@ -60,7 +60,10 @@ object EventOps {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, ""))
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // micro-precision sort key: getTime alone truncates to millis and
+          // can misorder same-millisecond events
+          val sorted = evs.toSeq.sortBy(e =>
+            (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
             val next = UserState(prev.n + sorted.size, sorted.last.event_type)

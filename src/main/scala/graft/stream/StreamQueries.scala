@@ -64,13 +64,13 @@ object StreamQueries {
         .orderBy("user_id", "sess_start_us")
     }, Some("""
       WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked)
       SELECT epoch_us(MIN(ts)) AS sess_start_us, user_id, COUNT(*) AS n_events
       FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start_us""")),
@@ -87,7 +87,7 @@ object StreamQueries {
     }, Some("""
       SELECT event_id, user_id, event_type FROM (
         SELECT event_id, user_id, event_type,
-               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, CAST(EPOCH(ts) AS BIGINT) // 60
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, epoch_us(ts) // 60000000
                                   ORDER BY ts, event_id) AS rn
         FROM events) t
       WHERE rn = 1 ORDER BY event_id""")),

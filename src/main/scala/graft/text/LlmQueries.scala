@@ -133,8 +133,9 @@ object LlmQueries {
                ${dotSql("embedding", "qv")} /
                (SQRT(${dotSql("embedding", "embedding")}) * SQRT(${dotSql("qv", "qv")})) AS cos
         FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
-      SELECT vec_id, ROUND(cos, 6) AS cos FROM scored
-      ORDER BY cos DESC, vec_id LIMIT 20""")),
+      SELECT vec_id, ROUND(t.cos, 6) AS cos
+      FROM (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) t
+      ORDER BY t.cos DESC, vec_id""")),
 
     // L3b — ANN via random-projection LSH (the scale path; approximate →
     // rows-only + recall ScalaTest against the brute-force baseline).
@@ -174,8 +175,9 @@ object LlmQueries {
                ${dotSql("embedding", "qv")} /
                (SQRT(${dotSql("embedding", "embedding")}) * SQRT(${dotSql("qv", "qv")})) AS cos
         FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
-      SELECT vec_id, ROUND(cos, 6) AS cos FROM scored
-      ORDER BY cos DESC, vec_id LIMIT 20""")),
+      SELECT vec_id, ROUND(t.cos, 6) AS cos
+      FROM (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) t
+      ORDER BY t.cos DESC, vec_id""")),
 
     // L5 — stopword removal (custom list so the oracle can mirror it;
     // MLlib StopWordsRemover preserves token order).
