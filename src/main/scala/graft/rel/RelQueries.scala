@@ -466,6 +466,21 @@ object RelQueries {
              'segment,name' AS keys
       FROM customer ORDER BY c_custkey""")),
 
+    // R27 — ordered-set aggregates: exact interpolated percentiles
+    // (continuous-quantile definition, rank (n-1)·p, matches quantile_cont).
+    E("r27_percentile", (s, d) => {
+      Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS p50_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             quantile_cont(l_extendedprice, 0.25) AS p25_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // R26 — CASE / COALESCE / NULLIF (risk-flag shape, README.md:15)
     E("r26_case", (s, d) => {
       Tables(s, d).customer.select(

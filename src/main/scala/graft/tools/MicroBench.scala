@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Warm-session A/B timing of graded queries (median of N reps after a
+  * warmup rep). Build tool for plan-choice decisions; not a driver surface.
+  * Usage: runMain graft.tools.MicroBench <reps> <query> [query ...]
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val reps = args.head.toInt
+    val names = args.tail.toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val times = (1 to reps).map(_ => once()).sorted
+      println(f"$n%-28s median ${times(reps / 2)}%.3f s  (min ${times.head}%.3f, max ${times.last}%.3f)")
+    }
+    spark.stop()
+  }
+}
