@@ -30,13 +30,17 @@ object Traversals {
       .withColumn("depth", lit(0L)).localCheckpoint(true)
     var frontier = visited.select("id")
     var i = 1
-    while (i <= maxHops && !frontier.isEmpty) {
+    // One materialization per level (the frontier); `visited` stays a lazy
+    // union over checkpointed levels — its lineage depth is maxHops, which is
+    // always small (bounded traversal), so re-checkpointing it and probing
+    // isEmpty would only add ~2 jobs per level for nothing. An empty
+    // frontier makes the remaining joins no-ops at negligible cost.
+    while (i <= maxHops) {
       val next = e.join(frontier.withColumnRenamed("id", "fid"), col("src") === col("fid"))
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(true)
       visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
-        .localCheckpoint(true)
       frontier = next
       i += 1
     }

@@ -233,6 +233,25 @@ object RelQueries {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY status, priority""")),
 
+    // R12c — explicit grouping sets (beyond rollup/cube shapes)
+    E("r12_grouping_sets", (s, d) => {
+      val t = Tables(s, d)
+      t.customer.groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+                coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nationkey"),
+                col("n"))
+        .orderBy("segment", "nationkey")
+    }, Some("""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+             COALESCE(CAST(c_nationkey AS BIGINT), -1) AS nationkey,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      ORDER BY segment, nationkey""")),
+
     // R13 — ranking windows: top-3 orders per customer by price
     E("r13_window_rank", (s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
