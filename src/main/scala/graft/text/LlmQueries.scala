@@ -203,6 +203,35 @@ object LlmQueries {
                  x -> NOT list_contains(['the', 'a', 'data', 'table', 'row'], x)), ' ') AS kept_text
       FROM documents ORDER BY doc_id""")),
 
+    // L3c — ANN via IVF (inverted-file index): KMeans coarse quantizer,
+    // query probes the nearest `nprobe` centroid buckets only — the classic
+    // billion-vector layout (bucket = partition key at scale; the scan
+    // touches nprobe/k of the data). Approximate → rows-only + recall test.
+    E("l05_ann_ivf", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables(s, d).embeddings
+        .withColumn("v", array_to_vector(col("embedding")))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(16).setSeed(42).setFeaturesCol("v").setPredictionCol("cluster")
+        .fit(emb)
+      val assigned = model.transform(emb)
+      val qArr = Tables(s, d).embeddings.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).map(_.toDouble).toArray
+      val qVec = org.apache.spark.ml.linalg.Vectors.dense(qArr)
+      val probes = model.clusterCenters.zipWithIndex
+        .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec) }
+        .take(8).map(_._2)
+      val q = Tables(s, d).embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      assigned.filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+        .crossJoin(broadcast(q))
+        .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }, None),
+
     // L6 — TF-IDF term statistics (explode → tf, df, ln(N/df)).
     E("l06_tfidf", (s, d) => {
       val docs = Tables(s, d).documents

@@ -28,6 +28,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(vals.distinct.size > 10, "fingerprints should spread")
   }
 
+  test("ann ivf top-k recalls most of brute-force cosine top-k") {
+    val brute = LlmQueries.queries("l05_cosine_topk")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = LlmQueries.queries("l05_ann_ivf")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    assert((brute & ivf).size >= 10,
+      s"IVF with 8/16 probes should recall most of top-20, got ${(brute & ivf).size}")
+  }
+
   test("ann lsh top-k overlaps brute-force cosine top-k") {
     val brute = LlmQueries.queries("l05_cosine_topk")(spark, sfDir)
       .select("vec_id").as[Long].collect().toSet
