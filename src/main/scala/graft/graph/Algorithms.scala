@@ -76,7 +76,7 @@ object Algorithms {
     */
   def boundedSssp(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"), col("cost")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"), col("cost")).transform(Materialize.apply)
     var dist = spark.range(1).select(lit(source).as("id"), lit(0.0).as("d"))
     var i = 0
     while (i < rounds) {
@@ -84,7 +84,7 @@ object Algorithms {
         .select(col("dst").as("id"), (col("d") + col("cost")).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .transform(Materialize.apply)
       i += 1
     }
     dist
@@ -98,9 +98,9 @@ object Algorithms {
     * literal).
     */
   def pageRankBounded(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"), col("weight")).transform(Materialize.apply)
     val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .unionByName(e.select(col("dst").as("id"))).distinct().transform(Materialize.apply)
     var pr = nodes.withColumn("pr", lit(1.0))
     var i = 0
     while (i < iters) {
@@ -108,7 +108,7 @@ object Algorithms {
         .groupBy(col("dst")).agg(sum(col("pr") * col("weight")).as("s"))
       pr = nodes.join(msgs, col("id") === col("dst"), "left_outer")
         .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+        .transform(Materialize.apply)
       i += 1
     }
     pr

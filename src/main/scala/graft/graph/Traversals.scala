@@ -25,9 +25,9 @@ object Traversals {
   def kHop(edges: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
     // Materialize the edge list once: the edge derivation (unions + window
     // functions in GraphBuilder) would otherwise recompute on every hop.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(Materialize.apply)
     var visited = start.select(col("id")).distinct()
-      .withColumn("depth", lit(0L)).localCheckpoint(true)
+      .withColumn("depth", lit(0L)).transform(Materialize.apply)
     var frontier = visited.select("id")
     var i = 1
     // One materialization per level (the frontier); `visited` stays a lazy
@@ -39,7 +39,7 @@ object Traversals {
       val next = e.join(frontier.withColumnRenamed("id", "fid"), col("src") === col("fid"))
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .transform(Materialize.apply)
       visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
       frontier = next
       i += 1
@@ -60,7 +60,7 @@ object Traversals {
     */
   def simplePaths(edges: DataFrame, startId: Long, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(Materialize.apply)
     var frontier = spark.range(1).select(
       lit(startId.toString).as("path_str"), lit(startId).as("last"),
       lit(0).as("depth"), array(lit(startId)).as("visited"))
@@ -71,7 +71,7 @@ object Traversals {
         .select(concat(col("path_str"), lit("->"), col("dst").cast("string")).as("path_str"),
                 col("dst").as("last"), lit(i).as("depth"),
                 array_append(col("visited"), col("dst")).as("visited"))
-        .localCheckpoint(true)
+        .transform(Materialize.apply)
       acc = Some(acc.map(_.unionByName(frontier)).getOrElse(frontier))
     }
     // maxDepth < 1 → no paths (empty result, not a crash)
@@ -84,7 +84,7 @@ object Traversals {
     */
   def egoNet(edges: DataFrame, centerId: Long, radius: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.localCheckpoint(true) // reused: symmetrize + 2 induced joins
+    val e = edges.transform(Materialize.apply) // reused: symmetrize + 2 induced joins
     val start = spark.range(1).select(lit(centerId).as("id"))
     val reach = kHop(symmetrize(e), start, radius).select(col("id"))
     e.join(reach.withColumnRenamed("id", "sid"), col("src") === col("sid"), "left_semi")

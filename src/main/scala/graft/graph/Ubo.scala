@@ -87,7 +87,7 @@ object Ubo {
     */
   def propagate(edges: DataFrame, init: DataFrame, steps: Int,
                 epsilon: Option[Double] = None): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"), col("weight")).transform(Materialize.apply)
     var own = init.select(col("owner"), col("entity"), col("share"))
     var i = 1
     while (i <= steps) {
@@ -96,7 +96,7 @@ object Ubo {
         .agg(sum(col("share") * col("weight")).as("share"))
       epsilon.foreach(eps => next = next.filter(col("share") >= eps))
       own = next.select(col("owner"), col("dst").as("entity"), col("share"))
-      if (i % 3 == 0) own = own.localCheckpoint(true)
+      if (i % 3 == 0) own = own.transform(Materialize.apply)
       i += 1
     }
     own

@@ -500,6 +500,26 @@ object RelQueries {
              quantile_cont(l_extendedprice, 0.25) AS p25_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // R28 — SQL entry path (spark.sql over temp views) with scalar +
+    // correlated-EXISTS subqueries; Catalyst decorrelates both (SURVEY §4.2).
+    E("r28_sql_subquery", (s, d) => {
+      Tables(s, d).customer.createOrReplaceTempView("customer_v")
+      Tables(s, d).orders.createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer_v c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v)
+          AND EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        ORDER BY c.c_custkey""")
+    }, Some("""
+      SELECT c.c_custkey, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        AND EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      ORDER BY c.c_custkey""")),
+
     // R26 — CASE / COALESCE / NULLIF (risk-flag shape, README.md:15)
     E("r26_case", (s, d) => {
       Tables(s, d).customer.select(

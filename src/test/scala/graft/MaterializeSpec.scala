@@ -1,0 +1,29 @@
+package graft
+
+import graft.graph.Traversals
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("iterative loops upgrade to reliable checkpoints when a dir is set") {
+    val sc = spark.sparkContext
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      val got = Traversals.kHop(edges, Seq(1L).toDF("id"), 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+      // reliable checkpoint files actually landed in the configured dir
+      val wrote = Files.walk(java.nio.file.Paths.get(dir)).count()
+      assert(wrote > 1, "checkpoint dir should contain materialized RDDs")
+    } finally {
+      // session is shared across suites: restore local-checkpoint behavior
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+}
