@@ -1,8 +1,9 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.4) — the streaming form of
   * the reference's temporal-evolution feature (/root/reference/README.md:17).
@@ -71,6 +72,40 @@ object EventOps {
             Iterator(UserUpdate(user, next.n, next.lastType))
           }
       }.toDF()
+  }
+}
+
+/** T6, Spark 4 `transformWithState` form: the same running-user-state
+  * semantics on the new StatefulProcessor API (versioned per-key state in
+  * the RocksDB StateStore — the at-scale provider; ValueState generalizes
+  * to List/MapState for richer entity state without re-serializing blobs).
+  */
+class RunningUserProcessor extends StatefulProcessor[Long, Ev, UserUpdate] {
+  @transient private var st: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserState]("userState", Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[UserUpdate] = {
+    val prev = Option(st.get()).getOrElse(UserState(0L, ""))
+    val sorted = rows.toSeq.sortBy(e =>
+      (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val next = UserState(prev.n + sorted.size, sorted.last.event_type)
+      st.update(next)
+      Iterator.single(UserUpdate(key, next.n, next.lastType))
+    }
+  }
+}
+
+object RunningUserStateV2 {
+  def apply(events: Dataset[Ev]): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserProcessor, TimeMode.None(), OutputMode.Update())
   }
 }
 

@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     assert(updates.contains((5L, 3L, "purchase")), "state carries across batches")
   }
 
+  test("T6b: transformWithState (Spark 4 API) carries state on the RocksDB store") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[Ev](spark)
+      val out = graft.stream.RunningUserStateV2(source.toDS())
+      val q = out.writeStream.format("memory").queryName("t6v2")
+        .outputMode(OutputMode.Update()).start()
+      source.addData(Ev(1, ts(0), 5, "click", 0), Ev(2, ts(1), 5, "view", 0))
+      q.processAllAvailable()
+      source.addData(Ev(3, ts(2), 5, "purchase", 0))
+      q.processAllAvailable()
+      q.stop()
+      val updates = spark.table("t6v2").as[(Long, Long, String)].collect()
+      assert(updates.contains((5L, 2L, "view")))
+      assert(updates.contains((5L, 3L, "purchase")), "state carries across batches")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T7: stream-static join enriches each microbatch") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
     val got = runToCompletion("t7join") { src =>
