@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *    NetworkX analysis path (/root/reference/README.md:28) distributed.
   *  - DataFrame "bounded twins" (in GraphQueries) — fixed-step unrollable
   *    variants whose semantics a DuckDB recursive/unrolled CTE can mirror
-  *    exactly, used for the graded oracle checks.
+  *    exactly, used for the graded oracle checks. Expressing graph iteration
+  *    as dataflow join/agg steps follows the Pregel-on-dataflow line of work
+  *    (cf. "Pregelix: Big(ger) Graph Analytics on a Dataflow Engine",
+  *    VLDB 2014 — PAPERS.md).
   */
 object Algorithms {
 
@@ -114,7 +117,8 @@ object Algorithms {
     pr
   }
 
-  /** Sampled Brandes betweenness (SURVEY.md §2 G10): exact Brandes from a
+  /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
+    * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a
     * deterministic sample of source nodes, accumulated. O(sources × E) —
     * the documented cap that keeps it off the 100 TB cliff; full Brandes is
     * O(VE) and intentionally not offered.

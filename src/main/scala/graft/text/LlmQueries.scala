@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   *    path (bucketed candidate retrieval).
   *  - all float folds are ordered left-folds (zip_with/aggregate), mirrored
   *    by DuckDB list_reduce over range() — bit-identical, then rounded.
+  *
+  * Algorithm lineage (public literature): MinHash resemblance sketches
+  * (Broder 1997), SimHash similarity-preserving hashing (Charikar 2002),
+  * IVF coarse quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — the inverted-file layout, sans PQ codes);
+  * distributed top-k similarity search shapes per PAPERS.md (EDBT 2020,
+  * SIGMOD 2024 worst-case-optimal similarity joins).
   */
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
