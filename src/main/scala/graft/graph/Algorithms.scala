@@ -38,6 +38,34 @@ object Algorithms {
       .map { case (id, comp) => (id, comp) }.toDF("id", "component")
   }
 
+  /** Connected components as alternating min-label propagation in pure
+    * DataFrames — no RDD conversion, every round is a Catalyst join+agg
+    * (pushdown/AQE/codegen apply), converges in O(diameter) rounds.
+    * Same output contract as [[connectedComponents]] (component = min id);
+    * cross-validated against GraphX in AlgorithmsSpec.
+    */
+  def connectedComponentsDF(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = Traversals.symmetrize(edges).transform(Materialize.apply)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).transform(Materialize.apply)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nid"), col("component")), col("dst") === col("nid"))
+        .groupBy(col("src").as("mid")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("mid"), "left_outer")
+        .select(col("id"), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .transform(Materialize.apply)
+      converged = next
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Strongly connected components (directed): nontrivial SCCs ⇒ ownership
     * loops (README.md:15). component = min vertex id in the SCC.
     */

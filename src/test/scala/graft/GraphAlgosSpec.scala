@@ -47,6 +47,19 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(7L) === 7L)
   }
 
+  test("connectedComponentsDF matches GraphX CC (Catalyst-native twin)") {
+    val e = Seq((1L, 2L), (3L, 4L), (4L, 5L), (7L, 8L), (8L, 3L)).toDF("src", "dst")
+    val gx = Algorithms.connectedComponents(e).as[(Long, Long)].collect().toMap
+    val df = Algorithms.connectedComponentsDF(e).as[(Long, Long)].collect().toMap
+    assert(df === gx)
+    // real-data cross-check on the strong user graph
+    val t = Tables(spark, sfDir)
+    val e2 = graft.graph.Ubo.interactedPairs(t).filter(col("cnt") >= 2).select("src", "dst")
+    val gx2 = Algorithms.connectedComponents(e2).as[(Long, Long)].collect().toMap
+    val df2 = Algorithms.connectedComponentsDF(e2).as[(Long, Long)].collect().toMap
+    assert(df2 === gx2)
+  }
+
   test("scc finds the cycle, leaves the tail trivial") {
     // 1->2->3->1 cycle, 3->4 tail
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
