@@ -395,6 +395,32 @@ object LlmQueries {
         })
         .toDF("doc_id", "byte_len", "first_byte", "checksum")
         .orderBy("doc_id")
+    }, None),
+
+    // L8b — multimodal one-to-many decode: frame sampling. Each binary
+    // payload yields ≤4 evenly-spaced "frames" (row explosion inside
+    // mapPartitions — the batch shape of a real video demux, with the codec
+    // STUBBED as a window checksum since media libs aren't in this
+    // container). At scale this is the partition-parallel decode stage
+    // feeding feature extraction.
+    E("l12_frame_sample", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val n = math.min(4, math.max(1, bytes.length / 64))
+          (0 until n).iterator.map { f =>
+            val off = f * (bytes.length / n)
+            val win = bytes.slice(off, math.min(off + 64, bytes.length))
+            // STUB decode: real pipelines decode the frame here
+            val feat = win.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
+            (id, f, off, win.length, feat)
+          }
+        })
+        .toDF("doc_id", "frame_idx", "byte_offset", "window_len", "frame_feature")
+        .orderBy("doc_id", "frame_idx")
     }, None)
   )
 
