@@ -63,13 +63,20 @@ object Algorithms {
       labels = next
       i += 1
     }
+    // label propagation needs O(longest min-label path) rounds; returning an
+    // under-converged labeling would silently break the min-id contract
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsDF did not converge in $maxIter rounds — raise maxIter (component diameter exceeds it)")
     labels
   }
 
   /** Strongly connected components (directed): nontrivial SCCs ⇒ ownership
     * loops (README.md:15). component = min vertex id in the SCC.
     */
-  def stronglyConnectedComponents(edges: DataFrame, numIter: Int = 20): DataFrame = {
+  // numIter is generous headroom, not a budget: GraphX SCC early-exits once
+  // every vertex is colored, so unused iterations cost nothing, while an
+  // under-converged coloring would hash-mismatch the exact closure oracle.
+  def stronglyConnectedComponents(edges: DataFrame, numIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     toGraph(edges).stronglyConnectedComponents(numIter).vertices

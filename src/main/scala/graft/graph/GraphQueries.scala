@@ -228,9 +228,9 @@ object GraphQueries {
     E("g06_scc", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
-      // full default iteration budget: the DuckDB oracle is an EXACT
-      // mutual-reachability closure, so an under-converged SCC coloring
-      // would be a graded mismatch — never trade iterations for bench time
+      // default (generous, early-exiting) iteration headroom: the DuckDB
+      // oracle is an EXACT mutual-reachability closure, so convergence is
+      // a correctness requirement here, not a tunable
       Algorithms.stronglyConnectedComponents(e2).orderBy("id")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
@@ -373,8 +373,6 @@ object GraphQueries {
       FROM graph_edges WHERE rel_type = 'SUPPLIED_BY'
       GROUP BY src ORDER BY id""")),
 
-    // G16 — risk flags ("identify hidden risks in seconds", README.md:6,15):
-    // union of pattern detectors -> per-entity sorted flag set.
     // G15b — supply-concentration via the typed UDAF (Aggregator +
     // functions.udaf): HHI = Σq²/(Σq)² per part from exact integral
     // quantities (order-independent — see HhiAggregator's numeric design).
@@ -394,6 +392,8 @@ object GraphQueries {
                    (CAST(SUM(qty) AS DOUBLE) * CAST(SUM(qty) AS DOUBLE)), 6) AS hhi
       FROM ps GROUP BY l_partkey ORDER BY id""")),
 
+    // G16 — risk flags ("identify hidden risks in seconds", README.md:6,15):
+    // union of pattern detectors -> per-entity sorted flag set.
     // Dominance ratio = max_share × n_suppliers (how many × the uniform share
     // the top supplier holds) — scale-invariant, so the flags fire at every sf.
     E("g16_risk_flags", (s, d) => {

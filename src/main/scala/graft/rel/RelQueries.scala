@@ -489,15 +489,15 @@ object RelQueries {
     // (continuous-quantile definition, rank (n-1)·p, matches quantile_cont).
     E("r27_percentile", (s, d) => {
       Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
         .orderBy("l_returnflag")
     }, Some("""
       SELECT l_returnflag,
-             quantile_cont(l_quantity, 0.5) AS p50_qty,
-             quantile_cont(l_quantity, 0.9) AS p90_qty,
-             quantile_cont(l_extendedprice, 0.25) AS p25_price
+             ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // R28 — SQL entry path (spark.sql over temp views) with scalar +

@@ -50,6 +50,21 @@ object EventOps {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
 
+  /** Shared semantics of the two T6 implementations — keeping the fold in
+    * one place so the flatMapGroupsWithState and transformWithState paths
+    * cannot drift apart.
+    * Sort key is micro-precision: getTime alone truncates to millis and can
+    * misorder same-millisecond events.
+    */
+  private[stream] def microTs(e: Ev): (Long, Long) =
+    (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id)
+
+  private[stream] def advance(prev: UserState, evs: Iterator[Ev]): Option[UserState] = {
+    val sorted = evs.toSeq.sortBy(microTs)
+    if (sorted.isEmpty) None
+    else Some(UserState(prev.n + sorted.size, sorted.last.event_type))
+  }
+
   /** T6 — arbitrary running state per user: event count + last event type,
     * emitted on every update (flatMapGroupsWithState).
     */
@@ -61,15 +76,11 @@ object EventOps {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, ""))
-          // micro-precision sort key: getTime alone truncates to millis and
-          // can misorder same-millisecond events
-          val sorted = evs.toSeq.sortBy(e =>
-            (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val next = UserState(prev.n + sorted.size, sorted.last.event_type)
-            state.update(next)
-            Iterator(UserUpdate(user, next.n, next.lastType))
+          advance(prev, evs) match {
+            case None => Iterator.empty
+            case Some(next) =>
+              state.update(next)
+              Iterator(UserUpdate(user, next.n, next.lastType))
           }
       }.toDF()
   }
@@ -89,13 +100,11 @@ class RunningUserProcessor extends StatefulProcessor[Long, Ev, UserUpdate] {
   override def handleInputRows(key: Long, rows: Iterator[Ev],
                                timerValues: TimerValues): Iterator[UserUpdate] = {
     val prev = Option(st.get()).getOrElse(UserState(0L, ""))
-    val sorted = rows.toSeq.sortBy(e =>
-      (e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000, e.event_id))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      val next = UserState(prev.n + sorted.size, sorted.last.event_type)
-      st.update(next)
-      Iterator.single(UserUpdate(key, next.n, next.lastType))
+    EventOps.advance(prev, rows) match {
+      case None => Iterator.empty
+      case Some(next) =>
+        st.update(next)
+        Iterator.single(UserUpdate(key, next.n, next.lastType))
     }
   }
 }

@@ -20,10 +20,15 @@ class MaterializeSpec extends SparkSpec {
       val wrote = Files.walk(java.nio.file.Paths.get(dir)).count()
       assert(wrote > 1, "checkpoint dir should contain materialized RDDs")
     } finally {
-      // session is shared across suites: restore local-checkpoint behavior
-      val f = sc.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(sc, None)
+      // Session is shared across suites and Spark has no public un-set for
+      // the checkpoint dir. Best-effort reflection reset; if a Spark upgrade
+      // renames the field, other suites merely run with reliable checkpoints
+      // (slower, semantically identical), so swallow the failure.
+      scala.util.Try {
+        val f = sc.getClass.getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(sc, None)
+      }
     }
   }
 }

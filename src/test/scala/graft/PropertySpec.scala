@@ -18,8 +18,11 @@ class PropertySpec extends SparkSpec {
       a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
     } yield (a, b)).suchThat(_.nonEmpty)
 
-  private def cases[A](g: Gen[A], n: Int = 5): Seq[A] =
-    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+  private def cases[A](g: Gen[A], n: Int = 5): Seq[A] = {
+    val cs = (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+    assert(cs.nonEmpty, "generator produced no cases — property would pass vacuously")
+    cs
+  }
 
   test("connected components are invariant under edge permutation and duplication") {
     cases(edgeListGen).foreach { es =>
