@@ -15,6 +15,17 @@ object GraphQueries {
 
   private val entries: Seq[E] = Seq(
 
+    // S2 — node scan by label (Cypher `MATCH (n:supplier)`, README.md:25):
+    // label filter over the unified node table.
+    E("g00_node_scan", (s, d) => {
+      GraphBuilder.nodes(Tables(s, d))
+        .filter(col("label") === "supplier")
+        .select(col("id"), col("name"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH $nodesCte
+      SELECT id, name FROM graph_nodes WHERE label = 'supplier' ORDER BY id""")),
+
     // G1 — 1-hop expand: entity -> located-in neighbor, with neighbor name
     // (Cypher `MATCH (a)-[:LOCATED_IN]->(b)`, README.md:25).
     E("g01_expand_1hop", (s, d) => {

@@ -347,6 +347,22 @@ object LlmQueries {
              ROUND(${dotSql("embedding", "embedding")} / 64.0, 6) AS mean_sq
       FROM embeddings ORDER BY vec_id""")),
 
+    // L9b — embedding avg-pool: per-label centroid components via
+    // posexplode → groupBy (label, pos). Emitting (label, pos, value) rows
+    // rather than reassembled arrays keeps the output oracle-hashable and is
+    // the columnar layout a downstream trainer wants anyway.
+    E("l09_centroid", (s, d) => {
+      Tables(s, d).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+        .orderBy("label", "pos")
+    }, Some("""
+      SELECT label, i AS pos,
+             ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid_v
+      FROM embeddings, UNNEST(range(64)) AS t(i)
+      GROUP BY label, i ORDER BY label, pos""")),
+
     // L10 — token counting: whitespace + regex-class token counts.
     E("l10_token_count", (s, d) => {
       Tables(s, d).documents
