@@ -63,6 +63,31 @@ object GraphQueries {
         WHERE r.depth < 3)
       SELECT id, MIN(depth) AS depth FROM reach GROUP BY id ORDER BY id""")),
 
+    // G2+G12 — temporal traversal composition: reachability over the graph
+    // AS OF 1997-01-01 (time-slider × N-tier navigation, README.md:11,17).
+    // The snapshot predicate is applied before the BFS, so it prunes at the
+    // edge scan rather than filtering traversal output.
+    E("g02_khop_asof", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+        .snapshot(lit("1997-01-01 00:00:00").cast("timestamp"))
+      val start = g.edgesOf("LOCATED_IN")
+        .filter(col("dst") === GraphBuilder.NationBase)
+        .select(col("src").as("id"))
+      Traversals.kHop(g.edges, start, 3)
+        .orderBy("id")
+    }, Some(s"""
+      WITH RECURSIVE $edgesCte,
+      snap AS (SELECT * FROM graph_edges
+               WHERE valid_from IS NULL OR valid_from <= TIMESTAMP '1997-01-01 00:00:00'),
+      start_nodes AS (
+        SELECT src AS id FROM snap WHERE rel_type = 'LOCATED_IN' AND dst = 2000000000),
+      reach(id, depth) AS (
+        SELECT id, CAST(0 AS BIGINT) FROM start_nodes
+        UNION ALL
+        SELECT e.dst, r.depth + 1 FROM reach r JOIN snap e ON e.src = r.id
+        WHERE r.depth < 3)
+      SELECT id, MIN(depth) AS depth FROM reach GROUP BY id ORDER BY id""")),
+
     // G8 — degree centrality (NetworkX "centrality", README.md:28)
     E("g08_degree", (s, d) => {
       val e = GraphBuilder.edges(Tables(s, d))
@@ -114,11 +139,17 @@ object GraphQueries {
     // over the normalized 3-layer ownership DAG — multiply weights along each
     // path, sum over parallel paths (matrix-power propagation, 3 steps).
     E("g03_ubo_exposure", (s, d) => {
-      val e = Ubo.uboEdges(Tables(s, d))
-      val init = e.filter(col("src") >= GraphBuilder.CustomerBase && col("src") < GraphBuilder.SupplierBase)
-        .select(col("src").as("owner")).distinct()
+      val t = Tables(s, d)
+      val placed = Ubo.placedEdges(t)
+      val init = placed.select(col("src").as("owner")).distinct()
         .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
-      Ubo.propagate(e, init, 3, epsilon = Some(0.005))
+      // layered propagation: each step joins only its DAG layer (customer→
+      // order→part→supplier) — same results as the full-union join (a probe
+      // on entity=src can only match the matching layer), smaller per-step
+      // probe sides. Oracle unchanged for the same reason.
+      Ubo.propagateLayers(
+          Seq(placed, Ubo.containsEdges(t), Ubo.suppliedByEdges(t)),
+          init, epsilon = Some(0.005))
         .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("exposure"))
         .filter(col("exposure") >= 0.01)
         .orderBy("owner", "supplier")

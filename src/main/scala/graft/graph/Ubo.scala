@@ -31,31 +31,30 @@ object Ubo {
     * -(qty share)-> part -(supply share)-> supplier. Out-weights sum to 1.0
     * per source node, the ownership-percentage invariant.
     */
-  def uboEdges(t: Tables): DataFrame = {
-    val placed = t.orders
-      .select((lit(CustomerBase) + col("o_custkey")).as("src"),
-              (lit(OrderBase) + col("o_orderkey")).as("dst"))
-      .withColumn("weight", lit(1.0) / count(lit(1)).over(Window.partitionBy(col("src"))))
+  def placedEdges(t: Tables): DataFrame = t.orders
+    .select((lit(CustomerBase) + col("o_custkey")).as("src"),
+            (lit(OrderBase) + col("o_orderkey")).as("dst"))
+    .withColumn("weight", lit(1.0) / count(lit(1)).over(Window.partitionBy(col("src"))))
+    .select(col("src"), col("dst"), col("weight"))
 
-    val contains = t.lineitem
-      .groupBy(col("l_orderkey"), col("l_partkey"))
-      .agg(sum(dec(col("l_quantity"))).as("qty"))
-      .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_orderkey"))))
-      .select((lit(OrderBase) + col("l_orderkey")).as("src"),
-              (lit(PartBase) + col("l_partkey")).as("dst"),
-              (col("qty").cast("double") / col("total").cast("double")).as("weight"))
+  def containsEdges(t: Tables): DataFrame = t.lineitem
+    .groupBy(col("l_orderkey"), col("l_partkey"))
+    .agg(sum(dec(col("l_quantity"))).as("qty"))
+    .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_orderkey"))))
+    .select((lit(OrderBase) + col("l_orderkey")).as("src"),
+            (lit(PartBase) + col("l_partkey")).as("dst"),
+            (col("qty").cast("double") / col("total").cast("double")).as("weight"))
 
-    val suppliedBy = t.lineitem
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(dec(col("l_quantity"))).as("qty"))
-      .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
-      .select((lit(PartBase) + col("l_partkey")).as("src"),
-              (lit(SupplierBase) + col("l_suppkey")).as("dst"),
-              (col("qty").cast("double") / col("total").cast("double")).as("weight"))
+  def suppliedByEdges(t: Tables): DataFrame = t.lineitem
+    .groupBy(col("l_partkey"), col("l_suppkey"))
+    .agg(sum(dec(col("l_quantity"))).as("qty"))
+    .withColumn("total", sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+    .select((lit(PartBase) + col("l_partkey")).as("src"),
+            (lit(SupplierBase) + col("l_suppkey")).as("dst"),
+            (col("qty").cast("double") / col("total").cast("double")).as("weight"))
 
-    placed.select(col("src"), col("dst"), col("weight"))
-      .unionByName(contains).unionByName(suppliedBy)
-  }
+  def uboEdges(t: Tables): DataFrame =
+    placedEdges(t).unionByName(containsEdges(t)).unionByName(suppliedByEdges(t))
 
   /** Collapsed INTERACTED user pairs with multiplicity (single-sourced from
     * [[GraphBuilder.userTransitions]]).
@@ -88,9 +87,23 @@ object Ubo {
   def propagate(edges: DataFrame, init: DataFrame, steps: Int,
                 epsilon: Option[Double] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight")).transform(Materialize.apply)
+    propagateLayers(Seq.fill(steps)(e), init, epsilon, materializeLayers = false)
+  }
+
+  /** Layered variant: step k joins only `layers(k)` — on a layered DAG
+    * (customer→order→part→supplier) each step's probe side shrinks to the
+    * one relevant edge set instead of the full union. Identical results to
+    * [[propagate]] when layers partition the edges by source type (a join on
+    * `entity = src` can only ever match the matching layer).
+    */
+  def propagateLayers(layers: Seq[DataFrame], init: DataFrame,
+                      epsilon: Option[Double] = None,
+                      materializeLayers: Boolean = true): DataFrame = {
     var own = init.select(col("owner"), col("entity"), col("share"))
     var i = 1
-    while (i <= steps) {
+    layers.foreach { layer =>
+      val e0 = layer.select(col("src"), col("dst"), col("weight"))
+      val e = if (materializeLayers) e0.transform(Materialize.apply) else e0
       var next = own.join(e, col("entity") === col("src"))
         .groupBy(col("owner"), col("dst"))
         .agg(sum(col("share") * col("weight")).as("share"))
