@@ -51,6 +51,22 @@ object LlmQueries {
       SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text ORDER BY canonical_id""")),
 
+    // L1b — exact dedup over a corpus WITH planted exact duplicates (the
+    // base corpus has none — every n_copies is 1 there, which proves parity
+    // but not collapse). Re-ingesting the first 100 docs models a real
+    // double-crawl; those canonicals must report n_copies = 2.
+    E("l01_exact_dedup_dups", (s, d) => {
+      val docs = Tables(s, d).documents
+      docs.unionByName(docs.filter(col("doc_id") < 100))
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy("canonical_id")
+    }, Some("""
+      SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id < 100) t
+      GROUP BY text ORDER BY canonical_id""")),
+
     // L2 — MinHash LSH near-dup candidates (the at-scale banding path;
     // approximate → rows-only check + planted-dup ScalaTest).
     E("l02_minhash_lsh", (s, d) => {
