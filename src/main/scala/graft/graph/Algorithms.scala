@@ -24,7 +24,26 @@ object Algorithms {
     val erdd = edges.select(col("src"), col("dst"),
         if (edges.columns.contains("weight")) col("weight") else lit(1.0))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 2D edge partitioning bounds vertex replication at O(sqrt(numParts)) —
+    // the layout that keeps aggregateMessages shuffles sane on wide clusters
+    // (SCALE.md); a no-op cost at local parallelism.
     Graph.fromEdges(erdd, 0)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+  }
+
+  /** Neighborhood aggregation via GraphX aggregateMessages (the iterative-
+    * variant machinery SURVEY §2 G15 names): per target vertex, sum and max
+    * of incoming edge weights. Cross-validated against the DataFrame
+    * groupBy twin in AlgorithmsSpec.
+    */
+  def inWeightStats(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    toGraph(edges).aggregateMessages[(Double, Double)](
+        ctx => ctx.sendToDst((ctx.attr, ctx.attr)),
+        (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+      .map { case (id, (s, m)) => (id, s, m) }
+      .toDF("id", "in_weight_sum", "in_weight_max")
   }
 
   /** Connected components (undirected semantics): (id, component) where

@@ -47,6 +47,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(7L) === 7L)
   }
 
+  test("aggregateMessages in-weight stats match the DataFrame groupBy twin") {
+    val t = Tables(spark, sfDir)
+    val e = graft.graph.Ubo.suppliedByEdges(t)
+    val gx = Algorithms.inWeightStats(e)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2 * 1e9).round, r._3)).toMap
+    val df = e.groupBy(col("dst").as("id"))
+      .agg(sum("weight").as("s"), max("weight").as("m"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2 * 1e9).round, r._3)).toMap
+    assert(gx.keySet === df.keySet)
+    gx.foreach { case (id, (s, m)) =>
+      assert(math.abs(s - df(id)._1) <= 1, s"sum mismatch at $id") // float-order tolerance
+      assert(m === df(id)._2, s"max mismatch at $id")
+    }
+  }
+
   test("connectedComponentsDF matches GraphX CC (Catalyst-native twin)") {
     val e = Seq((1L, 2L), (3L, 4L), (4L, 5L), (7L, 8L), (8L, 3L)).toDF("src", "dst")
     val gx = Algorithms.connectedComponents(e).as[(Long, Long)].collect().toMap
