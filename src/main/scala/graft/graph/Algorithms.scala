@@ -53,7 +53,11 @@ object Algorithms {
   def connectedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    toGraph(edges).connectedComponents().vertices
+    // components are invariant under edge multiplicity — dedupe first so the
+    // multigraph (INTERACTED repeats, per-lineitem edges) doesn't multiply
+    // every Pregel superstep's message volume
+    toGraph(edges.select(col("src"), col("dst")).distinct())
+      .connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("id", "component")
   }
 
