@@ -337,6 +337,31 @@ object RelQueries {
         (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey FROM orders) t2
       ORDER BY tag, k""")),
 
+    // R17b — multiset set ops: EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicity (the bag semantics audits need when counting occurrences,
+    // not just membership).
+    E("r17_setops_all", (s, d) => {
+      val l = Tables(s, d).lineitem
+      val a = l.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+      val b = l.filter(col("l_linestatus") === "F").select(col("l_suppkey").as("k"))
+      val diff = a.exceptAll(b).withColumn("tag", lit("r_minus_f"))
+      val both = a.intersectAll(b).withColumn("tag", lit("both"))
+      diff.unionByName(both)
+        .groupBy(col("tag"), col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy("tag", "k")
+    }, Some("""
+      SELECT tag, k, COUNT(*) AS cnt FROM (
+        SELECT 'r_minus_f' AS tag, k FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+          EXCEPT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F') t1
+        UNION ALL
+        SELECT 'both' AS tag, k FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F') t2) u
+      GROUP BY tag, k ORDER BY tag, k""")),
+
     // R18 — pivot: order counts by status × priority (safe column names)
     E("r18_pivot", (s, d) => {
       val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
