@@ -37,6 +37,20 @@ class FunctionsSpec extends SparkSpec {
     both.foreach { case (id, n, f) => assert(n == f, s"vec $id: native $n != fold $f") }
   }
 
+  test("SimHash aggregator equals the 16-parallel-aggregates expression form") {
+    val viaAgg = {
+      val sim = udaf(graft.functions.SimHashAggregator)
+      Tables(spark, sfDir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+        .groupBy("doc_id").agg(sim(col("h")).as("simhash"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val viaExpr = graft.text.LlmQueries.queries("l04_simhash")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg === viaExpr)
+  }
+
   test("cosine_sim codegen path agrees with interpreted eval") {
     GraftFunctions.register(spark)
     val withCodegen = vecs.select(expr("cosine_sim(a, b)")).collect()

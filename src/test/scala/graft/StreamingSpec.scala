@@ -114,6 +114,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T8 (beyond inventory): stream-stream interval join correlates event pairs") {
+    val left = MemoryStream[Ev](spark)
+    val right = MemoryStream[Ev](spark)
+    val l = left.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val joined = l.join(r,
+      col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("t8ss")
+      .outputMode(OutputMode.Append()).start()
+    left.addData(Ev(1, ts(0), 1, "a", 0))
+    right.addData(Ev(10, ts(2), 1, "b", 0), Ev(11, ts(30), 1, "b", 0))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("t8ss").select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 10L)), "only the within-interval pair joins")
+  }
+
   test("T7: stream-static join enriches each microbatch") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
     val got = runToCompletion("t7join") { src =>
