@@ -270,10 +270,14 @@ object GraphQueries {
     E("g06_scc", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
-      // default (generous, early-exiting) iteration headroom: the DuckDB
-      // oracle is an EXACT mutual-reachability closure, so convergence is
-      // a correctness requirement here, not a tunable
-      Algorithms.stronglyConnectedComponents(e2).orderBy("id")
+      // extract-then-analyze tier (SCALE.md): the strong user graph is an
+      // audit drill-down subgraph, so exact one-pass Tarjan on the collected
+      // edge list — the distributed GraphX SCC (Algorithms.strongly-
+      // ConnectedComponents) is the path for graphs too large to collect;
+      // AlgorithmsSpec cross-validates the two. The DuckDB oracle is an
+      // exact mutual-reachability closure, so exactness is a correctness
+      // requirement here, not a tunable.
+      Algorithms.sccTarjan(e2).orderBy("id")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
       e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),

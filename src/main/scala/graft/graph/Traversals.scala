@@ -25,7 +25,11 @@ object Traversals {
   def kHop(edges: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
     // Materialize the edge list once: the edge derivation (unions + window
     // functions in GraphBuilder) would otherwise recompute on every hop.
-    val e = edges.select(col("src"), col("dst")).transform(Materialize.apply)
+    // Reachability is invariant under edge multiplicity, so dedup up front:
+    // on a multigraph (INTERACTED repeats) every duplicate edge would
+    // multiply each hop's join output before the per-level distinct —
+    // distinct-ing once here shrinks every subsequent shuffle.
+    val e = edges.select(col("src"), col("dst")).distinct().transform(Materialize.apply)
     var visited = start.select(col("id")).distinct()
       .withColumn("depth", lit(0L)).transform(Materialize.apply)
     var frontier = visited.select("id")

@@ -83,6 +83,23 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(4L) === 4L)
   }
 
+  test("sccTarjan matches GraphX SCC (extract-then-analyze tier)") {
+    // two cycles bridged by a one-way edge, plus a tail and a long path
+    // (the path exercises the iterative DFS's deep-stack handling)
+    val path = (100L until 160L).map(i => (i, i + 1))
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (5L, 6L)) ++ path).toDF("src", "dst")
+    val tj = Algorithms.sccTarjan(e).as[(Long, Long)].collect().toMap
+    val gx = Algorithms.stronglyConnectedComponents(e).as[(Long, Long)].collect().toMap
+    assert(tj === gx)
+    // real-data cross-check on the strong user graph
+    val e2 = Ubo.interactedPairs(Tables(spark, sfDir)).filter(col("cnt") >= 2)
+      .select("src", "dst")
+    val tj2 = Algorithms.sccTarjan(e2).as[(Long, Long)].collect().toMap
+    val gx2 = Algorithms.stronglyConnectedComponents(e2).as[(Long, Long)].collect().toMap
+    assert(tj2 === gx2)
+  }
+
   test("ssspGraphX equals boundedSssp when rounds cover the diameter") {
     val e = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0))
       .toDF("src", "dst", "weight")
