@@ -16,7 +16,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // ERROR: the one recurring WARN (WindowExec on the documented global
+    // feed-order window) is by-design — see GraphBuilder.userTransitions
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 }

@@ -147,9 +147,11 @@ object GraphQueries {
       // order→part→supplier) — same results as the full-union join (a probe
       // on entity=src can only match the matching layer), smaller per-step
       // probe sides. Oracle unchanged for the same reason.
+      // materializeLayers=false: each layer is probed exactly once here, so
+      // checkpointing it would pay a full write+read for zero reuse
       Ubo.propagateLayers(
           Seq(placed, Ubo.containsEdges(t), Ubo.suppliedByEdges(t)),
-          init, epsilon = Some(0.005))
+          init, epsilon = Some(0.005), materializeLayers = false)
         .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("exposure"))
         .filter(col("exposure") >= 0.01)
         .orderBy("owner", "supplier")
