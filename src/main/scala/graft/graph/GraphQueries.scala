@@ -350,6 +350,37 @@ object GraphQueries {
         .orderBy("id")
     }, None),
 
+    // G17 — per-node triangle counting on the undirected strong user graph
+    // (cohesion analysis: triangles = tightly-knit entity clusters, the
+    // micro-structure behind "untangle complex corporate webs", README.md:4).
+    // Canonical-orientation 3-way self-join (a<b<c): each triangle counted
+    // once, then credited to all 3 corners. At scale this is the standard
+    // distributed triangle join — canonicalization halves the edge list and
+    // the a<b<c constraint kills the 6× duplication a naive join pays.
+    // Cross-validated against GraphX TriangleCount in AlgorithmsSpec.
+    E("g17_triangles", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val ed = Traversals.symmetrize(e2).filter(col("src") < col("dst")).distinct()
+        .transform(Materialize.apply)
+      val tri = ed.select(col("src").as("a"), col("dst").as("b"))
+        .join(ed.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+        .join(ed.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      val corners = tri.select(col("a").as("id"))
+        .unionByName(tri.select(col("b").as("id")))
+        .unionByName(tri.select(col("c").as("id")))
+      corners.groupBy("id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e2 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      ed AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+             FROM e2 WHERE src <> dst),
+      tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+              FROM ed x JOIN ed y ON y.src = x.dst JOIN ed z ON z.src = x.src AND z.dst = y.dst),
+      corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id ORDER BY id""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

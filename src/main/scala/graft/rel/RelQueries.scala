@@ -557,7 +557,59 @@ object RelQueries {
       SELECT c_custkey,
              CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
              COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '-') AS seg_masked
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // R29 — descriptive-statistics aggregates (single-pass moment /
+    // co-moment forms; profiling stage of a training-data pipeline).
+    // Both engines use numerically-stable single-pass updates; outputs
+    // round to 6 (float-order discipline, SURVEY §5.3 rule 2).
+    E("r29_stats", (s, d) => {
+      Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+             ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+             ROUND(var_samp(l_discount), 6) AS var_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // R30 — deterministic reproducible sampling (training-data selection):
+    // Bernoulli-per-key via a Knuth multiplicative hash — the SAME rows are
+    // selected in any engine, on any partitioning, at any parallelism
+    // (unlike TABLESAMPLE, which is plan-dependent). ~5% of orders.
+    // At 100 TB this predicate is a scan-level filter: no shuffle, no
+    // coordination, and the sample is stable across reruns/engines — the
+    // property a data pipeline needs for held-out splits.
+    E("r30_sample", (s, d) => {
+      Tables(s, d).orders
+        .filter((col("o_orderkey") * lit(2654435761L)) % 100 < 5)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE (o_orderkey * 2654435761) % 100 < 5
+      ORDER BY o_orderkey""")),
+
+    // R31 — unpivot / melt (wide → long; report-matrix inverse of R18):
+    // per-customer numeric attributes to (attribute, value) rows.
+    E("r31_unpivot", (s, d) => {
+      Tables(s, d).customer
+        .select(col("c_custkey"), col("c_acctbal").cast("double").as("acctbal"),
+                col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")), Array(col("acctbal"), col("nationkey")),
+                 "attr", "val")
+        .orderBy("c_custkey", "attr")
+    }, Some("""
+      SELECT c_custkey, attr, val FROM (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+               CAST(c_nationkey AS DOUBLE) AS nationkey FROM customer)
+      UNPIVOT (val FOR attr IN (acctbal, nationkey))
+      ORDER BY c_custkey, attr"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -278,6 +278,72 @@ object LlmQueries {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }, None),
 
+    // L4b — embedding-cosine near-dup self-join, exact tier: all-pairs
+    // cosine ≥ 0.99 over the corpus plus PLANTED duplicates (scaled copies
+    // of the first 20 vectors — cosine is scale-invariant, so each copy
+    // scores exactly 1.0 against its original; the natural corpus maxes out
+    // at ~0.51, so the output is exactly the planted pairs). Both engines
+    // run the identical ordered fold, so the doubles are bit-equal.
+    // Deliberately bounded (vec_id < 1000): the exact tier is the
+    // correctness baseline / drill-down; the scale path is [[l14_neardup_
+    // lsh]], which only compares bucket-colliding candidates.
+    E("l14_embedding_neardup", (s, d) => {
+      val emb = Tables(s, d).embeddings
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+                expr("transform(emb, v -> v * 0.999)").as("emb"))
+      val all = emb.unionByName(planted)
+        .withColumn("nrm", sqrt(dot("emb", "emb")))
+      val a = all.select(col("vec_id").as("va"), col("emb").as("ea"), col("nrm").as("na"))
+      val b = all.select(col("vec_id").as("vb"), col("emb").as("eb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("va") < col("vb"))
+        .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.99)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+        .orderBy("va", "vb")
+    }, Some(s"""
+      WITH e0 AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+                  FROM embeddings WHERE vec_id < 1000),
+      all_e AS (SELECT vec_id, emb FROM e0
+                UNION ALL
+                SELECT vec_id + 1000000, list_transform(emb, v -> v * 0.999) FROM e0 WHERE vec_id < 20),
+      en AS (SELECT vec_id, emb, SQRT(${dotSql("emb", "emb")}) AS nrm FROM all_e),
+      p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                   ${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos
+            FROM en a JOIN en b ON a.vec_id < b.vec_id)
+      SELECT va, vb, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.99
+      ORDER BY va, vb""")),
+
+    // L4c — embedding-cosine near-dup, LSH scale tier: normalize to unit
+    // vectors (where euclidean² = 2 − 2·cosine, so a distance threshold IS
+    // a cosine threshold), bucket with random-hyperplane projections, and
+    // approxSimilarityJoin compares only bucket-colliding candidates — the
+    // self-join analogue of l05_ann_lsh. Approximate → rows-only check +
+    // recall ScalaTest against the exact tier's planted pairs.
+    E("l14_neardup_lsh", (s, d) => {
+      val emb = Tables(s, d).embeddings
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+      val all = emb.unionByName(
+          emb.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+                    expr("transform(emb, v -> v * 0.999)").as("emb")))
+        .withColumn("nrm", sqrt(dot("emb", "emb")))
+        .withColumn("unit", expr("transform(emb, v -> v / nrm)"))
+        .withColumn("v", array_to_vector(col("unit")))
+      val brp = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
+        .setBucketLength(0.5).setNumHashTables(6).setSeed(42)
+      brp.fit(all).approxSimilarityJoin(all, all, 0.2, "dist")
+        .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
+                round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
+        .filter(col("va") < col("vb") && col("cos") >= 0.99)
+        .orderBy("va", "vb")
+    }, None),
+
     // L6 — TF-IDF term statistics (explode → tf, df, ln(N/df)).
     E("l06_tfidf", (s, d) => {
       val docs = Tables(s, d).documents

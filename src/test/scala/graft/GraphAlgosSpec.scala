@@ -100,6 +100,19 @@ class AlgorithmsSpec extends SparkSpec {
     assert(tj2 === gx2)
   }
 
+  test("g17 triangle counts match GraphX TriangleCount") {
+    val q = graft.graph.GraphQueries.queries("g17_triangles")
+    val df = q(spark, sfDir).as[(Long, Long)].collect().toMap
+    val e2 = Ubo.interactedPairs(Tables(spark, sfDir)).filter(col("cnt") >= 2)
+      .select("src", "dst")
+    val erdd = e2.rdd.map(r =>
+      org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1.0))
+    val gx = org.apache.spark.graphx.Graph.fromEdges(erdd, 0)
+      .triangleCount().vertices.filter(_._2 > 0).collect().toMap
+      .map { case (k, v) => (k, v.toLong) }
+    assert(df === gx)
+  }
+
   test("ssspGraphX equals boundedSssp when rounds cover the diameter") {
     val e = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0))
       .toDF("src", "dst", "weight")

@@ -46,6 +46,17 @@ class LlmOpsSpec extends SparkSpec {
     assert((brute & ann).size >= 5, s"overlap too small: ${(brute & ann).size}")
   }
 
+  test("embedding near-dup: exact tier finds exactly the planted pairs; LSH tier recalls them") {
+    val exact = LlmQueries.queries("l14_embedding_neardup")(spark, sfDir)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val nVecs = Tables(spark, sfDir).embeddings.filter(col("vec_id") < 1000).count()
+    val expected = (0L until math.min(20L, nVecs)).map(i => (i, i + 1000000L)).toSet
+    assert(exact === expected, "exact tier must find the planted scaled copies and nothing else")
+    val lsh = LlmQueries.queries("l14_neardup_lsh")(spark, sfDir)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"LSH tier missed ${exact -- lsh}")
+  }
+
   test("multimodal plumbing: schema, determinism, payload round-trip") {
     val q = LlmQueries.queries("l12_multimodal")
     val a = q(spark, sfDir).collect()
