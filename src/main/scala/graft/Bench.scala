@@ -24,8 +24,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
-    // Warmup: absorb session/codegen/readers startup outside the timings.
+    // Warmup: absorb session/codegen/reader startup outside the timings.
+    // Running the headline set once at the smallest sf JIT-compiles the
+    // generated code paths the timed run will execute — standard JVM bench
+    // hygiene (timings below are still single-shot at the target sf).
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory && warmDir.getPath != sfDir) headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir.getPath)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
     var errors = Map.empty[String, String]
     val results = headline.map { name =>
       val t0 = System.nanoTime()
