@@ -160,6 +160,39 @@ object LlmQueries {
       agg.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
     }, None),
 
+    // L2d — SimHash near-dup PAIRS at scale (Manku, Jain & Das Sarma 2007,
+    // "Detecting Near-Duplicates for Web Crawling": 64-bit Charikar simhash,
+    // hamming ≤ 3, band tables). 4 bands × 16 bits: any pair within
+    // hamming 3 differs in ≤ 3 bands (pigeonhole), so it MUST collide in at
+    // least one — the bucket join is a lossless index for this predicate,
+    // not an approximation. Exactness is asserted against an all-pairs
+    // brute force in LlmOpsSpec; rows-only for the oracle (xxhash64 isn't
+    // DuckDB-mirrorable). At 100 TB: 4 shuffles keyed by 16-bit band value,
+    // candidates co-locate, rerank is one bit_count per candidate.
+    E("l04b_simhash_neardup", (s, d) => {
+      val tok = Tables(s, d).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map { b =>
+        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b")
+      }
+      val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val fp64 = (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val fps = agg.select(col("doc_id"), fp64.as("fp"))
+      val bandCols = (0 until 4).map(b => s"$b, shiftrightunsigned(fp, ${16 * b}) & 65535")
+      val buckets = fps.select(col("doc_id"), col("fp"),
+        expr(s"stack(4, ${bandCols.mkString(", ")})").as(Seq("band", "bv")))
+      buckets.select(col("doc_id").as("a"), col("fp").as("fa"), col("band"), col("bv"))
+        .join(buckets.select(col("doc_id").as("b"), col("fp").as("fb"), col("band"), col("bv")),
+              Seq("band", "bv"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), expr("bit_count(fa ^ fb)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("a", "b")
+    }, None),
+
     // L3 — similarity search: brute-force cosine top-20 around vec 0
     // (broadcast query vector; ordered-fold arithmetic, oracle-checked).
     E("l05_cosine_topk", (s, d) => {

@@ -46,6 +46,27 @@ class LlmOpsSpec extends SparkSpec {
     assert((brute & ann).size >= 5, s"overlap too small: ${(brute & ann).size}")
   }
 
+  test("simhash near-dup banding is lossless for hamming <= 3 (pigeonhole)") {
+    val got = LlmQueries.queries("l04b_simhash_neardup")(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth from the same 64-bit fingerprints
+    val tok = Tables(spark, sfDir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b") }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fpc = (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fps = agg.select(col("doc_id"), fpc.as("fp")).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b)).toSet
+    assert(got === brute, "band join must find EXACTLY the hamming<=3 pairs")
+    assert(brute.nonEmpty, "corpus should contain simhash near-dups")
+  }
+
   test("embedding near-dup: exact tier finds exactly the planted pairs; LSH tier recalls them") {
     val exact = LlmQueries.queries("l14_embedding_neardup")(spark, sfDir)
       .select("va", "vb").as[(Long, Long)].collect().toSet
