@@ -21,6 +21,8 @@ object ProfilePieces {
       df.write.mode("overwrite").format("noop").save()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    time("cc_graphx")(graft.graph.Algorithms.connectedComponents(GraphBuilder.edges(t)))
+    time("cc_star")(graft.graph.Algorithms.connectedComponentsStar(GraphBuilder.edges(t)))
     time("userTransitions")(GraphBuilder.userTransitions(t))
     time("interactedPairs")(Ubo.interactedPairs(t))
     time("edges_full")(GraphBuilder.edges(t))

@@ -83,6 +83,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(4L) === 4L)
   }
 
+  test("connectedComponentsStar matches GraphX CC (log-round twin)") {
+    // long path (exercises the diameter-independence), two blobs, isolated edge
+    val path = (100L until 140L).map(i => (i, i + 1))
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (9L, 10L)) ++ path)
+      .toDF("src", "dst")
+    val star = Algorithms.connectedComponentsStar(e).as[(Long, Long)].collect().toMap
+    val gx = Algorithms.connectedComponents(e).as[(Long, Long)].collect().toMap
+    assert(star === gx)
+    // real-data cross-check on the full property graph
+    val g = graft.graph.GraphBuilder(Tables(spark, sfDir))
+    val star2 = Algorithms.connectedComponentsStar(g.edges).as[(Long, Long)].collect().toMap
+    val gx2 = Algorithms.connectedComponents(g.edges).as[(Long, Long)].collect().toMap
+    assert(star2 === gx2)
+  }
+
   test("sccTarjan matches GraphX SCC (extract-then-analyze tier)") {
     // two cycles bridged by a one-way edge, plus a tail and a long path
     // (the path exercises the iterative DFS's deep-stack handling)
