@@ -15,7 +15,8 @@ object SparkEntry {
     rel.RelQueries.queries ++
     graph.GraphQueries.queries ++
     text.LlmQueries.queries ++
-    stream.StreamQueries.queries
+    stream.StreamQueries.queries ++
+    sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     rel.RelQueries.oracleSql ++
     graph.GraphQueries.oracleSql ++
     text.LlmQueries.oracleSql ++
-    stream.StreamQueries.oracleSql
+    stream.StreamQueries.oracleSql ++
+    sources.SourceQueries.oracleSql
 }

@@ -609,7 +609,41 @@ object RelQueries {
         SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
                CAST(c_nationkey AS DOUBLE) AS nationkey FROM customer)
       UNPIVOT (val FOR attr IN (acctbal, nationkey))
-      ORDER BY c_custkey, attr"""))
+      ORDER BY c_custkey, attr""")),
+
+    // R32 — bitwise functions (key packing / flag masks / popcount — the
+    // primitive layer under SimHash banding and bucket addressing).
+    E("r32_bitwise_fns", (s, d) => {
+      Tables(s, d).supplier.select(
+        col("s_suppkey"),
+        (col("s_suppkey").bitwiseAND(lit(255L))).as("low8"),
+        (col("s_suppkey").bitwiseOR(lit(4096L))).as("flagged"),
+        (col("s_suppkey").bitwiseXOR(col("s_nationkey").cast("long"))).as("xored"),
+        expr("shiftleft(s_suppkey, 4)").as("shl4"),
+        expr("bit_count(s_suppkey)").cast("long").as("popcount"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      SELECT s_suppkey,
+             s_suppkey & 255 AS low8,
+             s_suppkey | 4096 AS flagged,
+             xor(s_suppkey, CAST(s_nationkey AS BIGINT)) AS xored,
+             s_suppkey << 4 AS shl4,
+             CAST(bit_count(s_suppkey) AS BIGINT) AS popcount
+      FROM supplier ORDER BY s_suppkey""")),
+
+    // R33 — regexp_extract_all (multi-match extraction; the tokenizer-
+    // adjacent primitive text pipelines lean on).
+    E("r33_regex_extract_all", (s, d) => {
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        array_join(expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)"), "|").as("a_words"),
+        size(expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")).cast("long").as("n_a_words"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*', 0), '|') AS a_words,
+             len(regexp_extract_all(text, '[a-z]*a[a-z]*', 0)) AS n_a_words
+      FROM documents ORDER BY doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S-series graded queries: multi-format source/sink round-trips
+  * (SURVEY.md §2.1 S1/S5 — "Export … underlying relational data",
+  * /root/reference/README.md:19). Each query WRITES a driver table to a
+  * non-parquet format under the JVM temp dir, READS it back with an
+  * explicit schema (schema-on-read contract: no inference in the engine
+  * path), and aggregates — the oracle computes the same aggregate from the
+  * original parquet, so the round-trip is value-exact or the hash fails.
+  *
+  * Scale note: both sinks partition like any DataFrame write (one file per
+  * task); CSV/JSON are interchange formats here, not storage — the engine's
+  * native layout stays columnar parquet (SCALE.md "Storage layout").
+  */
+object SourceQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private final case class E(name: String, fn: Q, sql: Option[String])
+
+  private def tmpDir(leaf: String): String =
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir"), "graft_fmt"), leaf).getPath
+
+  private val entries: Seq[E] = Seq(
+
+    // S1/S5 — CSV sink + schema'd CSV source round-trip (quoted fields
+    // exercise the escaping path; values must survive exactly).
+    E("s01_csv_roundtrip", (s, d) => {
+      val path = tmpDir("nation_csv")
+      Tables(s, d).nation
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+                col("n_regionkey").cast("long").as("n_regionkey"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+             sum(col("n_nationkey")).as("key_sum"),
+             sum(length(col("n_name"))).as("name_chars"),
+             array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy("n_regionkey")
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum,
+             SUM(LENGTH(n_name)) AS name_chars,
+             string_agg(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // S1/S5 — JSON lines sink + schema'd JSON source round-trip (doubles
+    // and strings must survive serialization exactly).
+    E("s02_json_roundtrip", (s, d) => {
+      val path = tmpDir("supplier_json")
+      Tables(s, d).supplier
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+                col("s_nationkey").cast("long").as("s_nationkey"),
+                col("s_acctbal").cast("double").as("s_acctbal"))
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", LongType), StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).json(path)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             round(sum(graft.Tables.dec(col("s_acctbal"))).cast("double"), 2).as("acctbal_sum"),
+             min(col("s_name")).as("first_name"))
+        .orderBy("s_nationkey")
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS acctbal_sum,
+             MIN(s_name) AS first_name
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
+  val oracleSql: Map[String, String] = entries.flatMap(e => e.sql.map(sql => e.name -> sql.trim)).toMap
+}
