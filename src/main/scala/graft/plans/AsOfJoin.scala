@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.functions.col
+
+/** AS-OF JOIN as a full custom operator — logical node + planner strategy +
+  * physical sort-merge exec (SURVEY.md §2.3 R7; the "state of an entity as
+  * of time T" primitive behind the reference's time-slider,
+  * /root/reference/README.md:17).
+  *
+  * Semantics: for every left row, attach the single right row with the same
+  * key and the greatest right timestamp ≤ the left timestamp (inclusive;
+  * `strict = true` uses <, i.e. strictly earlier); null-extended when no
+  * such row exists (LEFT as-of). Matches DuckDB's `ASOF LEFT JOIN` with
+  * `>=` / `>` — which is exactly what the oracle uses.
+  *
+  * Why a custom operator (SURVEY §4.3 preference order, step c): the
+  * window-function rewrite (union both sides, partition by key, order by
+  * time, last-non-null) shuffles LEFT ∪ RIGHT through one window and can't
+  * early-advance; the physical exec below declares
+  * `requiredChildDistribution/Ordering`, so Catalyst's EnsureRequirements
+  * inserts hash exchanges + in-partition sorts EXACTLY like a sort-merge
+  * join, and the merge itself is a single forward pass per partition with
+  * O(1) state — no buffering, no window frames. At 100 TB this is one
+  * shuffle per side (same as any shuffled join) and a streaming merge.
+  *
+  * Constraint (documented, enforced at construction): key expressions are
+  * integral (LongType) and timestamps are TimestampType/LongType — both
+  * evaluate to Long, keeping the merge comparator primitive. The engine's
+  * graph/event schema (§1.2) uses exactly these types.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Expression, rightKey: Expression,
+                    leftTs: Expression, rightTs: Expression,
+                    strict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, strict) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression,
+                        strict: Boolean) extends BinaryExecNode {
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+
+  // EnsureRequirements reads these and inserts the exchanges + sorts —
+  // the same machinery SortMergeJoinExec relies on.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending) :: SortOrder(leftTs, Ascending) :: Nil,
+        SortOrder(rightKey, Ascending) :: SortOrder(rightTs, Ascending) :: Nil)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTs, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTs, right.output)
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // one candidate per partition pass: the latest right row whose
+      // (key, ts) ≤ the current left (key, ts) in lexicographic order
+      var candKey = 0L
+      var candTs = Long.MinValue
+      var cand: InternalRow = null
+      lIter.map { lRow =>
+        val lk = lkB.eval(lRow)
+        val lt = ltB.eval(lRow)
+        if (lk == null || lt == null) joined(lRow, nullRight)
+        else {
+          val lKey = lk.asInstanceOf[Long]
+          val lTs = lt.asInstanceOf[Long]
+          // advance the right side up to and including (lKey, lTs)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val hk = rkB.eval(rBuf.head)
+            val ht = rtB.eval(rBuf.head)
+            if (hk == null || ht == null) rBuf.next() // null keys never match
+            else {
+              val k = hk.asInstanceOf[Long]; val t = ht.asInstanceOf[Long]
+              if (k < lKey || (k == lKey && (if (strict) t < lTs else t <= lTs))) {
+                candKey = k; candTs = t; cand = rBuf.next().copy()
+              } else advancing = false
+            }
+          }
+          if (cand != null && candKey == lKey &&
+              (if (strict) candTs < lTs else candTs <= lTs)) joined(lRow, cand)
+          else joined(lRow, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOf.join(left, right, "key", "key2", "ts", "ts2")`. */
+object AsOf {
+  /** LEFT as-of join; see [[AsOfJoin]] for semantics. Both inputs pass
+    * through a fresh-alias projection so expression ids stay disjoint even
+    * for self-as-of joins; key/ts attributes are taken RESOLVED from the
+    * analyzed child plans, so the custom node enters the analyzer already
+    * resolved. Keys must be LongType; timestamps TimestampType or LongType
+    * (both evaluate to primitive longs — the merge comparator stays
+    * unboxed).
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTs: String, rightTs: String,
+           strict: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    def freshen(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+    val lp = freshen(left).queryExecution.analyzed
+    val rp = freshen(right).queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lts, rts) = (attr(lp, leftTs), attr(rp, rightTs))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    Seq(lk, rk).foreach(e => require(e.dataType == LongType,
+      s"as-of key must be LongType, got ${e.dataType}"))
+    // all three types evaluate to primitive long micros/values
+    Seq(lts, rts).foreach(e => require(
+      e.dataType == LongType || e.dataType == TimestampType || e.dataType == TimestampNTZType,
+      s"as-of timestamp must be TimestampType/TimestampNTZType/LongType, got ${e.dataType}"))
+    GraftPlanBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lts, rts, strict))
+  }
+}

@@ -155,6 +155,29 @@ object RelQueries {
         FROM orders WHERE o_orderdate <= TIMESTAMP '1997-01-01 00:00:00') t
       WHERE rn = 1 ORDER BY o_custkey""")),
 
+    // R7b — as-of join via the CUSTOM OPERATOR (plans/AsOfJoin.scala:
+    // logical node + planner strategy + sort-merge physical exec; SURVEY
+    // §4.3 step c): for every event, the same user's latest STRICTLY
+    // earlier event — "state as of event time" (README.md:17). Right side
+    // deduped to one row per (user, ts) so the match is deterministic.
+    // Oracle: DuckDB's native ASOF LEFT JOIN with the strict `>` form.
+    E("r07b_asof_join_custom", (s, d) => {
+      val e = Tables(s, d).events
+      val leftE = e.select(col("event_id"), col("user_id").cast("long").as("user_id"), col("ts"))
+      val rightE = e.groupBy(col("user_id").cast("long").as("ru"), col("ts").as("rts"))
+        .agg(max(col("event_id")).as("prev_event_id"))
+      graft.plans.AsOf.join(leftE, rightE, "user_id", "ru", "ts", "rts", strict = true)
+        .select(col("event_id"), col("user_id"),
+                col("prev_event_id"), unix_micros(col("rts")).as("prev_ts_us"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT l.event_id, l.user_id, r.prev_event_id, epoch_us(r.rts) AS prev_ts_us
+      FROM events l ASOF LEFT JOIN
+        (SELECT user_id AS ru, ts AS rts, MAX(event_id) AS prev_event_id
+         FROM events GROUP BY 1, 2) r
+        ON l.user_id = r.ru AND l.ts > r.rts
+      ORDER BY l.event_id""")),
+
     // R8 — cross join (bounded: 5×5 regions)
     E("r08_cross_join", (s, d) => {
       val t = Tables(s, d)

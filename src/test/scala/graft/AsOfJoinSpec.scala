@@ -1,0 +1,96 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Custom as-of join operator (plans/AsOfJoin.scala): semantics against a
+  * window-rewrite reference implementation, plus the edge cases the merge
+  * must handle (exact-tie timestamps, keys with no match, multi-partition
+  * shuffles, self-as-of).
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference implementation: per left row, max-ts right row with rts <= lts
+  private def reference(l: DataFrame, r: DataFrame): Set[(Long, Long, Option[Long])] =
+    l.as[(Long, Long)].collect().map { case (k, lts) =>
+      val best = r.as[(Long, Long, Long)].collect()
+        .filter(x => x._1 == k && x._2 <= lts)
+        .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+      (k, lts, best)
+    }.toSet
+
+  test("as-of join: basic semantics, ties inclusive, no-match null-extends") {
+    val left = Seq((1L, 100L), (1L, 205L), (2L, 50L), (3L, 10L))
+      .toDF("k", "lts").select(col("k"), col("lts"))
+    val right = Seq((1L, 100L, 11L), (1L, 200L, 12L), (1L, 300L, 13L),
+      (2L, 60L, 21L)).toDF("rk", "rts", "payload")
+    val got = AsOf.join(left, right, "k", "rk", "lts", "rts")
+      .select(col("k"), col("lts"), col("payload"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, 100L, Some(11L)), // tie: rts == lts matches (inclusive)
+      (1L, 205L, Some(12L)),
+      (2L, 50L, None),       // right exists but only later
+      (3L, 10L, None)))      // key absent on the right
+  }
+
+  test("as-of join matches the reference on multi-partition random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "lts").repartition(7)
+    val right = (1 to 800).map(i => (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("rk", "rts", "payload")
+      // unique (key, ts): keep max payload, mirroring the dedup contract
+      .groupBy("rk", "rts").agg(max("payload").as("payload")).repartition(5)
+    val got = AsOf.join(left, right, "k", "rk", "lts", "rts")
+      .select(col("k"), col("lts"), col("payload"))
+      .as[(Long, Long, Option[Long])].collect()
+    val want = reference(left, right.select(col("rk"), col("rts"), col("payload")))
+    // left rows may repeat (k, lts): compare as multisets via grouped counts
+    val gotM = got.groupBy(identity).view.mapValues(_.size).toMap
+    val wantRows = left.as[(Long, Long)].collect().map { case (k, lts) =>
+      (k, lts, want.find(w => w._1 == k && w._2 == lts).get._3)
+    }
+    val wantM = wantRows.groupBy(identity).view.mapValues(_.size).toMap
+    assert(gotM === wantM)
+  }
+
+  test("self-as-of: each event sees the latest strictly-earlier-or-equal event (dedup'd ts)") {
+    val e = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L), (2L, 5L, 200L))
+      .toDF("u", "ts", "eid")
+    val got = AsOf.join(e, e.withColumnRenamed("u", "ru").withColumnRenamed("ts", "rts")
+        .withColumnRenamed("eid", "reid"),
+        "u", "ru", "ts", "rts")
+      .select(col("eid"), col("reid")).as[(Long, Long)].collect().toMap
+    // inclusive tie: every event matches itself (its own ts <= ts)
+    assert(got === Map(100L -> 100L, 101L -> 101L, 102L -> 102L, 200L -> 200L))
+  }
+
+  test("strict mode excludes the exact-tie row") {
+    val left = Seq((1L, 100L), (1L, 150L)).toDF("k", "lts")
+    val right = Seq((1L, 100L, 11L), (1L, 150L, 12L)).toDF("rk", "rts", "payload")
+    val got = AsOf.join(left, right, "k", "rk", "lts", "rts", strict = true)
+      .select(col("lts"), col("payload")).as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((100L, None), (150L, Some(11L))))
+  }
+
+  test("as-of join on real tables matches the window rewrite") {
+    val t = Tables(spark, sfDir)
+    val orders = t.orders.select(col("o_orderkey"),
+      col("o_custkey").cast("long").as("o_custkey"), col("o_orderdate"))
+    val events = t.events.groupBy(col("user_id").cast("long").as("user_id"), col("ts"))
+      .agg(max("event_id").as("event_id"))
+    val got = AsOf.join(orders, events, "o_custkey", "user_id", "o_orderdate", "ts")
+      .select(col("o_orderkey"), col("event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    // window rewrite: join + filter + max-by
+    val rewrite = orders.join(events,
+        col("o_custkey") === col("user_id") && col("ts") <= col("o_orderdate"), "left_outer")
+      .groupBy("o_orderkey")
+      .agg(max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === rewrite)
+  }
+}
