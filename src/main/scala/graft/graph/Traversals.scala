@@ -39,10 +39,19 @@ object Traversals {
     // always small (bounded traversal), so re-checkpointing it and probing
     // isEmpty would only add ~2 jobs per level for nothing. An empty
     // frontier makes the remaining joins no-ops at negligible cost.
+    //
+    // Broadcast hints: bounded traversals are drill-downs, so the frontier
+    // and visited sets are orders of magnitude smaller than the edge table —
+    // broadcasting them means the EDGE TABLE NEVER SHUFFLES (one scan of
+    // cached blocks per hop, one exchange for the frontier distinct). The
+    // materialized frontier is RDD-backed with unknown stats, so AQE cannot
+    // discover this conversion itself. For frontiers beyond broadcast size
+    // (unbounded whole-graph BFS — not this engine's traversal contract),
+    // drop the hints and the same loop runs as shuffle joins.
     while (i <= maxHops) {
-      val next = e.join(frontier.withColumnRenamed("id", "fid"), col("src") === col("fid"))
+      val next = e.join(broadcast(frontier.withColumnRenamed("id", "fid")), col("src") === col("fid"))
         .select(col("dst").as("id")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
+        .join(broadcast(visited.select("id")), Seq("id"), "left_anti")
         .transform(Materialize.apply)
       visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
       frontier = next
