@@ -531,6 +531,67 @@ object LlmQueries {
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       FROM documents ORDER BY doc_id""")),
 
+    // L15 — END-TO-END CURATION PIPELINE: the composition a training-data
+    // run actually executes, as ONE graded dataflow — exact dedup (keep
+    // canonical) → quality gate (l07's score ≥ 0.5) → language-ID (l08's
+    // marker vote) → token accounting (whitespace + BPE-ish regex classes).
+    // Each stage is the operator graded standalone elsewhere; this entry
+    // proves they compose into one Catalyst plan (single pipeline, no
+    // driver round-trips — at 100 TB this runs as ~4 shuffles end to end).
+    E("l15_curation_pipeline", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val canon = Tables(s, d).documents
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val scored = canon
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+        .withColumn("ttr", round(size(array_distinct(col("ws"))).cast("double") / col("n_tokens"), 6))
+        .withColumn("quality", round(col("ttr") * least(col("n_tokens").cast("double") / 50.0, lit(1.0)), 6))
+        .filter(col("quality") >= 0.5)
+      val markers = Seq(
+        "en" -> "the", "en" -> "a", "en" -> "order", "en" -> "row",
+        "es" -> "data", "es" -> "table", "es" -> "fast",
+        "zh" -> "spark", "zh" -> "query", "zh" -> "join",
+        "de" -> "group", "de" -> "sort", "de" -> "filter",
+        "fr" -> "merge", "fr" -> "window", "fr" -> "scan").toDF("mlang", "word")
+      val hits = scored.select(col("doc_id"), explode(col("ws")).as("token"))
+        .join(broadcast(markers), col("token") === col("word"))
+        .groupBy("doc_id", "mlang").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("mlang"))
+      val guessed = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("mlang").as("lang_guess"))
+      scored.join(guessed, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"), col("quality"),
+          coalesce(col("lang_guess"), lit("unk")).as("lang_guess"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH canon AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      scored AS (SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6)
+                   * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0), 6) AS quality
+        FROM canon),
+      sel AS (SELECT * FROM scored WHERE quality >= 0.5),
+      markers(mlang, word) AS (VALUES
+        ('en','the'),('en','a'),('en','order'),('en','row'),
+        ('es','data'),('es','table'),('es','fast'),
+        ('zh','spark'),('zh','query'),('zh','join'),
+        ('de','group'),('de','sort'),('de','filter'),
+        ('fr','merge'),('fr','window'),('fr','scan')),
+      hits AS (SELECT doc_id, mlang, COUNT(*) AS hits
+               FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM sel) t
+               JOIN markers ON token = word GROUP BY 1, 2),
+      guessed AS (SELECT doc_id, mlang AS lang_guess FROM
+        (SELECT doc_id, mlang,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn
+         FROM hits) WHERE rn = 1)
+      SELECT s.doc_id, s.n_tokens, s.quality, COALESCE(g.lang_guess, 'unk') AS lang_guess,
+             len(regexp_extract_all(s.text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)) AS n_bpe_tokens
+      FROM sel s LEFT JOIN guessed g ON s.doc_id = g.doc_id
+      ORDER BY s.doc_id""")),
+
     // L8 — multimodal column plumbing: opaque binary payload + typed
     // metadata; "decode" is a deterministic stub (media codecs aren't in
     // this container) but the Spark-side schema/partition/batch shape is
