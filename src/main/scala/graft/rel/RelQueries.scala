@@ -548,6 +548,18 @@ object RelQueries {
              ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // R27b — approximate percentiles (KLL-style quantile sketch; the scale
+    // tier of r27, as approx_count_distinct is to count-distinct): one-pass,
+    // mergeable, bounded-memory — exact percentile sorts every group.
+    // Deterministic for a given accuracy but not DuckDB-mirrorable →
+    // rows-only check + bounded-error ScalaTest against the exact r27.
+    E("r27b_approx_percentile", (s, d) => {
+      Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
+        .orderBy("l_returnflag")
+    }, None),
+
     // R28 — SQL entry path (spark.sql over temp views) with scalar +
     // correlated-EXISTS subqueries; Catalyst decorrelates both (SURVEY §4.2).
     E("r28_sql_subquery", (s, d) => {

@@ -195,6 +195,16 @@ class UboSpec extends SparkSpec {
 }
 
 class ApproxSpec extends SparkSpec {
+  test("approx_percentile tracks exact percentile within tolerance") {
+    val row = Tables(spark, sfDir).lineitem.agg(
+      expr("approx_percentile(l_quantity, 0.5, 10000)").as("a"),
+      expr("percentile(l_quantity, 0.5)").as("e")).head()
+    val (a, e) = (row.getDouble(0), row.getDouble(1))
+    // quantities are integral 1..50: at accuracy 10000 the sketch lands on
+    // an adjacent rank at worst
+    assert(math.abs(a - e) <= 1.0, s"approx p50 $a vs exact $e")
+  }
+
   test("approx_count_distinct is within its error bound") {
     val l = Tables(spark, sfDir).lineitem
     val row = l.agg(
