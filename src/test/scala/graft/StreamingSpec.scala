@@ -24,6 +24,33 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("streaming near-dup dedup: band-bucketed simhash state flags dups across batches") {
+    import graft.stream.StreamDedup
+    import graft.stream.StreamDedup.Doc
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val uniq = "completely different content about spark query plans and shuffles here"
+    // exact duplicate: hamming 0 -> must be flagged from any shared band
+    val source = MemoryStream[Doc](spark)
+    val out = StreamDedup.nearDupStream(source.toDS())
+    val q = out.writeStream.format("memory").queryName("sdedup").outputMode(OutputMode.Update()).start()
+    source.addData(Doc(1, base), Doc(2, uniq))
+    q.processAllAvailable()
+    source.addData(Doc(3, base), Doc(4, uniq + " with extra trailing thoughts"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sdedup").as[StreamDedup.DupHit].collect()
+    val byDoc = hits.groupBy(_.doc_id)
+    assert(byDoc.contains(3L), "exact duplicate in a later batch must be flagged")
+    assert(byDoc(3L).forall(h => h.dup_of == 1L && h.hamming == 0))
+    assert(!byDoc.contains(2L), "unique doc must not be flagged")
+    // doc 4 is flagged iff its fingerprint is within hamming 3 of doc 2's -
+    // decide the expectation from the same deterministic function
+    val h24 = java.lang.Long.bitCount(
+      StreamDedup.fingerprint64(uniq) ^ StreamDedup.fingerprint64(uniq + " with extra trailing thoughts"))
+    assert(byDoc.contains(4L) === (h24 <= 3),
+      s"doc 4 at hamming $h24 should ${if (h24 <= 3) "" else "NOT "}be flagged")
+  }
+
   test("T1+T4: tumbling agg drops data later than the watermark") {
     val source = MemoryStream[Ev](spark)
     val out = EventOps.tumblingCounts(source.toDF())
