@@ -60,6 +60,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sccTarjan equals GraphX SCC on random directed graphs") {
+    cases(edgeListGen).foreach { es =>
+      val e = es.toDF("src", "dst")
+      val tj = Algorithms.sccTarjan(e).as[(Long, Long)].collect().toMap
+      val gx = Algorithms.stronglyConnectedComponents(e).as[(Long, Long)].collect().toMap
+      assert(tj === gx, s"edges: $es")
+    }
+  }
+
+  test("connectedComponentsStar equals GraphX CC on random graphs") {
+    cases(edgeListGen).foreach { es =>
+      val e = es.toDF("src", "dst")
+      val star = Algorithms.connectedComponentsStar(e).as[(Long, Long)].collect().toMap
+      val gx = Algorithms.connectedComponents(e).as[(Long, Long)].collect().toMap
+      assert(star === gx, s"edges: $es")
+    }
+  }
+
+  test("as-of join: every match is the max right ts <= left ts within the key (random data)") {
+    val pairGen = Gen.listOfN(30, for {
+      k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    cases(pairGen, 3).foreach { ps =>
+      val left = ps.toDF("k", "lts")
+      val right = ps.map { case (k, t) => (k, t + 1, k * 1000 + t) }
+        .groupBy(p => (p._1, p._2)).map(_._2.maxBy(_._3)).toSeq.toDF("rk", "rts", "pay")
+      val got = graft.plans.AsOf.join(left, right, "k", "rk", "lts", "rts")
+        .select(col("k"), col("lts"), col("pay"))
+        .as[(Long, Long, Option[Long])].collect()
+      val rs = right.as[(Long, Long, Long)].collect()
+      got.foreach { case (k, lts, pay) =>
+        val want = rs.filter(r => r._1 == k && r._2 <= lts).sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(pay === want, s"k=$k lts=$lts (pairs $ps)")
+      }
+    }
+  }
+
   test("exact dedup partitions the corpus: distinct canonicals, counts sum to N") {
     cases(Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd"))).foreach { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
