@@ -99,10 +99,15 @@ object GraftFunctions {
   * would use: `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    // the custom as-of join (plans/AsOfJoin) for extensions-configured
+    // deployments; AsOf.join also self-registers via extraStrategies for
+    // sessions built without extensions
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
