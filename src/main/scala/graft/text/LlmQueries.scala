@@ -612,6 +612,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }, None),
 
+    // L8c — multimodal resize: normalize every payload to a fixed-size
+    // representation (truncate / zero-pad to 128 bytes) + typed metadata —
+    // the batch shape of an image-resize stage (codec STUBBED as byte ops;
+    // media libs aren't in this container). Downstream trainers want
+    // fixed-shape tensors; this is the Spark-side contract for that stage.
+    E("l12_resize", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val target = 128
+      Tables(s, d).documents
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          // STUB resize: a real pipeline decodes + resamples here; the
+          // fixed-shape output contract is what the plumbing guarantees
+          val out = java.util.Arrays.copyOf(bytes, target)
+          val checksum = out.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
+          (id, bytes.length, target, bytes.length > target, checksum)
+        })
+        .toDF("doc_id", "orig_len", "resized_len", "truncated", "resized_checksum")
+        .orderBy("doc_id")
+    }, None),
+
     // L8b — multimodal one-to-many decode: frame sampling. Each binary
     // payload yields ≤4 evenly-spaced "frames" (row explosion inside
     // mapPartitions — the batch shape of a real video demux, with the codec

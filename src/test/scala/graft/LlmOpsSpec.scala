@@ -92,6 +92,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.forall(r => docs(r.getLong(0)) === r.getInt(1)))
   }
 
+  test("multimodal resize yields a fixed-shape contract") {
+    val rows = LlmQueries.queries("l12_resize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) === 128), "every payload must land on the target shape")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) === (r.getInt(1) > 128), "truncation flag must match lengths")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = LlmQueries.queries("l01_exact_dedup")(spark, sfDir)
     assert(once.count() === once.distinct().count())
