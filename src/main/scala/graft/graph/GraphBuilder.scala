@@ -73,7 +73,7 @@ object GraphBuilder {
 
   def edges(t: Tables): DataFrame = {
     val one = lit(1.0).cast("double")
-    val noTs = lit(null).cast("timestamp")
+    val noTs = lit(null).cast("timestamp_ntz")
 
     val custNation = t.customer.select(
       (lit(CustomerBase) + col("c_custkey")).as("src"),
@@ -117,7 +117,7 @@ object GraphBuilder {
 
     val interacted = userTransitions(t)
       .select(col("src"), col("dst"),
-              lit("INTERACTED").as("rel_type"), one.as("weight"), col("ts").as("valid_from"))
+              lit("INTERACTED").as("rel_type"), one.as("weight"), col("ts").cast("timestamp_ntz").as("valid_from"))
 
     custNation.unionByName(suppNation).unionByName(nationRegion).unionByName(placed)
       .unionByName(contains).unionByName(suppliedBy).unionByName(interacted)

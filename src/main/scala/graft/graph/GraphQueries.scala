@@ -69,7 +69,7 @@ object GraphQueries {
     // edge scan rather than filtering traversal output.
     E("g02_khop_asof", (s, d) => {
       val g = GraphBuilder(Tables(s, d))
-        .snapshot(lit("1997-01-01 00:00:00").cast("timestamp"))
+        .snapshot(lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
       val start = g.edgesOf("LOCATED_IN")
         .filter(col("dst") === GraphBuilder.NationBase)
         .select(col("src").as("id"))
@@ -385,7 +385,7 @@ object GraphQueries {
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {
       val g = GraphBuilder(Tables(s, d))
-      g.snapshot(lit("1997-01-01 00:00:00").cast("timestamp"))
+      g.snapshot(lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         .edges.groupBy(col("rel_type"))
         .agg(count(lit(1)).as("cnt"), countDistinct(col("src")).as("n_src"))
         .orderBy("rel_type")
@@ -402,7 +402,7 @@ object GraphQueries {
     E("g13_temporal_diff", (s, d) => {
       val g = GraphBuilder(Tables(s, d))
       def snap(ts: String) =
-        g.snapshot(lit(ts).cast("timestamp")).edges.select(col("src"), col("dst"), col("rel_type"))
+        g.snapshot(lit(ts).cast("timestamp_ntz")).edges.select(col("src"), col("dst"), col("rel_type"))
       snap("1997-01-01 00:00:00").except(snap("1996-01-01 00:00:00"))
         .orderBy("src", "dst", "rel_type")
     }, Some(s"""

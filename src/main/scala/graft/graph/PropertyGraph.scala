@@ -12,7 +12,10 @@ import org.apache.spark.storage.StorageLevel
   *
   *  - nodes: id LONG, label STRING, name STRING
   *  - edges: src LONG, dst LONG, rel_type STRING, weight DOUBLE,
-  *           valid_from TIMESTAMP (nullable; null = "always valid")
+  *           valid_from TIMESTAMP_NTZ (nullable; null = "always valid") — NTZ is the
+  *           source columns' native parquet type; keeping it end-to-end means the
+  *           snapshot predicate is cast-free and pushes into the parquet scans
+  *           (PlanSpec asserts this)
   *
   * Keeping the graph in DataFrames (rather than RDDs) means every
   * non-iterative graph operator stays inside Catalyst: temporal snapshot
