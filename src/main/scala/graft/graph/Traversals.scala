@@ -100,7 +100,10 @@ object Traversals {
     val e = edges.transform(Materialize.apply) // reused: symmetrize + 2 induced joins
     val start = spark.range(1).select(lit(centerId).as("id"))
     val reach = kHop(symmetrize(e), start, radius).select(col("id"))
-    e.join(reach.withColumnRenamed("id", "sid"), col("src") === col("sid"), "left_semi")
-      .join(reach.withColumnRenamed("id", "did"), col("dst") === col("did"), "left_semi")
+    // ego neighborhoods are drill-down-sized; the materialized reach set is
+    // RDD-backed (no stats), so hint the broadcast for the induced joins —
+    // same rationale as the kHop frontier hints
+    e.join(broadcast(reach.withColumnRenamed("id", "sid")), col("src") === col("sid"), "left_semi")
+      .join(broadcast(reach.withColumnRenamed("id", "did")), col("dst") === col("did"), "left_semi")
   }
 }
