@@ -65,6 +65,37 @@ object EventOps {
     else Some(UserState(prev.n + sorted.size, sorted.last.event_type))
   }
 
+  /** T6b — bounded state via EVENT-TIME TIMEOUT: per-user activity counter
+    * whose state EXPIRES 30 minutes (event time) after the user's last
+    * event. This is the mechanism that keeps arbitrary-state operators from
+    * accreting dead keys at 100 TB — the watermark drives expiry, the store
+    * only ever holds users active within the horizon. Expiry is observable:
+    * a final record with `expired = true` is emitted when the state drops.
+    */
+  def activeUserCounts(events: Dataset[Ev]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, ActiveUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val prev = state.get
+            state.remove()
+            Iterator(ActiveUpdate(user, prev.n, expired = true))
+          } else {
+            val sorted = evs.toSeq.sortBy(microTs)
+            val prev = state.getOption.getOrElse(UserState(0L, ""))
+            val next = UserState(prev.n + sorted.size, sorted.last.event_type)
+            state.update(next)
+            val lastMs = sorted.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(lastMs + 30L * 60 * 1000)
+            Iterator(ActiveUpdate(user, next.n, expired = false))
+          }
+      }.toDF()
+  }
+
   /** T6 — arbitrary running state per user: event count + last event type,
     * emitted on every update (flatMapGroupsWithState).
     */
@@ -122,3 +153,4 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
               event_type: String, value: Double)
 case class UserState(n: Long, lastType: String)
 case class UserUpdate(user_id: Long, n_events: Long, last_type: String)
+case class ActiveUpdate(user_id: Long, n_events: Long, expired: Boolean)

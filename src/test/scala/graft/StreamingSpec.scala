@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
       s"doc 4 at hamming $h24 should ${if (h24 <= 3) "" else "NOT "}be flagged")
   }
 
+  test("T6b: event-time timeout expires per-user state once the watermark passes") {
+    val source = MemoryStream[Ev](spark)
+    val out = EventOps.activeUserCounts(source.toDS())
+    val q = out.writeStream.format("memory").queryName("t6ttl").outputMode(OutputMode.Update()).start()
+    // user 1 active at t0..t5
+    source.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 1.0))
+    q.processAllAvailable()
+    // another user far in the future: watermark advances past user 1's
+    // 30-minute expiry (5 + 30 < 200 - 10)
+    source.addData(Ev(3, ts(200), 2, "click", 1.0))
+    q.processAllAvailable()
+    // one more batch so the timeout fires after the watermark update
+    source.addData(Ev(4, ts(201), 2, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t6ttl").as[graft.stream.ActiveUpdate].collect()
+    assert(rows.exists(r => r.user_id == 1L && !r.expired && r.n_events == 2L))
+    assert(rows.exists(r => r.user_id == 1L && r.expired && r.n_events == 2L),
+      s"user 1 state must expire via event-time timeout; got ${rows.toSeq}")
+    assert(!rows.exists(r => r.user_id == 2L && r.expired), "active user must not expire")
+  }
+
   test("T1+T4: tumbling agg drops data later than the watermark") {
     val source = MemoryStream[Ev](spark)
     val out = EventOps.tumblingCounts(source.toDF())
