@@ -167,6 +167,21 @@ object Algorithms {
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
 
+  /** SCC with tier auto-selection: exact local Tarjan below the
+    * driver-memory line, GraphX Pregel above it. The threshold is distinct
+    * edges — ONE cheap count against a number that, at 16 bytes/edge, keeps
+    * the collected list far under driver memory. This turns the
+    * extract-then-analyze guidance (SCALE.md) into a measured decision
+    * instead of a caller guess; both tiers share the output contract and
+    * are cross-validated in AlgorithmsSpec/PropertySpec.
+    */
+  def scc(edges: DataFrame, localMaxEdges: Long = 2000000L): DataFrame = {
+    val distinct = edges.select(col("src"), col("dst")).distinct()
+      .transform(Materialize.apply)
+    if (distinct.count() <= localMaxEdges) sccTarjan(distinct)
+    else stronglyConnectedComponents(distinct)
+  }
+
   /** Strongly connected components via iterative Tarjan on a COLLECTED edge
     * list — the extract-then-analyze tier (same contract as
     * [[betweennessSampled]], mirroring the reference's NetworkX path:

@@ -272,14 +272,12 @@ object GraphQueries {
     E("g06_scc", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
-      // extract-then-analyze tier (SCALE.md): the strong user graph is an
-      // audit drill-down subgraph, so exact one-pass Tarjan on the collected
-      // edge list — the distributed GraphX SCC (Algorithms.strongly-
-      // ConnectedComponents) is the path for graphs too large to collect;
-      // AlgorithmsSpec cross-validates the two. The DuckDB oracle is an
-      // exact mutual-reachability closure, so exactness is a correctness
-      // requirement here, not a tunable.
-      Algorithms.sccTarjan(e2).orderBy("id")
+      // tier auto-selection (Algorithms.scc): one distinct-edge count picks
+      // exact local Tarjan below the driver-memory line and GraphX Pregel
+      // above it — the measured form of SCALE.md's extract-then-analyze
+      // guidance. The DuckDB oracle is an exact mutual-reachability
+      // closure, so exactness is a correctness requirement in both tiers.
+      Algorithms.scc(e2).orderBy("id")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
       e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),

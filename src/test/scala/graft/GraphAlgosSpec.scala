@@ -128,6 +128,14 @@ class AlgorithmsSpec extends SparkSpec {
     assert(df === gx)
   }
 
+  test("scc tier selector: both tiers produce identical components") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L))
+      .toDF("src", "dst")
+    val local = Algorithms.scc(e).as[(Long, Long)].collect().toMap
+    val forced = Algorithms.scc(e, localMaxEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(local === forced, "local Tarjan tier and GraphX tier must agree")
+  }
+
   test("ssspGraphX equals boundedSssp when rounds cover the diameter") {
     val e = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0))
       .toDF("src", "dst", "weight")
