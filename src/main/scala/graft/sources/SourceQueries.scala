@@ -72,7 +72,30 @@ object SourceQueries {
       SELECT s_nationkey, COUNT(*) AS n_suppliers,
              ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS acctbal_sum,
              MIN(s_name) AS first_name
-      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // S1/S5 — ORC sink + source round-trip (the second columnar format on
+    // the classpath; column pruning and predicate pushdown apply to ORC
+    // scans the same way they do to parquet).
+    E("s03_orc_roundtrip", (s, d) => {
+      val path = tmpDir("part_orc")
+      Tables(s, d).part
+        .select(col("p_partkey").cast("long").as("p_partkey"), col("p_brand"),
+                col("p_size").cast("long").as("p_size"),
+                col("p_retailprice").cast("double").as("p_retailprice"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("p_size") >= 10)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+             sum(col("p_size")).as("size_sum"),
+             round(sum(graft.Tables.dec(col("p_retailprice"))).cast("double"), 2).as("price_sum"))
+        .orderBy("p_brand")
+    }, Some("""
+      SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS size_sum,
+             ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum
+      FROM part WHERE p_size >= 10
+      GROUP BY p_brand ORDER BY p_brand"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
