@@ -1,0 +1,44 @@
+package graft
+
+import graft.graph.GraphBuilder
+import graft.rel.OrderedLag
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed ordered lag (rel/OrderedLag): exact equality with the
+  * single-partition window form — including across partition boundaries and
+  * with empty partitions — and the userTransitions scale path built on it.
+  */
+class OrderedLagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withLag1 equals the global-window lag on random multi-partition data") {
+    val rnd = new scala.util.Random(11)
+    // duplicate sort keys are broken by the second column, mirroring
+    // (ts, event_id); values deliberately collide across partitions
+    val df = (1 to 2000).map(i => (rnd.nextInt(200).toLong, i.toLong, rnd.nextInt(50).toLong))
+      .toDF("k", "seq", "v").repartition(13)
+    val viaOp = OrderedLag.withLag1(df, Seq("k", "seq"), Seq("v"), numPartitions = 7)
+      .select(col("k"), col("seq"), col("v"), col("prev_v"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val viaWindow = df
+      .withColumn("prev_v", lag(col("v"), 1).over(Window.orderBy(col("k"), col("seq"))))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(viaOp === viaWindow)
+  }
+
+  test("withLag1 handles a partition count exceeding the row count") {
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v")
+    val got = OrderedLag.withLag1(df, Seq("k"), Seq("v"), numPartitions = 16)
+      .select(col("k"), col("prev_v")).as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, None), (2L, Some(1L)), (3L, Some(2L))))
+  }
+
+  test("userTransitionsAtScale emits exactly the window-form transition multiset") {
+    val t = Tables(spark, sfDir)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("src", "dst").count().as[(Long, Long, Long)].collect().toSet
+    assert(multiset(GraphBuilder.userTransitionsAtScale(t)) ===
+           multiset(GraphBuilder.userTransitions(t)))
+  }
+}
