@@ -43,6 +43,20 @@ class ScaleSpec extends SparkSpec {
     assert(Export.readParquet(spark, s"$dir/pq").orderBy("r_regionkey").collect().toSeq === expected)
   }
 
+  test("compaction collapses a many-file table and preserves every row") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/orders"
+    val t = Tables(spark, sfDir)
+    // simulate an incremental writer: 24 small files
+    t.orders.repartition(24).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 24)
+    val expected = t.orders.orderBy("o_orderkey").collect().toSeq
+    Export.compactParquet(spark, dir) // tiny table -> 1 target file
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === 1, s"expected 1 compacted file, found $after")
+    assert(Export.readParquet(spark, dir).orderBy("o_orderkey").collect().toSeq === expected)
+  }
+
   test("partitioned export enables partition pruning on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     val t = Tables(spark, sfDir)
