@@ -66,14 +66,29 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(leftKey, Ascending) :: SortOrder(leftTs, Ascending) :: Nil,
         SortOrder(rightKey, Ascending) :: SortOrder(rightTs, Ascending) :: Nil)
 
+  // the merge is 1:1 with the left side and preserves its partition layout
+  // and in-partition order — declaring both lets Catalyst elide downstream
+  // exchanges/sorts that are already satisfied (e.g. a groupBy on the key
+  // or a re-sort by (key, ts) after the join)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTs, left.output)
     val rkB = BindReferences.bindReference(rightKey, right.output)
     val rtB = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(rightWidth)
+      // emit UnsafeRows: operators and collect paths downstream may consume
+      // this exec's output DIRECTLY (e.g. when the declared outputOrdering
+      // elides their sort), and those paths require the unsafe format — a
+      // raw JoinedRow would ClassCastException there
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
       // one candidate per partition pass: the latest right row whose
@@ -84,7 +99,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val lk = lkB.eval(lRow)
         val lt = ltB.eval(lRow)
-        if (lk == null || lt == null) joined(lRow, nullRight)
+        if (lk == null || lt == null) toUnsafe(joined(lRow, nullRight))
         else {
           val lKey = lk.asInstanceOf[Long]
           val lTs = lt.asInstanceOf[Long]
@@ -102,8 +117,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
           }
           if (cand != null && candKey == lKey &&
-              (if (strict) candTs < lTs else candTs <= lTs)) joined(lRow, cand)
-          else joined(lRow, nullRight)
+              (if (strict) candTs < lTs else candTs <= lTs)) toUnsafe(joined(lRow, cand))
+          else toUnsafe(joined(lRow, nullRight))
         }
       }
     }

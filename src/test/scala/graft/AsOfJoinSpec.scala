@@ -76,6 +76,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Set((100L, None), (150L, Some(11L))))
   }
 
+  test("declared output properties elide a redundant re-sort on (key, ts)") {
+    val left = Seq((1L, 100L), (2L, 50L)).toDF("k", "lts")
+    val right = Seq((1L, 90L, 11L)).toDF("rk", "rts", "pay")
+    val joined = AsOf.join(left, right, "k", "rk", "lts", "rts")
+      .sortWithinPartitions(col("k"), col("lts"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    // the declared outputOrdering satisfies the requested sort, so nothing
+    // may sit between the plan root and the join except the sort-free spine
+    // (the EnsureRequirements sorts live BELOW the join, on its children)
+    val aboveJoin = p.linesIterator.takeWhile(!_.contains("AsOfJoin")).toSeq
+    assert(aboveJoin.nonEmpty && !aboveJoin.exists(_.contains("Sort")),
+      s"redundant post-join sort was not elided:\n$p")
+  }
+
   test("as-of join on real tables matches the window rewrite") {
     val t = Tables(spark, sfDir)
     val orders = t.orders.select(col("o_orderkey"),
