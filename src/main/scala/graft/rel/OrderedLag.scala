@@ -4,28 +4,34 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
-/** Distributed lag-1 over a TOTAL order — the scalable replacement for
+/** Distributed lag-k over a TOTAL order — the scalable replacement for
   * `Window.orderBy(...)` with no partition spec, which moves the entire
   * dataset through ONE task (Spark's WindowExec warns exactly this).
   *
   * Shape: range-repartition on the sort key (parallel sampling + shuffle),
-  * sort within partitions (parallel), collect one boundary row per
-  * partition to the driver (P rows — trivially small), then a second
-  * partition-parallel pass pairs each row with its predecessor, seeding
-  * partition i with the last row of the nearest non-empty partition before
-  * it. Two jobs, all heavy work partition-parallel; the only driver data is
-  * the P boundary rows. At 100 TB this is the standard "sessionize a total
-  * order" pattern; the single-partition window form stays correct but
-  * serializes the feed through one core.
+  * sort within partitions (parallel), collect the last k rows' lag values
+  * per partition to the driver (≤ P·k tiny tuples), then a second
+  * partition-parallel pass pairs each row with the row k positions earlier,
+  * seeding every partition with the trailing k rows of the partitions
+  * before it. Two jobs, all heavy work partition-parallel. At 100 TB this
+  * is the standard "sessionize a total order" pattern; the
+  * single-partition window form stays correct but serializes the feed
+  * through one core. `lead` is lag over the reversed sort order.
   *
-  * Output contract: the input columns plus `prev_<c>` (nullable) for each
-  * requested lag column — exactly `lag(c, 1) OVER (ORDER BY sortCols)`.
-  * Ordering of OUTPUT ROWS is not part of the contract (downstream
-  * consumers aggregate or re-sort, as with any shuffle output).
+  * Output contract: the input columns plus `prev_<c>` (k = 1) or
+  * `prev<k>_<c>` (nullable) for each requested lag column — exactly
+  * `lag(c, k) OVER (ORDER BY sortCols)`. Ordering of OUTPUT ROWS is not
+  * part of the contract (downstream consumers aggregate or re-sort, as
+  * with any shuffle output).
   */
 object OrderedLag {
   def withLag1(df: DataFrame, sortCols: Seq[String], lagCols: Seq[String],
-               numPartitions: Int = 0): DataFrame = {
+               numPartitions: Int = 0): DataFrame =
+    withLag(df, sortCols, lagCols, 1, numPartitions)
+
+  def withLag(df: DataFrame, sortCols: Seq[String], lagCols: Seq[String],
+              k: Int, numPartitions: Int = 0): DataFrame = {
+    require(k >= 1, s"lag offset must be >= 1, got $k")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -38,28 +44,40 @@ object OrderedLag {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val lagIdx = lagCols.map(c => df.schema.fieldIndex(c))
-      // job 1: last row of every partition (only the lag columns travel)
-      val lasts: Map[Int, Seq[Any]] = sorted.rdd
+      // job 1: the trailing ≤ k rows' lag values per partition (oldest first)
+      val tails: Map[Int, Seq[Seq[Any]]] = sorted.rdd
         .mapPartitionsWithIndex { (i, it) =>
-          var last: Row = null
-          while (it.hasNext) last = it.next()
-          if (last == null) Iterator.empty
-          else Iterator((i, lagIdx.map(last.get)))
+          val ring = new scala.collection.mutable.ArrayDeque[Seq[Any]]()
+          it.foreach { r =>
+            ring.append(lagIdx.map(r.get))
+            if (ring.size > k) ring.removeHead()
+          }
+          if (ring.isEmpty) Iterator.empty else Iterator((i, ring.toSeq))
         }.collect().toMap
-      // seed for partition i = last row of the nearest non-empty partition
-      // before it
-      val seeds: Map[Int, Seq[Any]] = (0 until p).flatMap { i =>
-        val prior = (i - 1) to 0 by -1
-        prior.collectFirst { case j if lasts.contains(j) => i -> lasts(j) }
+      // seed for partition i = the last k rows across all prior partitions
+      val seeds: Map[Int, Seq[Seq[Any]]] = (0 until p).map { i =>
+        val acc = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+        var j = i - 1
+        while (j >= 0 && acc.size < k) {
+          tails.get(j).foreach(t => acc.prependAll(t.takeRight(k - acc.size)))
+          j -= 1
+        }
+        i -> acc.toSeq
       }.toMap
       val bSeeds = spark.sparkContext.broadcast(seeds)
+      val prefix = if (k == 1) "prev_" else s"prev${k}_"
       val outSchema = StructType(df.schema.fields ++
-        lagCols.map(c => df.schema(c).copy(name = s"prev_$c", nullable = true)))
+        lagCols.map(c => df.schema(c).copy(name = s"$prefix$c", nullable = true)))
+      val nulls = lagCols.map(_ => null)
       val outRdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-        var prev: Seq[Any] = bSeeds.value.getOrElse(i, null)
+        val ring = new scala.collection.mutable.ArrayDeque[Seq[Any]]()
+        ring.appendAll(bSeeds.value.getOrElse(i, Seq.empty))
         it.map { r =>
-          val out = Row.fromSeq(r.toSeq ++ (if (prev == null) lagCols.map(_ => null) else prev))
-          prev = lagIdx.map(r.get)
+          // row k positions earlier = front of a ring holding the last k rows
+          val prev = if (ring.size == k) ring.head else null
+          val out = Row.fromSeq(r.toSeq ++ (if (prev == null) nulls else prev))
+          ring.append(lagIdx.map(r.get))
+          if (ring.size > k) ring.removeHead()
           out
         }
       }

@@ -27,6 +27,20 @@ class OrderedLagSpec extends SparkSpec {
     assert(viaOp === viaWindow)
   }
 
+  test("withLag at offset 3 equals the global-window lag(c, 3), boundaries included") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 500).map(i => (rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(9).toLong))
+      .toDF("k", "seq", "v").repartition(9)
+    val viaOp = OrderedLag.withLag(df, Seq("k", "seq"), Seq("v"), k = 3, numPartitions = 6)
+      .select(col("k"), col("seq"), col("prev3_v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val viaWindow = df
+      .withColumn("prev3_v", lag(col("v"), 3).over(Window.orderBy(col("k"), col("seq"))))
+      .select(col("k"), col("seq"), col("prev3_v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(viaOp === viaWindow)
+  }
+
   test("withLag1 handles a partition count exceeding the row count") {
     val df = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v")
     val got = OrderedLag.withLag1(df, Seq("k"), Seq("v"), numPartitions = 16)
