@@ -17,7 +17,10 @@ class EntrySpec extends SparkSpec {
 
   test("query names are unique across packs") {
     val all = rel.RelQueries.queries.keys.toSeq ++ graph.GraphQueries.queries.keys.toSeq ++
-      text.LlmQueries.queries.keys.toSeq ++ stream.StreamQueries.queries.keys.toSeq
+      text.LlmQueries.queries.keys.toSeq ++ stream.StreamQueries.queries.keys.toSeq ++
+      sources.SourceQueries.queries.keys.toSeq
+    assert(all.size === SparkEntry.queries.size,
+      "pack union and registry disagree — a pack is missing from SparkEntry or a name collides")
     assert(all.distinct.size === all.size,
       s"duplicate query names: ${all.groupBy(identity).collect { case (k, v) if v.size > 1 => k }}")
   }
