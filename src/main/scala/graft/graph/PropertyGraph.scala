@@ -26,13 +26,23 @@ import org.apache.spark.storage.StorageLevel
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   /** Temporal snapshot (reference time-slider, README.md:17): edges valid at
-    * time `at`. A null valid_from means structurally-always-valid. The filter
-    * is a plain predicate, so Catalyst pushes it into the edge scan before any
-    * downstream join — at 100 TB this is partition/row-group pruning, not a
-    * post-shuffle filter.
+    * time `at` — interval semantics `valid_from <= at < valid_to`, each bound
+    * null-lenient (null = unbounded on that side). The driver's synthetic
+    * graph has open-ended edges (no valid_to column), so the end-bound branch
+    * engages only when the edge table carries one — SURVEY §1.2's full
+    * interval model without forcing a column on sources that lack it.
+    * The filter is a plain predicate, so Catalyst pushes it into the edge
+    * scan before any downstream join — at 100 TB this is partition/row-group
+    * pruning, not a post-shuffle filter (PlanSpec asserts it).
     */
-  def snapshot(at: Column): PropertyGraph =
-    PropertyGraph(nodes, edges.filter(col("valid_from").isNull || col("valid_from") <= at))
+  def snapshot(at: Column): PropertyGraph = {
+    val startsBy = col("valid_from").isNull || col("valid_from") <= at
+    val cond =
+      if (edges.columns.contains("valid_to"))
+        startsBy && (col("valid_to").isNull || col("valid_to") > at)
+      else startsBy
+    PropertyGraph(nodes, edges.filter(cond))
+  }
 
   def edgesOf(relType: String): DataFrame = edges.filter(col("rel_type") === relType)
 

@@ -175,6 +175,34 @@ class AlgorithmsSpec extends SparkSpec {
   }
 }
 
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot applies full interval semantics when valid_to is present") {
+    val ts = (x: String) => java.sql.Timestamp.valueOf(x)
+    val edges = Seq(
+      (1L, 2L, "E", 1.0, ts("1995-01-01 00:00:00"), ts("1998-01-01 00:00:00")), // active
+      (2L, 3L, "E", 1.0, ts("1995-01-01 00:00:00"), ts("1996-01-01 00:00:00")), // expired
+      (3L, 4L, "E", 1.0, ts("1999-01-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp]), // not yet
+      (4L, 5L, "E", 1.0, null.asInstanceOf[java.sql.Timestamp], null.asInstanceOf[java.sql.Timestamp]) // always
+    ).toDF("src", "dst", "rel_type", "weight", "valid_from", "valid_to")
+    val g = graft.graph.PropertyGraph(Seq((1L, "n", "x")).toDF("id", "label", "name"), edges)
+    val at = org.apache.spark.sql.functions.lit("1997-06-01 00:00:00").cast("timestamp")
+    val live = g.snapshot(at).edges.select("src").as[Long].collect().toSet
+    assert(live === Set(1L, 4L))
+    // boundary semantics: valid_to is EXCLUSIVE, valid_from inclusive
+    val atEnd = org.apache.spark.sql.functions.lit("1998-01-01 00:00:00").cast("timestamp")
+    assert(!g.snapshot(atEnd).edges.select("src").as[Long].collect().contains(1L))
+  }
+
+  test("snapshot without a valid_to column filters on valid_from only (driver graph)") {
+    val g = graft.graph.GraphBuilder(Tables(spark, sfDir))
+    val at = org.apache.spark.sql.functions.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    val n = g.snapshot(at).edges.count()
+    assert(n > 0 && n < g.edges.count())
+  }
+}
+
 class UboSpec extends SparkSpec {
   import spark.implicits._
 
