@@ -44,6 +44,10 @@ object Export {
     * output sizes; no assumption about data distribution). Staged rewrite:
     * the compacted copy lands beside the original and is swapped in with
     * two renames, so a reader never sees a half-written table.
+    *
+    * FLAT tables only: a hive-partitioned directory tree would be rewritten
+    * flat (partition columns folded into the data files) — compact each
+    * partition directory individually to preserve pruning.
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): Long = {
