@@ -307,13 +307,37 @@ object GraphQueries {
     // real scale; the closure oracle is infeasible there, so this entry is
     // rows-only checked): component size histogram.
     E("g07_cc_full", (s, d) => {
-      val g = GraphBuilder(Tables(s, d))
-      // GraphX here: measured 5.3 s vs 8.9 s for the Catalyst-native
-      // min-label twin (connectedComponentsDF) at sf0.1 — GraphX's
-      // specialized vertex-program iteration beats join+agg rounds once the
-      // convergence loop dominates. The DF twin stays in the library for
-      // deployments that can't take the RDD path.
-      Algorithms.connectedComponents(g.edges)
+      val t = Tables(s, d)
+      // ORDER-NODE CONTRACTION before CC: every order is a pass-through node
+      // (one PLACED customer, k CONTAINS parts), so replacing it with direct
+      // customer—part edges preserves connectivity among all other nodes and
+      // roughly halves both the edge count and the effective diameter —
+      // Pregel rounds scale with diameter, so the contraction pays twice.
+      // Labels are provably unchanged: an order co-components with its
+      // customer, whose id (base 3e9) is smaller than any order id (6e9),
+      // so no component minimum is ever an order. Orders re-enter afterward
+      // with their customer's component. Cross-validated against the
+      // uncontracted formulation in AlgorithmsSpec.
+      // GraphX over the Catalyst min-label twin: measured 5.3 s vs 8.9 s at
+      // sf0.1 pre-contraction — vertex-program iteration wins once the
+      // convergence loop dominates; the DF twin stays in the library.
+      val custOrder = t.orders.select(
+        (lit(GraphBuilder.CustomerBase) + col("o_custkey")).as("cust"),
+        (lit(GraphBuilder.OrderBase) + col("o_orderkey")).as("order"))
+      val custPart = custOrder.join(
+          t.lineitem.select((lit(GraphBuilder.OrderBase) + col("l_orderkey")).as("order"),
+                            (lit(GraphBuilder.PartBase) + col("l_partkey")).as("part")),
+          "order")
+        .select(col("cust").as("src"), col("part").as("dst"))
+      val rest = GraphBuilder.edges(t)
+        .filter(!col("rel_type").isin("PLACED", "CONTAINS"))
+        .select(col("src"), col("dst"))
+      val comp = Algorithms.connectedComponents(custPart.unionByName(rest))
+        .transform(Materialize.apply)
+      val orderComp = custOrder
+        .join(comp.withColumnRenamed("id", "cust"), "cust")
+        .select(col("order").as("id"), col("component"))
+      comp.unionByName(orderComp)
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy("component")
     }, None),

@@ -115,6 +115,15 @@ class AlgorithmsSpec extends SparkSpec {
     assert(tj2 === gx2)
   }
 
+  test("g07_cc_full contraction yields the uncontracted component histogram") {
+    val contracted = graft.graph.GraphQueries.queries("g07_cc_full")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val g = graft.graph.GraphBuilder(Tables(spark, sfDir))
+    val plain = Algorithms.connectedComponents(g.edges)
+      .groupBy("component").count().as[(Long, Long)].collect().toMap
+    assert(contracted === plain)
+  }
+
   test("g17 triangle counts match GraphX TriangleCount") {
     val q = graft.graph.GraphQueries.queries("g17_triangles")
     val df = q(spark, sfDir).as[(Long, Long)].collect().toMap
