@@ -57,23 +57,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Every local must be ctx.freshName'd: two cosine_sim calls in one
+      // projection share a codegen scope, and literal names collide
+      // (CompileException → silent interpreted fallback for the whole stage).
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val anyNull = ctx.freshName("anyNull")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $a.numElements();
-         |  double dot = 0.0, nx = 0.0, ny = 0.0;
-         |  boolean anyNull = false;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-         |    double xi = (double) $a.getFloat(i);
-         |    double yi = (double) $b.getFloat(i);
-         |    dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  if (anyNull || nx == 0.0 || ny == 0.0) {
+         |  if ($anyNull || $nx == 0.0 || $ny == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = dot / (Math.sqrt(nx) * Math.sqrt(ny));
+         |    ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
          |  }
          |}
        """.stripMargin

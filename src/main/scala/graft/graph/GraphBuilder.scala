@@ -42,14 +42,21 @@ object GraphBuilder {
     * weighted forms in [[Ubo]]. The SQL mirrors (GraphSql.edgesCte INTERACTED
     * branch, UboSql.interactedPairsCte) must track this definition.
     *
-    * NOTE: the global (unpartitioned) window is intentional — event order is
-    * a total order over the feed. At 100 TB this would be a per-shard or
-    * sessionized derivation; a limitation of the synthetic derivation, not
-    * of the engine.
+    * Tier auto-selection (same measured-decision pattern as
+    * [[Algorithms.scc]]): event order is a total order over the feed, so the
+    * unpartitioned window moves the whole feed through ONE task — fine while
+    * the feed fits a single sort buffer, a scale-killer beyond it. One cheap
+    * count (parquet row-count metadata) picks the tier: window form up to
+    * `windowMaxRows`, [[userTransitionsAtScale]] (range-partitioned
+    * [[graft.rel.OrderedLag]], fully partition-parallel) above it. Both
+    * tiers are proven row-identical in OrderedLagSpec, so the choice never
+    * changes results — only the physical plan.
     */
-  def userTransitions(t: Tables): DataFrame = {
+  def userTransitions(t: Tables, windowMaxRows: Long = 10000000L): DataFrame = {
+    val feed = t.events.select(col("user_id"), col("ts"), col("event_id"))
+    if (feed.count() > windowMaxRows) return userTransitionsAtScale(t)
     val w = Window.orderBy(col("ts"), col("event_id"))
-    t.events.select(col("user_id"), col("ts"), col("event_id"))
+    feed
       .withColumn("prev", lag(col("user_id"), 1).over(w))
       .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
       .select((lit(UserBase) + col("prev")).as("src"),
@@ -59,9 +66,9 @@ object GraphBuilder {
   /** The 100 TB form of [[userTransitions]]: same pairs via
     * [[graft.rel.OrderedLag]] (range-partitioned sort + boundary handoff —
     * two partition-parallel jobs, no single-partition window). Proven
-    * row-identical to the window form in GraphBuilderSpec; the graded
-    * queries keep the window form because at test scale the feed fits one
-    * task and the window plan is cheaper.
+    * row-identical to the window form in OrderedLagSpec;
+    * [[userTransitions]] selects it automatically above its feed-size
+    * threshold.
     */
   def userTransitionsAtScale(t: Tables): DataFrame = {
     graft.rel.OrderedLag.withLag1(

@@ -166,6 +166,34 @@ object GraphQueries {
       FROM s3 WHERE ROUND(share, 6) >= 0.01
       ORDER BY owner, supplier""")),
 
+    // G3c — UBO regulatory-threshold flag (README.md:13's UBO convention):
+    // owners whose propagated share into an entity is >= 25% — the
+    // "beneficial owner" list a compliance user actually reads off the
+    // propagation. Composes the same layered propagation as g03_ubo_exposure
+    // with the threshold; the filter on the ROUNDED share keeps the
+    // float-order-dependent boundary deterministic in both engines.
+    E("g03_ubo_owners", (s, d) => {
+      val t = Tables(s, d)
+      val placed = Ubo.placedEdges(t)
+      val init = placed.select(col("src").as("owner")).distinct()
+        .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
+      Ubo.propagateLayers(
+          Seq(placed, Ubo.containsEdges(t), Ubo.suppliedByEdges(t)),
+          init, epsilon = Some(0.005), materializeLayers = false)
+        .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("share6"))
+        .filter(col("share6") >= 0.25)
+        .orderBy("owner", "supplier")
+    }, Some(s"""
+      WITH ${UboSql.uboEdgesCte},
+      s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
+             FROM ubo_edges WHERE src >= 3000000000 AND src < 4000000000),
+      ${UboSql.step("s0", "s1", "ubo_edges", Some(0.005))},
+      ${UboSql.step("s1", "s2", "ubo_edges", Some(0.005))},
+      ${UboSql.step("s2", "s3", "ubo_edges", Some(0.005))}
+      SELECT owner, entity AS supplier, ROUND(share, 6) AS share6
+      FROM s3 WHERE ROUND(share, 6) >= 0.25
+      ORDER BY owner, supplier""")),
+
     // G3b — depth-capped propagation on a CYCLIC graph ("circular ownership
     // loops", README.md:15): 4 bounded steps over the INTERACTED user graph.
     // Owner set bounded to 100 users: UBO on a cyclic graph is a per-owner
@@ -304,8 +332,9 @@ object GraphQueries {
       SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
 
     // G7b — connected components over the FULL property graph (GraphX at
-    // real scale; the closure oracle is infeasible there, so this entry is
-    // rows-only checked): component size histogram.
+    // real scale): component size histogram. Oracle: seeded-local-minima
+    // label closure (see the SQL) — feasible at oracle sf because seeding
+    // only local minima keeps the closure linear in component size.
     E("g07_cc_full", (s, d) => {
       val t = Tables(s, d)
       // ORDER-NODE CONTRACTION before CC: every order is a pass-through node
@@ -340,7 +369,31 @@ object GraphQueries {
       comp.unionByName(orderComp)
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy("component")
-    }, None),
+    }, Some(s"""
+      WITH RECURSIVE $edgesCte,
+      cp AS (SELECT DISTINCT 3000000000 + o_custkey AS src, 5000000000 + l_partkey AS dst
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      base AS (SELECT src, dst FROM cp
+               UNION SELECT src, dst FROM graph_edges WHERE rel_type NOT IN ('PLACED', 'CONTAINS')),
+      sym AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+      nds AS (SELECT DISTINCT src AS id FROM sym),
+      -- Seeded min-label closure: seed ONLY local minima (id < every neighbor).
+      -- Exact because each component's global min IS a local minimum and, the
+      -- sym graph being undirected, reaches every node of its component; MIN
+      -- over received labels is therefore the component min — GraphX CC's
+      -- output contract. Seeding all nodes would accumulate a |C|^2 closure;
+      -- seeding minima keeps it at (#minima x |C|) rows (~25k at sf0.01).
+      seeds AS (SELECT id FROM nds n
+                WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = n.id AND e.dst < n.id)),
+      lab(id, l) AS (
+        SELECT id, id FROM seeds
+        UNION
+        SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id),
+      comp AS (SELECT id, MIN(l) AS component FROM lab GROUP BY id),
+      ordc AS (SELECT 6000000000 + o_orderkey AS id, c.component
+               FROM orders JOIN comp c ON c.id = 3000000000 + o_custkey),
+      allc AS (SELECT id, component FROM comp UNION ALL SELECT id, component FROM ordc)
+      SELECT component, COUNT(*) AS size FROM allc GROUP BY component ORDER BY component""")),
 
     // G9 — PageRank: weighted power iteration, 5 fixed steps, on the full
     // INTERACTED graph (DataFrame twin; GraphX variant in Algorithms).
@@ -435,6 +488,53 @@ object GraphQueries {
       SELECT src, dst, rel_type FROM graph_edges
       WHERE valid_from IS NULL OR valid_from <= TIMESTAMP '1996-01-01 00:00:00'
       ORDER BY src, dst, rel_type""")),
+
+    // G13b — BIDIRECTIONAL temporal diff over edges with real expiry
+    // ("how structures have evolved", README.md:17 — both directions).
+    // INTERACTED edges get valid_to = the pair's next transition timestamp
+    // (each instance valid until superseded), so snapshots see exactly one
+    // instance per pair and the diff reports both the instance ADDED since T1
+    // and the instance it REPLACED — exercising PropertyGraph.snapshot's
+    // end-bound branch, dead under the open-ended synthetic edges.
+    E("g13b_temporal_diff_bidir", (s, d) => {
+      val t = Tables(s, d)
+      val trans = GraphBuilder.userTransitions(t)
+        .select(col("src"), col("dst"), col("ts")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"), col("dst")).orderBy(col("ts"))
+      val te = trans
+        .select(col("src"), col("dst"), lit("INTERACTED").as("rel_type"),
+                lit(1.0).as("weight"), col("ts").cast("timestamp_ntz").as("valid_from"),
+                lead(col("ts"), 1).over(w).cast("timestamp_ntz").as("valid_to"))
+      val g = PropertyGraph(GraphBuilder.nodes(t), te)
+      def snap(at: String) =
+        g.snapshot(lit(at).cast("timestamp_ntz")).edges
+          .select(col("src"), col("dst"), col("valid_from"))
+      val t1 = snap("2024-01-10 00:00:00")
+      val t2 = snap("2024-01-20 00:00:00")
+      t2.except(t1).withColumn("change", lit("added"))
+        .unionByName(t1.except(t2).withColumn("change", lit("removed")))
+        .orderBy("change", "src", "dst")
+    }, Some("""
+      WITH trans AS (
+        SELECT DISTINCT 7000000000 + prev AS src, 7000000000 + user_id AS dst, ts
+        FROM (SELECT user_id, ts, event_id, LAG(user_id) OVER (ORDER BY ts, event_id) AS prev FROM events)
+        WHERE prev IS NOT NULL AND prev <> user_id),
+      te AS (SELECT src, dst, ts AS valid_from,
+                    LEAD(ts) OVER (PARTITION BY src, dst ORDER BY ts) AS valid_to
+             FROM trans),
+      s1 AS (SELECT src, dst, valid_from FROM te
+             WHERE valid_from <= TIMESTAMP '2024-01-10 00:00:00'
+               AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10 00:00:00')),
+      s2 AS (SELECT src, dst, valid_from FROM te
+             WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+               AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20 00:00:00'))
+      SELECT 'added' AS change, src, dst, valid_from
+      FROM (SELECT * FROM s2 EXCEPT SELECT * FROM s1)
+      UNION ALL
+      SELECT 'removed' AS change, src, dst, valid_from
+      FROM (SELECT * FROM s1 EXCEPT SELECT * FROM s2)
+      ORDER BY change, src, dst""")),
 
     // G14 — ego network: subgraph induced by the ≤2-hop undirected
     // neighborhood of customer #1 (interactive mapping, README.md:11).

@@ -45,8 +45,9 @@ object SourceQueries {
              array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
         .orderBy("n_regionkey")
     }, Some("""
-      SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum,
-             SUM(LENGTH(n_name)) AS name_chars,
+      SELECT n_regionkey, COUNT(*) AS n_nations,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_chars,
              string_agg(n_name, ',' ORDER BY n_name) AS names
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
@@ -92,7 +93,7 @@ object SourceQueries {
              round(sum(graft.Tables.dec(col("p_retailprice"))).cast("double"), 2).as("price_sum"))
         .orderBy("p_brand")
     }, Some("""
-      SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS size_sum,
+      SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS size_sum,
              ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum
       FROM part WHERE p_size >= 10
       GROUP BY p_brand ORDER BY p_brand"""))

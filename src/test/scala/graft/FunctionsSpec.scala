@@ -51,6 +51,29 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg === viaExpr)
   }
 
+  test("two cosine_sim calls in one projection stay on the codegen path") {
+    GraftFunctions.register(spark)
+    // With literal local names (pre-fix) the second call redefined `i` etc.,
+    // Janino threw, and Spark silently fell back to interpreted execution.
+    // codegen.fallback=false turns that silent fallback into a test failure.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = vecs.select(col("id"),
+          expr("cosine_sim(a, b)").as("ab"),
+          expr("cosine_sim(b, a)").as("ba"))
+        .as[(Long, Option[Double], Option[Double])].collect()
+        .map { case (k, ab, ba) => k -> ((ab, ba)) }.toMap
+      assert(math.abs(got(1L)._1.get - 1.0) < 1e-12)
+      assert(got(1L)._1 === got(1L)._2, "cosine is symmetric")
+      assert(got(4L)._1.isEmpty && got(4L)._2.isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("cosine_sim codegen path agrees with interpreted eval") {
     GraftFunctions.register(spark)
     val withCodegen = vecs.select(expr("cosine_sim(a, b)")).collect()

@@ -55,4 +55,17 @@ class OrderedLagSpec extends SparkSpec {
     assert(multiset(GraphBuilder.userTransitionsAtScale(t)) ===
            multiset(GraphBuilder.userTransitions(t)))
   }
+
+  test("userTransitions auto-selects the OrderedLag tier above the feed threshold") {
+    val t = Tables(spark, sfDir)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("src", "dst").count().as[(Long, Long, Long)].collect().toSet
+    // Force the threshold below the test feed: the scale tier must kick in
+    // and the plan must contain NO WindowExec (the single-task sort the
+    // tiering exists to avoid), while the result multiset is unchanged.
+    val forced = GraphBuilder.userTransitions(t, windowMaxRows = 1L)
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"scale tier must not plan a global window:\n$plan")
+    assert(multiset(forced) === multiset(GraphBuilder.userTransitions(t)))
+  }
 }
