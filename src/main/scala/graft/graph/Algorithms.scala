@@ -169,13 +169,16 @@ object Algorithms {
 
   /** SCC with tier auto-selection: exact local Tarjan below the
     * driver-memory line, GraphX Pregel above it. The threshold is distinct
-    * edges — ONE cheap count against a number that, at 16 bytes/edge, keeps
-    * the collected list far under driver memory. This turns the
-    * extract-then-analyze guidance (SCALE.md) into a measured decision
-    * instead of a caller guess; both tiers share the output contract and
-    * are cross-validated in AlgorithmsSpec/PropertySpec.
+    * edges — ONE cheap count. Footprint sizing is for the REAL driver-side
+    * structure, not the raw 16 bytes/edge: the collected tuples plus the
+    * adjacency/index/low/onStack maps cost ~200-300 bytes per edge with JVM
+    * object headers, so the 1M default keeps the Tarjan tier around a few
+    * hundred MB — safe on a default 1-2 GB driver, not just on a big one.
+    * This turns the extract-then-analyze guidance (SCALE.md) into a
+    * measured decision instead of a caller guess; both tiers share the
+    * output contract and are cross-validated in AlgorithmsSpec/PropertySpec.
     */
-  def scc(edges: DataFrame, localMaxEdges: Long = 2000000L): DataFrame = {
+  def scc(edges: DataFrame, localMaxEdges: Long = 1000000L): DataFrame = {
     val distinct = edges.select(col("src"), col("dst")).distinct()
       .transform(Materialize.apply)
     if (distinct.count() <= localMaxEdges) sccTarjan(distinct)
@@ -199,8 +202,11 @@ object Algorithms {
   def sccTarjan(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // collect through the tuple encoder, not Row: a GenericRowWithSchema
+    // per edge costs ~100 bytes of wrappers before the longs; the encoder
+    // deserializes straight to (Long, Long)
     val es = edges.select(col("src"), col("dst")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .as[(Long, Long)].collect()
     val adj = es.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
     val index = scala.collection.mutable.Map[Long, Int]()

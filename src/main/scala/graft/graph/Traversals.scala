@@ -21,8 +21,19 @@ object Traversals {
   /** Min-depth BFS: nodes reachable from `start` (column `id`) in ≤ maxHops
     * directed hops over `edges` (columns `src`, `dst`). Returns (id, depth)
     * where depth is the minimum hop count — BFS order guarantees min-depth.
+    *
+    * `broadcastMaxRows` gates the frontier/visited broadcast hints: the sets
+    * are single-long-column, so the default 4M rows ≈ 32 MB per executor
+    * copy. The sets are materialized anyway, so the per-level count that
+    * feeds the gate is one cheap job over checkpointed blocks — a measured
+    * decision, not a hard-coded hint (a whole-graph BFS whose reachable set
+    * outgrows the gate degrades to ordinary shuffle joins instead of
+    * overflowing the driver).
     */
-  def kHop(edges: DataFrame, start: DataFrame, maxHops: Int): DataFrame = {
+  def kHop(edges: DataFrame, start: DataFrame, maxHops: Int,
+           broadcastMaxRows: Long = 4000000L): DataFrame = {
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
     // Materialize the edge list once: the edge derivation (unions + window
     // functions in GraphBuilder) would otherwise recompute on every hop.
     // Reachability is invariant under edge multiplicity, so dedup up front:
@@ -45,14 +56,18 @@ object Traversals {
     // broadcasting them means the EDGE TABLE NEVER SHUFFLES (one scan of
     // cached blocks per hop, one exchange for the frontier distinct). The
     // materialized frontier is RDD-backed with unknown stats, so AQE cannot
-    // discover this conversion itself. For frontiers beyond broadcast size
-    // (unbounded whole-graph BFS — not this engine's traversal contract),
-    // drop the hints and the same loop runs as shuffle joins.
+    // discover this conversion itself; the measured row counts gate the
+    // hints instead (see `broadcastMaxRows` above).
+    var frontierCount = visited.count()
+    var visitedCount = frontierCount
     while (i <= maxHops) {
-      val next = e.join(broadcast(frontier.withColumnRenamed("id", "fid")), col("src") === col("fid"))
+      val next = e.join(gated(frontier.withColumnRenamed("id", "fid"), frontierCount),
+          col("src") === col("fid"))
         .select(col("dst").as("id")).distinct()
-        .join(broadcast(visited.select("id")), Seq("id"), "left_anti")
+        .join(gated(visited.select("id"), visitedCount), Seq("id"), "left_anti")
         .transform(Materialize.apply)
+      frontierCount = next.count()
+      visitedCount += frontierCount
       visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
       frontier = next
       i += 1

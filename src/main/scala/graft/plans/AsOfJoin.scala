@@ -3,10 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.functions.col
 
 /** AS-OF JOIN as a full custom operator — logical node + planner strategy +
@@ -55,7 +57,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression,
-                        strict: Boolean) extends BinaryExecNode {
+                        strict: Boolean) extends BinaryExecNode with CodegenSupport {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
   // EnsureRequirements reads these and inserts the exchanges + sorts —
@@ -122,6 +124,110 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
     }
+  }
+
+  // ---------------- whole-stage codegen (SURVEY §9.3) ----------------
+  // SortMergeJoinExec's protocol: this exec is the stage's input boundary —
+  // inputRDDs() hands both sorted children to WholeStageCodegenExec (the
+  // framework zips up to 2), and doProduce emits the merge loop directly,
+  // fusing the advance + match + downstream consume into one compiled loop
+  // (no per-row eval() virtual calls, no JoinedRow allocation).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = left.execute() :: right.execute() :: Nil
+
+  // output rows are assembled from a mutable candidate row; downstream
+  // buffering operators must copy (same reason SortMergeJoinExec sets this)
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    // lookahead right row not yet consumed, and the current best candidate
+    val rightHead = ctx.addMutableState("InternalRow", "asofRightHead")
+    val cand = ctx.addMutableState("InternalRow", "asofCand")
+    val candKey = ctx.addMutableState("long", "asofCandKey")
+    val candTs = ctx.addMutableState("long", "asofCandTs")
+    val candValid = ctx.addMutableState("boolean", "asofCandValid")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lkCode = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val ltCode = BindReferences.bindReference(leftTs, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    ctx.INPUT_ROW = rightHead
+    val rkCode = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rtCode = BindReferences.bindReference(rightTs, right.output).genCode(ctx)
+
+    val matched = ctx.freshName("asofMatched")
+    // candidate-side columns: evaluated from the saved candidate row only
+    // when matched, null-extended otherwise (LEFT as-of contract)
+    ctx.INPUT_ROW = cand
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val raw = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      ExprCode(
+        code"""
+          |boolean $isNull = true;
+          |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+          |if ($matched) {
+          |  ${raw.code}
+          |  $isNull = ${raw.isNull};
+          |  $value = ${raw.value};
+          |}
+        """.stripMargin,
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    val lKey = ctx.freshName("asofLeftKey")
+    val lTs = ctx.freshName("asofLeftTs")
+    val rk = ctx.freshName("asofRightKey")
+    val rt = ctx.freshName("asofRightTs")
+    val advancing = ctx.freshName("asofAdvancing")
+    val cmp = if (strict) "<" else "<="
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkCode.code}
+       |  ${ltCode.code}
+       |  boolean $matched = false;
+       |  if (!(${lkCode.isNull}) && !(${ltCode.isNull})) {
+       |    long $lKey = ${lkCode.value};
+       |    long $lTs = ${ltCode.value};
+       |    boolean $advancing = true;
+       |    while ($advancing) {
+       |      if ($rightHead == null) {
+       |        if ($rightInput.hasNext()) { $rightHead = (InternalRow) $rightInput.next(); }
+       |        else break;
+       |      }
+       |      ${rkCode.code}
+       |      ${rtCode.code}
+       |      if (${rkCode.isNull} || ${rtCode.isNull}) { $rightHead = null; continue; }
+       |      long $rk = ${rkCode.value};
+       |      long $rt = ${rtCode.value};
+       |      if ($rk < $lKey || ($rk == $lKey && $rt $cmp $lTs)) {
+       |        $candKey = $rk; $candTs = $rt;
+       |        $cand = $rightHead.copy(); $candValid = true;
+       |        $rightHead = null;
+       |      } else {
+       |        $advancing = false;
+       |      }
+       |    }
+       |    $matched = $candValid && $candKey == $lKey && $candTs $cmp $lTs;
+       |  }
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =

@@ -620,14 +620,19 @@ object RelQueries {
     // At 100 TB this predicate is a scan-level filter: no shuffle, no
     // coordination, and the sample is stable across reruns/engines — the
     // property a data pipeline needs for held-out splits.
+    // Overflow discipline: the key is reduced mod a ~1e9 prime BEFORE the
+    // multiply, so the product stays < 2^62 for any BIGINT key — a raw
+    // key * 2654435761 wraps past orderkey ≈ 3.5e9 (Spark wraps silently
+    // with sign flips, DuckDB raises), which would break the stable-at-scale
+    // property exactly where it matters.
     E("r30_sample", (s, d) => {
       Tables(s, d).orders
-        .filter((col("o_orderkey") * lit(2654435761L)) % 100 < 5)
+        .filter(((col("o_orderkey") % lit(1000000007L)) * lit(2654435761L)) % 100 < 5)
         .select(col("o_orderkey"), col("o_custkey"))
         .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_custkey FROM orders
-      WHERE (o_orderkey * 2654435761) % 100 < 5
+      WHERE ((o_orderkey % 1000000007) * 2654435761) % 100 < 5
       ORDER BY o_orderkey""")),
 
     // R31 — unpivot / melt (wide → long; report-matrix inverse of R18):

@@ -41,9 +41,15 @@ object Export {
     * and scan task count (and NameNode/object-store metadata pressure)
     * scales with file count, not bytes. Rewrites `path` into
     * ceil(bytes / targetBytes) files via a round-robin repartition (even
-    * output sizes; no assumption about data distribution). Staged rewrite:
-    * the compacted copy lands beside the original and is swapped in with
-    * two renames, so a reader never sees a half-written table.
+    * output sizes; no assumption about data distribution). Staged rewrite
+    * through the Hadoop FileSystem API (so the same code runs on local FS,
+    * HDFS, or any Hadoop-compatible store): the compacted copy lands beside
+    * the original and is swapped in with two renames. A reader never sees a
+    * PARTIALLY COMPACTED file set — but the swap is not transactional:
+    * between the two renames there is a brief window where the table path is
+    * absent (a concurrent read fails fast rather than returning partial
+    * data). A fully atomic swap needs a metadata-pointer table format
+    * (Iceberg/Delta-style), out of scope for a directory-of-parquet sink.
     *
     * FLAT tables only: a hive-partitioned directory tree would be rewritten
     * flat (partition columns folded into the data files) — compact each
@@ -51,21 +57,19 @@ object Export {
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val staged = path + "._compact_staged"
+    val staged = new org.apache.hadoop.fs.Path(path + "._compact_staged")
     spark.read.parquet(path)
       .repartition(nFiles.toInt)
-      .write.mode("overwrite").parquet(staged)
-    val old = new java.io.File(path + "._compact_old")
-    def delete(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete); f.delete()
-    }
-    require(dir.renameTo(old), s"could not stage out $path")
-    require(new java.io.File(staged).renameTo(dir), s"could not swap in $staged")
-    delete(old)
+      .write.mode("overwrite").parquet(staged.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    require(fs.rename(dir, old), s"could not stage out $path")
+    require(fs.rename(staged, dir), s"could not swap in $staged")
+    fs.delete(old, true)
     nFiles
   }
 }

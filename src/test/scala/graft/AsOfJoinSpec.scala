@@ -91,6 +91,39 @@ class AsOfJoinSpec extends SparkSpec {
       s"redundant post-join sort was not elided:\n$p")
   }
 
+  test("as-of join compiles into a WholeStageCodegen stage and agrees with the interpreted path") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(_ => (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong))
+      .toDF("k", "lts").repartition(5)
+    val right = (1 to 400).map(i => (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("rk", "rts", "payload")
+      .groupBy("rk", "rts").agg(max("payload").as("payload")).repartition(3)
+    val joined = AsOf.join(left, right, "k", "rk", "lts", "rts")
+      .select(col("k"), col("lts"), col("payload"))
+    // fallback=false: a Janino error in the generated merge would fail the
+    // test instead of silently degrading to doExecute. Collect the DataFrame
+    // ITSELF (not an .as[] derivative — that is a different QueryExecution)
+    // so the inspected adaptive plan is the executed, codegen-collapsed one.
+    def rows(a: Array[org.apache.spark.sql.Row]) =
+      a.map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val withCodegen = rows(joined.collect())
+      val plan = joined.queryExecution.executedPlan.toString
+      val asofLine = plan.linesIterator.find(_.contains("AsOfJoin")).get
+      assert(asofLine.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("*"),
+        s"AsOfJoinExec is not inside a WholeStageCodegen stage:\n$plan")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = rows(joined.collect())
+      assert(withCodegen === interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("as-of join on real tables matches the window rewrite") {
     val t = Tables(spark, sfDir)
     val orders = t.orders.select(col("o_orderkey"),
