@@ -69,6 +69,38 @@ object Algorithms {
       .map { case (id, comp) => (id, comp) }.toDF("id", "component")
   }
 
+  /** Community detection via DETERMINISTIC synchronous label propagation
+    * (Raghavan 2007's LPA, made reproducible): every node starts with its
+    * own id as label; each round every node adopts its neighbors'
+    * most-frequent label, ties broken toward the SMALLEST label. Fixed
+    * round count + total tie order make the result a pure function of the
+    * graph — unlike classic async LPA (iteration-order-dependent) or GraphX
+    * LPA (hash-partition-dependent tie handling), so the same unrolled
+    * computation is expressible as oracle SQL and the op is hash-checkable.
+    *
+    * Scale shape: each round is one shuffle join (labels onto edges) + one
+    * count agg + one per-node top-1 window over (node, label) groups —
+    * state is one row per node, messages one per edge, the same profile as
+    * a Pregel superstep in Catalyst form (AQE/codegen apply).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = Traversals.symmetrize(edges).distinct().transform(Materialize.apply)
+    var lab = sym.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (_ <- 1 to rounds) {
+      val counts = sym
+        .join(lab.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("c").desc, col("label").asc)
+      lab = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("v"), col("label"))
+        .transform(Materialize.apply)
+    }
+    lab.select(col("v").as("id"), col("label").as("community"))
+  }
+
   /** Connected components as alternating min-label propagation in pure
     * DataFrames — no RDD conversion, every round is a Catalyst join+agg
     * (pushdown/AQE/codegen apply), converges in O(diameter) rounds.

@@ -456,6 +456,31 @@ object GraphQueries {
       corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
       SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id ORDER BY id""")),
 
+    // G18 — community detection via deterministic synchronous label
+    // propagation on the strong user graph (clustering the "webs" of
+    // README.md:4 finer than connectivity: CC merges everything reachable,
+    // LPA splits it into densely-linked communities). 3 fixed rounds;
+    // smallest-label tie-break makes the result engine-stable, so the
+    // unrolled per-round top-1 window mirrors exactly in SQL.
+    E("g18_label_prop", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      Algorithms.labelPropagation(e2, 3).orderBy("id")
+    }, Some({
+      def step(prev: String, cur: String) =
+        s"""$cur AS (SELECT v, label FROM (
+           |  SELECT s.dst AS v, p.label, COUNT(*) AS c,
+           |         ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY COUNT(*) DESC, p.label) AS rn
+           |  FROM $prev p JOIN sym s ON s.src = p.v GROUP BY s.dst, p.label) WHERE rn = 1)""".stripMargin
+      s"""
+      WITH ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
+      ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
+      SELECT v AS id, label AS community FROM l3 ORDER BY id"""
+    })),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

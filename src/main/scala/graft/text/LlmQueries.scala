@@ -659,7 +659,63 @@ object LlmQueries {
         })
         .toDF("doc_id", "frame_idx", "byte_offset", "window_len", "frame_feature")
         .orderBy("doc_id", "frame_idx")
-    }, None)
+    }, None),
+
+    // L2d — near-dup CLUSTER dedup: the action a pipeline takes after
+    // candidate generation. Near-dup similarity is not transitive, so pairs
+    // must be closed into clusters (connected components over the pair
+    // graph) before one canonical doc per cluster is kept — deduping by
+    // pairs alone either drops too much (both sides) or too little (one
+    // side of each pair independently). Pairs here are the exact 3-gram
+    // Jaccard join (l03's ground-truth generator); at 100 TB the pair
+    // source is the MinHash-LSH candidate set (l02) and the CC step is the
+    // same tiered Algorithms.connectedComponents — candidates are sparse,
+    // so the cluster graph is tiny relative to the corpus.
+    E("l16_dedup_clusters", (s, d) => {
+      val ws = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val tg = ws.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+        .distinct()
+      val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = tg.select(col("doc_id").as("da"), col("g"))
+        .join(tg.select(col("doc_id").as("db"), col("g")), Seq("g"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("i"))
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6) >= 0.2)
+        .select(col("da").as("src"), col("db").as("dst"))
+      graft.graph.Algorithms.connectedComponents(pairs)
+        .groupBy(col("component").as("canonical_doc"))
+        .agg(count(lit(1)).as("cluster_size"),
+             array_join(transform(sort_array(collect_list(col("id"))), x => x.cast("string")), ",")
+               .as("members"))
+        .orderBy("canonical_doc")
+    }, Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      tg AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+             FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+                FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT da, db
+                FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+                WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2),
+      sym AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs),
+      nds AS (SELECT DISTINCT src AS id FROM sym),
+      seeds AS (SELECT id FROM nds n
+                WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = n.id AND e.dst < n.id)),
+      lab(id, l) AS (
+        SELECT id, id FROM seeds
+        UNION
+        SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id),
+      comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)
+      SELECT cluster AS canonical_doc, COUNT(*) AS cluster_size,
+             string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      FROM comp GROUP BY cluster ORDER BY canonical_doc"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

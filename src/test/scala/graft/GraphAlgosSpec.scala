@@ -47,6 +47,26 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(7L) === 7L)
   }
 
+  test("labelPropagation splits bridge-joined triangles into their communities") {
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10: CC
+    // would merge everything; LPA keeps the dense cores apart
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Algorithms.labelPropagation(e, 3).as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(got(1L), got(2L), got(3L)).size === 1, "left triangle converges to one label")
+    assert(Set(got(10L), got(11L), got(12L)).size === 1, "right triangle converges to one label")
+    assert(got(1L) !== got(10L), "bridge must not merge the communities")
+  }
+
+  test("labelPropagation is deterministic across runs and partitionings") {
+    val t = Tables(spark, sfDir)
+    val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst"))
+    val a = Algorithms.labelPropagation(e2, 3).as[(Long, Long)].collect().toMap
+    val b = Algorithms.labelPropagation(e2.repartition(13), 3).as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("aggregateMessages in-weight stats match the DataFrame groupBy twin") {
     val t = Tables(spark, sfDir)
     val e = graft.graph.Ubo.suppliedByEdges(t)
