@@ -715,7 +715,36 @@ object LlmQueries {
       comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)
       SELECT cluster AS canonical_doc, COUNT(*) AS cluster_size,
              string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-      FROM comp GROUP BY cluster ORDER BY canonical_doc"""))
+      FROM comp GROUP BY cluster ORDER BY canonical_doc""")),
+
+    // L9b — int8 embedding quantization (symmetric absmax — the layout
+    // vector stores and training pipelines ship embeddings in: 4× smaller,
+    // SIMD-friendly dot products; scale stored per vector for dequantize).
+    // Numeric discipline for cross-engine hashing: all arithmetic in DOUBLE
+    // (float32 inputs widen exactly), and the round-half-up is spelled
+    // floor(x + 0.5) because Spark's and DuckDB's ROUND disagree on
+    // negative-tie direction. Zero vectors quantize to NULL (no scale).
+    // Output joins the int list to a string (graded-output convention for
+    // list columns — the compare is scalar-typed).
+    E("l17_quantize_int8", (s, d) => {
+      Tables(s, d).embeddings
+        .withColumn("amax", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .select(col("vec_id"),
+          round(col("amax"), 6).as("amax6"),
+          when(col("amax") === 0, lit(null))
+            .otherwise(array_join(transform(col("embedding"),
+              x => floor(x.cast("double") / col("amax") * 127.0 + 0.5).cast("int").cast("string")), ","))
+            .as("q"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id,
+             ROUND(amax, 6) AS amax6,
+             CASE WHEN amax = 0 THEN NULL
+                  ELSE array_to_string(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / amax * 127.0 + 0.5) AS INT)), ',') END AS q
+      FROM (SELECT vec_id, embedding,
+                   list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max') AS amax
+            FROM embeddings)
+      ORDER BY vec_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
