@@ -744,7 +744,31 @@ object LlmQueries {
       FROM (SELECT vec_id, embedding,
                    list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max') AS amax
             FROM embeddings)
-      ORDER BY vec_id"""))
+      ORDER BY vec_id""")),
+
+    // L5b — document chunking: fixed-size sliding token windows (size 20,
+    // stride 10) — how long documents become training/context-window units
+    // and retrieval passages. One explode per chunk start; the whole op is
+    // a single narrow projection + generator, so at 100 TB it pipelines
+    // inside the scan stage with no shuffle at all (ORDER BY here is only
+    // the graded-output determinism contract).
+    E("l18_chunking", (s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(0, size(ws) - 1, 10)")).as("i"))
+        .select(col("doc_id"),
+          (col("i") / lit(10)).cast("long").as("chunk_idx"),
+          array_join(slice(col("ws"), col("i") + 1, lit(20)), " ").as("chunk_text"),
+          least(lit(20), size(col("ws")) - col("i")).cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      SELECT doc_id, CAST(i / 10 AS BIGINT) AS chunk_idx,
+             array_to_string(ws[i+1:i+20], ' ') AS chunk_text,
+             LEAST(20, len(ws) - i) AS chunk_tokens
+      FROM toks, UNNEST(range(0, len(ws), 10)) AS t(i)
+      ORDER BY doc_id, chunk_idx"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
