@@ -16,8 +16,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // ERROR: the one recurring WARN (WindowExec on the documented global
-    // feed-order window) is by-design — see GraphBuilder.userTransitions
+    // ERROR: WARN-level noise (e.g. WindowExec on the small-feed window
+    // tier, which userTransitions only selects under its size threshold)
+    // would otherwise drown the bench JSON line
     s.sparkContext.setLogLevel("ERROR")
     s
   }

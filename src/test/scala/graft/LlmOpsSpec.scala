@@ -105,4 +105,47 @@ class LlmOpsSpec extends SparkSpec {
     val once = LlmQueries.queries("l01_exact_dedup")(spark, sfDir)
     assert(once.count() === once.distinct().count())
   }
+
+  test("int8 quantization dequantizes within the absmax error bound") {
+    val emb = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect().toMap
+    val q = LlmQueries.queries("l17_quantize_int8")(spark, sfDir)
+      .select(col("vec_id"), col("q")).as[(Long, Option[String])].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (id, qs) =>
+      val x = emb(id).map(_.toDouble)
+      val amax = x.map(math.abs).max
+      if (amax == 0.0) assert(qs.isEmpty, s"zero vector $id must quantize to null")
+      else {
+        val ints = qs.get.split(",").map(_.toInt)
+        assert(ints.length === x.length)
+        assert(ints.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+        // symmetric absmax: |x - q*scale| <= scale/2 where scale = amax/127
+        val scale = amax / 127.0
+        ints.zip(x).foreach { case (qv, xv) =>
+          assert(math.abs(xv - qv * scale) <= scale / 2 + 1e-12,
+            s"vec $id: $xv dequantizes to ${qv * scale}, beyond half-step")
+        }
+      }
+    }
+  }
+
+  test("dedup clusters: canonical doc is the cluster minimum and members partition the pair graph") {
+    val rows = LlmQueries.queries("l16_dedup_clusters")(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val allMembers = rows.flatMap(_._3.split(",").map(_.toLong))
+    assert(allMembers.distinct.length === allMembers.length, "clusters must not overlap")
+    rows.foreach { case (canonical, size, members) =>
+      val ms = members.split(",").map(_.toLong)
+      assert(ms.length.toLong === size)
+      assert(ms.min === canonical, "canonical must be the min member")
+      assert(size >= 2, "every cluster arises from at least one pair")
+    }
+    // members cover exactly the docs that appear in some near-dup pair
+    val pairDocs = LlmQueries.queries("l03_ngram_jaccard")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(allMembers.toSet === pairDocs)
+  }
 }
