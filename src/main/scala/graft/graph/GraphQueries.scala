@@ -481,6 +481,41 @@ object GraphQueries {
       SELECT v AS id, label AS community FROM l3 ORDER BY id"""
     })),
 
+    // G19 — neighborhood Jaccard (link-prediction / hidden-relationship
+    // feature, README.md:15's "shared directors" generalized): user pairs
+    // scored by |N(a)∩N(b)| / |N(a)∪N(b)| over the strong undirected user
+    // graph. Common-neighbor join through the shared neighbor (inverted
+    // index on the middle node — no all-pairs), so cost scales with
+    // 2-paths, not pairs; the same shape as g11's conflict join.
+    E("g19_neighbor_jaccard", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = Traversals.symmetrize(e2).distinct()
+      val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("n"))
+      val common = sym.select(col("src").as("a"), col("dst").as("x"))
+        .join(sym.select(col("src").as("b"), col("dst").as("x")), Seq("x"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      common
+        .join(deg.select(col("v").as("a"), col("n").as("na")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("n").as("nb")), Seq("b"))
+        .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy("a", "b")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      deg AS (SELECT src AS v, COUNT(*) AS n FROM sym GROUP BY 1),
+      common AS (SELECT p.src AS a, q.src AS b, COUNT(*) AS c
+                 FROM sym p JOIN sym q ON p.dst = q.dst AND p.src < q.src
+                 GROUP BY 1, 2)
+      SELECT a, b, ROUND(CAST(c AS DOUBLE) / (da.n + db.n - c), 6) AS jaccard
+      FROM common JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+      WHERE ROUND(CAST(c AS DOUBLE) / (da.n + db.n - c), 6) >= 0.2
+      ORDER BY a, b""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

@@ -683,7 +683,28 @@ object RelQueries {
       SELECT doc_id,
              array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*', 0), '|') AS a_words,
              len(regexp_extract_all(text, '[a-z]*a[a-z]*', 0)) AS n_a_words
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // R34 — event-time RANGE window frame (trailing 30-day revenue per
+    // customer): the frame is bounded by the ORDER-BY VALUE, not row
+    // position, so same-date peers enter together and the result is
+    // independent of tie order — the deterministic form of a moving
+    // time-window aggregate (r15 covers positional ROWS frames). Exact
+    // decimal sums keep the double cast engine-identical.
+    E("r34_range_frame", (s, d) => {
+      Tables(s, d).orders.createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sum30
+        FROM orders_v ORDER BY o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sum30
+      FROM orders ORDER BY o_orderkey"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
