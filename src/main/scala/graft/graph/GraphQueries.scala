@@ -13,6 +13,34 @@ object GraphQueries {
 
   import GraphSql.{edgesCte, nodesCte}
 
+  /** Shared customer→supplier UBO propagation (3 layered steps, ε=0.005) —
+    * single-sourced for g03_ubo_exposure and g03_ubo_owners so the Spark
+    * pipeline and its SQL mirror can never drift between the two.
+    */
+  private def uboCustomerSupplier(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    val placed = Ubo.placedEdges(t)
+    val init = placed.select(col("src").as("owner")).distinct()
+      .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
+    // layered propagation: each step joins only its DAG layer (customer→
+    // order→part→supplier) — same results as the full-union join (a probe
+    // on entity=src can only match the matching layer), smaller per-step
+    // probe sides. materializeLayers=false: each layer is probed exactly
+    // once, so checkpointing it would pay a full write+read for zero reuse.
+    Ubo.propagateLayers(
+      Seq(placed, Ubo.containsEdges(t), Ubo.suppliedByEdges(t)),
+      init, epsilon = Some(0.005), materializeLayers = false)
+  }
+
+  /** SQL mirror of [[uboCustomerSupplier]]: CTE chain ending in `s3`. */
+  private val uboCustomerSupplierSql: String =
+    s"""${UboSql.uboEdgesCte},
+       |s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
+       |       FROM ubo_edges WHERE src >= 3000000000 AND src < 4000000000),
+       |${UboSql.step("s0", "s1", "ubo_edges", Some(0.005))},
+       |${UboSql.step("s1", "s2", "ubo_edges", Some(0.005))},
+       |${UboSql.step("s2", "s3", "ubo_edges", Some(0.005))}""".stripMargin
+
   private val entries: Seq[E] = Seq(
 
     // S2 — node scan by label (Cypher `MATCH (n:supplier)`, README.md:25):
@@ -139,29 +167,12 @@ object GraphQueries {
     // over the normalized 3-layer ownership DAG — multiply weights along each
     // path, sum over parallel paths (matrix-power propagation, 3 steps).
     E("g03_ubo_exposure", (s, d) => {
-      val t = Tables(s, d)
-      val placed = Ubo.placedEdges(t)
-      val init = placed.select(col("src").as("owner")).distinct()
-        .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
-      // layered propagation: each step joins only its DAG layer (customer→
-      // order→part→supplier) — same results as the full-union join (a probe
-      // on entity=src can only match the matching layer), smaller per-step
-      // probe sides. Oracle unchanged for the same reason.
-      // materializeLayers=false: each layer is probed exactly once here, so
-      // checkpointing it would pay a full write+read for zero reuse
-      Ubo.propagateLayers(
-          Seq(placed, Ubo.containsEdges(t), Ubo.suppliedByEdges(t)),
-          init, epsilon = Some(0.005), materializeLayers = false)
+      uboCustomerSupplier(s, d)
         .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("exposure"))
         .filter(col("exposure") >= 0.01)
         .orderBy("owner", "supplier")
     }, Some(s"""
-      WITH ${UboSql.uboEdgesCte},
-      s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
-             FROM ubo_edges WHERE src >= 3000000000 AND src < 4000000000),
-      ${UboSql.step("s0", "s1", "ubo_edges", Some(0.005))},
-      ${UboSql.step("s1", "s2", "ubo_edges", Some(0.005))},
-      ${UboSql.step("s2", "s3", "ubo_edges", Some(0.005))}
+      WITH $uboCustomerSupplierSql
       SELECT owner, entity AS supplier, ROUND(share, 6) AS exposure
       FROM s3 WHERE ROUND(share, 6) >= 0.01
       ORDER BY owner, supplier""")),
@@ -169,27 +180,16 @@ object GraphQueries {
     // G3c — UBO regulatory-threshold flag (README.md:13's UBO convention):
     // owners whose propagated share into an entity is >= 25% — the
     // "beneficial owner" list a compliance user actually reads off the
-    // propagation. Composes the same layered propagation as g03_ubo_exposure
-    // with the threshold; the filter on the ROUNDED share keeps the
-    // float-order-dependent boundary deterministic in both engines.
+    // propagation. Same shared propagation as g03_ubo_exposure; the filter
+    // on the ROUNDED share keeps the float-order-dependent boundary
+    // deterministic in both engines.
     E("g03_ubo_owners", (s, d) => {
-      val t = Tables(s, d)
-      val placed = Ubo.placedEdges(t)
-      val init = placed.select(col("src").as("owner")).distinct()
-        .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"))
-      Ubo.propagateLayers(
-          Seq(placed, Ubo.containsEdges(t), Ubo.suppliedByEdges(t)),
-          init, epsilon = Some(0.005), materializeLayers = false)
+      uboCustomerSupplier(s, d)
         .select(col("owner"), col("entity").as("supplier"), round(col("share"), 6).as("share6"))
         .filter(col("share6") >= 0.25)
         .orderBy("owner", "supplier")
     }, Some(s"""
-      WITH ${UboSql.uboEdgesCte},
-      s0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share
-             FROM ubo_edges WHERE src >= 3000000000 AND src < 4000000000),
-      ${UboSql.step("s0", "s1", "ubo_edges", Some(0.005))},
-      ${UboSql.step("s1", "s2", "ubo_edges", Some(0.005))},
-      ${UboSql.step("s2", "s3", "ubo_edges", Some(0.005))}
+      WITH $uboCustomerSupplierSql
       SELECT owner, entity AS supplier, ROUND(share, 6) AS share6
       FROM s3 WHERE ROUND(share, 6) >= 0.25
       ORDER BY owner, supplier""")),

@@ -39,6 +39,43 @@ object LlmQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), (acc, v) -> acc + v)"
 
+  /** Exact 3-gram Jaccard near-dup pairs (da < db, jaccard >= 0.2) via an
+    * inverted-index join on the trigram — single-sourced for
+    * l03_ngram_jaccard (which grades the pairs) and l16_dedup_clusters
+    * (which closes them into clusters), so the tokenization/threshold can
+    * never drift between the two — LlmOpsSpec asserts their consistency.
+    */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables(s, d).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tg = ws.select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+      .distinct()
+    val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    tg.select(col("doc_id").as("da"), col("g"))
+      .join(tg.select(col("doc_id").as("db"), col("g")), Seq("g"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** SQL mirror of [[ngramJaccardPairs]]: CTE chain ending in `pairs`. */
+  private val ngramJaccardPairsSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |tg AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+      |       FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT da, db, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |          FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |          WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2)""".stripMargin
+
   private val entries: Seq[E] = Seq(
 
     // L1 — exact dedup: canonical (min) doc per distinct text + copy count.
@@ -115,35 +152,10 @@ object LlmQueries {
     // L2b — exact 3-gram Jaccard near-dup join (oracle-able ground truth for
     // the LSH path; inverted-index join, NOT an all-pairs cross join).
     E("l03_ngram_jaccard", (s, d) => {
-      val ws = Tables(s, d).documents
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      val tg = ws.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
-        .distinct()
-      val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = tg.select(col("doc_id").as("da"), col("g"))
-        .join(tg.select(col("doc_id").as("db"), col("g")), Seq("g"))
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-        .filter(col("jaccard") >= 0.2)
-        .select(col("da"), col("db"), col("jaccard"))
-        .orderBy("da", "db")
-    }, Some("""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      tg AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
-             FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
-      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      SELECT da, db, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-      FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2
-      ORDER BY da, db""")),
+      ngramJaccardPairs(s, d).orderBy("da", "db")
+    }, Some(s"""
+      WITH $ngramJaccardPairsSql
+      SELECT da, db, jaccard FROM pairs ORDER BY da, db""")),
 
     // L2c — SimHash: 16-bit fingerprint from per-token xxhash64 bit votes
     // (rows-only: hash function isn't oracle-mirrorable; property-tested).
@@ -672,20 +684,7 @@ object LlmQueries {
     // same tiered Algorithms.connectedComponents — candidates are sparse,
     // so the cluster graph is tiny relative to the corpus.
     E("l16_dedup_clusters", (s, d) => {
-      val ws = Tables(s, d).documents
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      val tg = ws.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
-        .distinct()
-      val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = tg.select(col("doc_id").as("da"), col("g"))
-        .join(tg.select(col("doc_id").as("db"), col("g")), Seq("g"))
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("i"))
-        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .filter(round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6) >= 0.2)
+      val pairs = ngramJaccardPairs(s, d)
         .select(col("da").as("src"), col("db").as("dst"))
       graft.graph.Algorithms.connectedComponents(pairs)
         .groupBy(col("component").as("canonical_doc"))
@@ -693,17 +692,9 @@ object LlmQueries {
              array_join(transform(sort_array(collect_list(col("id"))), x => x.cast("string")), ",")
                .as("members"))
         .orderBy("canonical_doc")
-    }, Some("""
+    }, Some(s"""
       WITH RECURSIVE
-      toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      tg AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
-             FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
-      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-                FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      pairs AS (SELECT da, db
-                FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-                WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2),
+      $ngramJaccardPairsSql,
       sym AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs),
       nds AS (SELECT DISTINCT src AS id FROM sym),
       seeds AS (SELECT id FROM nds n

@@ -98,7 +98,9 @@ class AsOfJoinSpec extends SparkSpec {
     val right = (1 to 400).map(i => (rnd.nextInt(12).toLong, rnd.nextInt(500).toLong, i.toLong))
       .toDF("rk", "rts", "payload")
       .groupBy("rk", "rts").agg(max("payload").as("payload")).repartition(3)
-    val joined = AsOf.join(left, right, "k", "rk", "lts", "rts")
+    // A Dataset caches its QueryExecution, so conf changes after the first
+    // collect would be ignored — build a FRESH query per measurement.
+    def joined() = AsOf.join(left, right, "k", "rk", "lts", "rts")
       .select(col("k"), col("lts"), col("payload"))
     // fallback=false: a Janino error in the generated merge would fail the
     // test instead of silently degrading to doExecute. Collect the DataFrame
@@ -110,13 +112,18 @@ class AsOfJoinSpec extends SparkSpec {
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val withCodegen = rows(joined.collect())
-      val plan = joined.queryExecution.executedPlan.toString
+      val compiled = joined()
+      val withCodegen = rows(compiled.collect())
+      val plan = compiled.queryExecution.executedPlan.toString
       val asofLine = plan.linesIterator.find(_.contains("AsOfJoin")).get
       assert(asofLine.trim.stripPrefix("+- ").stripPrefix(":- ").startsWith("*"),
         s"AsOfJoinExec is not inside a WholeStageCodegen stage:\n$plan")
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      val interpreted = rows(joined.collect())
+      val fresh = joined()
+      val interpreted = rows(fresh.collect())
+      val interpretedPlan = fresh.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\)""".r.findFirstIn(interpretedPlan).isEmpty,
+        s"interpreted run must not contain codegen stages:\n$interpretedPlan")
       assert(withCodegen === interpreted)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
