@@ -18,11 +18,12 @@ import org.apache.spark.sql.types.StructType
   * single-partition window form stays correct but serializes the feed
   * through one core. `lead` is lag over the reversed sort order.
   *
-  * Output contract: the input columns plus `prev_<c>` (k = 1) or
-  * `prev<k>_<c>` (nullable) for each requested lag column — exactly
-  * `lag(c, k) OVER (ORDER BY sortCols)`. Ordering of OUTPUT ROWS is not
-  * part of the contract (downstream consumers aggregate or re-sort, as
-  * with any shuffle output).
+  * Output contract: the input columns plus `prev_<c>` / `prev<k>_<c>`
+  * (lag) or `next_<c>` / `next<k>_<c>` (lead), nullable, for each
+  * requested column — exactly `lag(c, k)` / `lead(c, k)`
+  * `OVER (ORDER BY sortCols)`. Ordering of OUTPUT ROWS is not part of the
+  * contract (downstream consumers aggregate or re-sort, as with any
+  * shuffle output).
   */
 object OrderedLag {
   def withLag1(df: DataFrame, sortCols: Seq[String], lagCols: Seq[String],
@@ -30,14 +31,35 @@ object OrderedLag {
     withLag(df, sortCols, lagCols, 1, numPartitions)
 
   def withLag(df: DataFrame, sortCols: Seq[String], lagCols: Seq[String],
-              k: Int, numPartitions: Int = 0): DataFrame = {
-    require(k >= 1, s"lag offset must be >= 1, got $k")
+              k: Int, numPartitions: Int = 0): DataFrame =
+    run(df, sortCols, descending = false, lagCols, k, numPartitions,
+        if (k == 1) "prev_" else s"prev${k}_")
+
+  def withLead1(df: DataFrame, sortCols: Seq[String], leadCols: Seq[String],
+                numPartitions: Int = 0): DataFrame =
+    withLead(df, sortCols, leadCols, 1, numPartitions)
+
+  /** `lead(c, k) OVER (ORDER BY sortCols)` — exactly [[withLag]] run over
+    * the REVERSED total order (lead in an order is lag in its reverse), so
+    * the same two-job boundary-handoff machinery serves both directions.
+    * Output columns are `next_<c>` / `next<k>_<c>`.
+    */
+  def withLead(df: DataFrame, sortCols: Seq[String], leadCols: Seq[String],
+               k: Int, numPartitions: Int = 0): DataFrame =
+    run(df, sortCols, descending = true, leadCols, k, numPartitions,
+        if (k == 1) "next_" else s"next${k}_")
+
+  private def run(df: DataFrame, sortCols: Seq[String], descending: Boolean,
+                  lagCols: Seq[String], k: Int, numPartitions: Int,
+                  prefix: String): DataFrame = {
+    require(k >= 1, s"lag/lead offset must be >= 1, got $k")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
+    val sortExprs = sortCols.map(c => if (descending) col(c).desc else col(c).asc)
     val sorted = df
-      .repartitionByRange(p, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+      .repartitionByRange(p, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
       // pin the partitioning: the range sampler is not deterministic across
       // jobs, and the boundary pass and the pairing pass MUST see identical
       // partitions
@@ -65,7 +87,6 @@ object OrderedLag {
         i -> acc.toSeq
       }.toMap
       val bSeeds = spark.sparkContext.broadcast(seeds)
-      val prefix = if (k == 1) "prev_" else s"prev${k}_"
       val outSchema = StructType(df.schema.fields ++
         lagCols.map(c => df.schema(c).copy(name = s"$prefix$c", nullable = true)))
       val nulls = lagCols.map(_ => null)

@@ -41,6 +41,34 @@ class OrderedLagSpec extends SparkSpec {
     assert(viaOp === viaWindow)
   }
 
+  test("withLead1 equals the global-window lead on random multi-partition data") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 2000).map(i => (rnd.nextInt(200).toLong, i.toLong, rnd.nextInt(50).toLong))
+      .toDF("k", "seq", "v").repartition(11)
+    val viaOp = OrderedLag.withLead1(df, Seq("k", "seq"), Seq("v"), numPartitions = 6)
+      .select(col("k"), col("seq"), col("next_v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val viaWindow = df
+      .withColumn("next_v", lead(col("v"), 1).over(Window.orderBy(col("k"), col("seq"))))
+      .select(col("k"), col("seq"), col("next_v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(viaOp === viaWindow)
+  }
+
+  test("withLead at offset 2 equals the global-window lead(c, 2)") {
+    val rnd = new scala.util.Random(37)
+    val df = (1 to 400).map(i => (rnd.nextInt(30).toLong, i.toLong, rnd.nextInt(9).toLong))
+      .toDF("k", "seq", "v").repartition(7)
+    val viaOp = OrderedLag.withLead(df, Seq("k", "seq"), Seq("v"), k = 2, numPartitions = 5)
+      .select(col("k"), col("seq"), col("next2_v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val viaWindow = df
+      .withColumn("next2_v", lead(col("v"), 2).over(Window.orderBy(col("k"), col("seq"))))
+      .select(col("k"), col("seq"), col("next2_v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(viaOp === viaWindow)
+  }
+
   test("withLag1 handles a partition count exceeding the row count") {
     val df = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v")
     val got = OrderedLag.withLag1(df, Seq("k"), Seq("v"), numPartitions = 16)
