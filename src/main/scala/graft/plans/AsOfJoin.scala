@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 /** AS-OF JOIN as a full custom operator — logical node + planner strategy +
   * physical sort-merge exec (SURVEY.md §2.3 R7; the "state of an entity as
@@ -269,5 +269,34 @@ object AsOf {
       e.dataType == LongType || e.dataType == TimestampType || e.dataType == TimestampNTZType,
       s"as-of timestamp must be TimestampType/TimestampNTZType/LongType, got ${e.dataType}"))
     GraftPlanBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lts, rts, strict))
+  }
+
+  /** LEFT FORWARD as-of join: for every left row, the right row with the
+    * same key and the SMALLEST right timestamp ≥ the left timestamp
+    * (`strict = true` uses >, i.e. strictly later); null-extended when none
+    * exists. "The next event after T" — the mirror image of [[join]].
+    * Implemented as [[join]] over NEGATED epoch-micros (forward in an order
+    * is backward in its reverse), so the same logical node, exec, and
+    * whole-stage codegen serve both directions. Matches DuckDB's
+    * `ASOF LEFT JOIN ... ON l.ts <= r.ts` / `<`.
+    */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String,
+                  strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def neg(df: DataFrame, ts: String): org.apache.spark.sql.Column =
+      df.schema(ts).dataType match {
+        case LongType => -col(ts)
+        case TimestampType => -unix_micros(col(ts))
+        // UTC sessions (the engine contract, GraftSession) make this cast lossless
+        case TimestampNTZType => -unix_micros(col(ts).cast(TimestampType))
+        case dt => throw new IllegalArgumentException(s"unsupported as-of timestamp type $dt")
+      }
+    val (lNeg, rNeg) = ("__asof_neg_lts", "__asof_neg_rts")
+    join(left.withColumn(lNeg, neg(left, leftTs)),
+         right.withColumn(rNeg, neg(right, rightTs)),
+         leftKey, rightKey, lNeg, rNeg, strict)
+      .drop(lNeg, rNeg)
   }
 }

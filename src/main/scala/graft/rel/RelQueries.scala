@@ -178,6 +178,28 @@ object RelQueries {
         ON l.user_id = r.ru AND l.ts > r.rts
       ORDER BY l.event_id""")),
 
+    // R7c — FORWARD as-of via the same custom operator over negated time:
+    // for every order, the customer's NEXT interaction at-or-after the
+    // order date ("what happened after T" — the follow-up direction of the
+    // time-slider). Most orders have no matching user/era → exercises the
+    // null-extension path at volume. Oracle: DuckDB native ASOF with `<=`.
+    E("r07c_asof_forward", (s, d) => {
+      val t = Tables(s, d)
+      val orders = t.orders.select(col("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"), col("o_orderdate"))
+      val events = t.events.groupBy(col("user_id").cast("long").as("ru"), col("ts").as("rts"))
+        .agg(max(col("event_id")).as("next_event_id"))
+      graft.plans.AsOf.joinForward(orders, events, "o_custkey", "ru", "o_orderdate", "rts")
+        .select(col("o_orderkey"), col("next_event_id"), unix_micros(col("rts")).as("next_ts_us"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT l.o_orderkey, r.next_event_id, epoch_us(r.rts) AS next_ts_us
+      FROM orders l ASOF LEFT JOIN
+        (SELECT user_id AS ru, ts AS rts, MAX(event_id) AS next_event_id
+         FROM events GROUP BY 1, 2) r
+        ON l.o_custkey = r.ru AND l.o_orderdate <= r.rts
+      ORDER BY l.o_orderkey""")),
+
     // R8 — cross join (bounded: 5×5 regions)
     E("r08_cross_join", (s, d) => {
       val t = Tables(s, d)

@@ -131,6 +131,44 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of: each left row sees the earliest right row at-or-after it") {
+    val left = Seq((1L, 100L), (1L, 205L), (2L, 50L), (3L, 10L)).toDF("k", "lts")
+    val right = Seq((1L, 100L, 11L), (1L, 200L, 12L), (1L, 300L, 13L), (2L, 40L, 21L))
+      .toDF("rk", "rts", "payload")
+    val got = AsOf.joinForward(left, right, "k", "rk", "lts", "rts")
+      .select(col("k"), col("lts"), col("payload"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, 100L, Some(11L)), // inclusive tie matches
+      (1L, 205L, Some(13L)), // next-later row
+      (2L, 50L, None),       // right exists but only earlier
+      (3L, 10L, None)))
+    val strict = AsOf.joinForward(left, right, "k", "rk", "lts", "rts", strict = true)
+      .select(col("k"), col("lts"), col("payload"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(strict.contains((1L, 100L, Some(12L))), "strict skips the exact tie")
+  }
+
+  test("forward as-of matches the min-by rewrite on random multi-partition data") {
+    val rnd = new scala.util.Random(53)
+    val left = (1 to 400).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(800).toLong))
+      .toDF("k", "lts").distinct().repartition(6)
+    val right = (1 to 600).map(i => (rnd.nextInt(18).toLong, rnd.nextInt(800).toLong, i.toLong))
+      .toDF("rk", "rts", "payload")
+      .groupBy("rk", "rts").agg(max("payload").as("payload")).repartition(4)
+    def keyed(a: Array[(Long, Long, Option[Long])]) =
+      a.map { case (k, lts, p) => (k, lts) -> p }.toMap
+    val got = keyed(AsOf.joinForward(left, right, "k", "rk", "lts", "rts")
+      .select(col("k"), col("lts"), col("payload"))
+      .as[(Long, Long, Option[Long])].collect())
+    val rewrite = keyed(left.join(right,
+        col("k") === col("rk") && col("rts") >= col("lts"), "left_outer")
+      .groupBy("k", "lts")
+      .agg(min_by(col("payload"), struct(col("rts"), col("payload"))).as("payload"))
+      .as[(Long, Long, Option[Long])].collect())
+    assert(got === rewrite)
+  }
+
   test("as-of join on real tables matches the window rewrite") {
     val t = Tables(spark, sfDir)
     val orders = t.orders.select(col("o_orderkey"),
