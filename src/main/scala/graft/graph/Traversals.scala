@@ -110,15 +110,21 @@ object Traversals {
     * neighborhood of `centerId` (reference: interactive relationship mapping
     * renders a neighborhood, README.md:11).
     */
-  def egoNet(edges: DataFrame, centerId: Long, radius: Int): DataFrame = {
+  def egoNet(edges: DataFrame, centerId: Long, radius: Int,
+             broadcastMaxRows: Long = 4000000L): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.transform(Materialize.apply) // reused: symmetrize + 2 induced joins
     val start = spark.range(1).select(lit(centerId).as("id"))
-    val reach = kHop(symmetrize(e), start, radius).select(col("id"))
+    val reach = kHop(symmetrize(e), start, radius, broadcastMaxRows).select(col("id"))
     // ego neighborhoods are drill-down-sized; the materialized reach set is
     // RDD-backed (no stats), so hint the broadcast for the induced joins —
-    // same rationale as the kHop frontier hints
-    e.join(broadcast(reach.withColumnRenamed("id", "sid")), col("src") === col("sid"), "left_semi")
-      .join(broadcast(reach.withColumnRenamed("id", "did")), col("dst") === col("did"), "left_semi")
+    // gated on the measured reach size, same contract as the kHop hints
+    // (one cheap count over checkpointed blocks; oversized reach degrades
+    // to shuffle semi-joins instead of overflowing the driver)
+    val reachGated =
+      if (reach.count() <= broadcastMaxRows) (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
+    e.join(reachGated(reach.withColumnRenamed("id", "sid")), col("src") === col("sid"), "left_semi")
+      .join(reachGated(reach.withColumnRenamed("id", "did")), col("dst") === col("did"), "left_semi")
   }
 }
