@@ -657,6 +657,29 @@ object RelQueries {
       WHERE ((o_orderkey % 1000000007) * 2654435761) % 100 < 5
       ORDER BY o_orderkey""")),
 
+    // R35 — distribution-position window family beyond r13's rank/
+    // dense_rank: ntile quartiles, percent_rank, cume_dist per nation.
+    // The ORDER BY is (acctbal, custkey) — a TOTAL order — because ntile
+    // splits tie groups by row position, so a non-total order would be
+    // nondeterministic across engines/partitionings.
+    E("r35_window_ranks", (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, d).customer.select(
+          col("c_nationkey").cast("long").as("c_nationkey"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_nationkey, c_custkey,
+             NTILE(4) OVER w AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cdist
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""")),
+
     // R31 — unpivot / melt (wide → long; report-matrix inverse of R18):
     // per-customer numeric attributes to (attribute, value) rows.
     E("r31_unpivot", (s, d) => {

@@ -96,7 +96,33 @@ object SourceQueries {
       SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS size_sum,
              ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum
       FROM part WHERE p_size >= 10
-      GROUP BY p_brand ORDER BY p_brand"""))
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    // S5b — hive-partitioned layout round-trip: write supplier partitioned
+    // by nation (one directory per key — the at-scale layout), read back
+    // with a partition-key predicate. The filter prunes DIRECTORIES before
+    // any file is opened (PartitionFilters in the scan, not a data filter)
+    // — at 100 TB this is the difference between reading 5/25ths of the
+    // table and reading it all. Partition columns come back as inferred
+    // ints; cast to long for a stable graded schema.
+    E("s04_partitioned_roundtrip", (s, d) => {
+      val path = tmpDir("supplier_part")
+      Tables(s, d).supplier
+        .select(col("s_suppkey").cast("long").as("s_suppkey"),
+                col("s_acctbal").cast("double").as("s_acctbal"),
+                col("s_nationkey").cast("long").as("s_nationkey"))
+        .write.mode("overwrite").partitionBy("s_nationkey").parquet(path)
+      s.read.parquet(path)
+        .filter(col("s_nationkey") < 5)
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             round(sum(graft.Tables.dec(col("s_acctbal"))).cast("double"), 2).as("acctbal_sum"))
+        .orderBy("s_nationkey")
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS acctbal_sum
+      FROM supplier WHERE s_nationkey < 5
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
