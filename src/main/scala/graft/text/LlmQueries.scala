@@ -737,6 +737,35 @@ object LlmQueries {
             FROM embeddings)
       ORDER BY vec_id""")),
 
+    // L7b — corpus-frequency rarity scoring: per document, the fraction of
+    // token OCCURRENCES whose corpus-wide frequency is ≤ 2, plus the rarest
+    // frequency touched — the OOV/garbage detector a curation pipeline runs
+    // before training (high rare-ratio = misencoded or synthetic junk).
+    // Deliberately transcendental-free (counts + one rounded division):
+    // a log-prob score would hang cross-engine parity on libm last-ulp
+    // agreement. Scale shape: the frequency table is vocabulary-sized, so
+    // at 100 TB the join back to tokens is a broadcast, not a shuffle.
+    E("l19_rare_tokens", (s, d) => {
+      val tok = Tables(s, d).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      tok.join(broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when(col("cnt") <= 2, 1).otherwise(0)).cast("long").as("n_rare"),
+             min(col("cnt")).as("min_freq"))
+        .withColumn("rare_ratio", round(col("n_rare").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             MIN(cnt) AS min_freq,
+             ROUND(CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_ratio
+      FROM tok JOIN freq USING (tok)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // L5b — document chunking: fixed-size sliding token windows (size 20,
     // stride 10) — how long documents become training/context-window units
     // and retrieval passages. One explode per chunk start; the whole op is
