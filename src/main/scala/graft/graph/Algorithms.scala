@@ -355,6 +355,31 @@ object Algorithms {
     pr
   }
 
+  /** Personalized PageRank, bounded power iteration: rank mass teleports to
+    * the SEED (not uniformly), so scores measure influence relative to one
+    * entity — "which nodes matter around X", the entity-centric variant of
+    * [[pageRankBounded]] (Page et al. 1999 §6 personalized vector). Same
+    * shuffle profile (one join + agg per step) and the same unrolled-CTE
+    * oracle shape; fixed iterations keep it deterministic.
+    */
+  def personalizedPageRankBounded(edges: DataFrame, seed: Long, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight")).transform(Materialize.apply)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().transform(Materialize.apply)
+    val teleport = when(col("id") === seed, lit(0.15)).otherwise(lit(0.0))
+    var pr = nodes.withColumn("pr", when(col("id") === seed, lit(1.0)).otherwise(lit(0.0)))
+    var i = 0
+    while (i < iters) {
+      val msgs = pr.join(e, col("id") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("pr") * col("weight")).as("s"))
+      pr = nodes.join(msgs, col("id") === col("dst"), "left_outer")
+        .select(col("id"), (teleport + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .transform(Materialize.apply)
+      i += 1
+    }
+    pr
+  }
+
   /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a
     * deterministic sample of source nodes, accumulated. O(sources × E) —

@@ -415,6 +415,31 @@ object GraphQueries {
       SELECT id, ROUND(pr, 6) AS pr FROM p5 ORDER BY id"""
     })),
 
+    // G20 — personalized PageRank from user 0 over the full INTERACTED
+    // graph: influence relative to ONE entity (the drill-down ranking
+    // behind "map the network around X", README.md:11), vs g09's global
+    // ranking. 5 fixed steps; CASE teleport mirrors exactly in SQL.
+    E("g20_ppr", (s, d) => {
+      Algorithms.personalizedPageRankBounded(
+          Ubo.interactedWeighted(Tables(s, d)), GraphBuilder.UserBase, 5)
+        .select(col("id"), round(col("pr"), 6).as("ppr"))
+        .orderBy("id")
+    }, Some({
+      def step(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.id,
+           |  (CASE WHEN n.id = 7000000000 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + 0.85 * COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nodes n LEFT JOIN (SELECT e.dst, SUM(p.pr * e.weight) AS s
+           |    FROM $prev p JOIN ie_edges e ON e.src = p.id GROUP BY 1) m ON m.dst = n.id)""".stripMargin
+      s"""
+      WITH ${UboSql.interactedWeightedCte},
+      nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ie_edges UNION ALL SELECT dst FROM ie_edges)),
+      p0 AS (SELECT id, CASE WHEN id = 7000000000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr FROM nodes),
+      ${step("p0", "p1")}, ${step("p1", "p2")}, ${step("p2", "p3")},
+      ${step("p3", "p4")}, ${step("p4", "p5")}
+      SELECT id, ROUND(pr, 6) AS ppr FROM p5 ORDER BY id"""
+    })),
+
     // G10 — sampled Brandes betweenness on the undirected strong user graph
     // (golden-tested; no SQL oracle — rows-only check).
     E("g10_betweenness", (s, d) => {
