@@ -64,6 +64,21 @@ object LlmQueries {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Seeded-local-minima min-label closure over `pairs` (da, db) — CTE
+    * chain ending in `comp` (id, cluster); see g07_cc_full's oracle for
+    * the exactness argument. Shared by l16 and l20.
+    */
+  private val pairClosureSql: String =
+    """sym AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs),
+      |nds AS (SELECT DISTINCT src AS id FROM sym),
+      |seeds AS (SELECT id FROM nds n
+      |          WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = n.id AND e.dst < n.id)),
+      |lab(id, l) AS (
+      |  SELECT id, id FROM seeds
+      |  UNION
+      |  SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id),
+      |comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)""".stripMargin
+
   /** SQL mirror of [[ngramJaccardPairs]]: CTE chain ending in `pairs`. */
   private val ngramJaccardPairsSql: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -695,18 +710,34 @@ object LlmQueries {
     }, Some(s"""
       WITH RECURSIVE
       $ngramJaccardPairsSql,
-      sym AS (SELECT da AS src, db AS dst FROM pairs UNION SELECT db, da FROM pairs),
-      nds AS (SELECT DISTINCT src AS id FROM sym),
-      seeds AS (SELECT id FROM nds n
-                WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = n.id AND e.dst < n.id)),
-      lab(id, l) AS (
-        SELECT id, id FROM seeds
-        UNION
-        SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id),
-      comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)
+      $pairClosureSql
       SELECT cluster AS canonical_doc, COUNT(*) AS cluster_size,
              string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
       FROM comp GROUP BY cluster ORDER BY canonical_doc""")),
+
+    // L2e — dedup APPLIED: the retained corpus after near-dup cluster
+    // dedup — every document except the non-canonical members of each
+    // cluster (identical texts of >= 3 tokens share all trigrams, so exact
+    // duplicates are subsumed at jaccard 1.0). This is the final output a
+    // curation pipeline actually ships downstream; composing it from the
+    // shared pair + closure pipelines keeps all three dedup views (pairs,
+    // clusters, retained corpus) provably consistent.
+    E("l20_dedup_apply", (s, d) => {
+      val pairs = ngramJaccardPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val drop = graft.graph.Algorithms.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      Tables(s, d).documents.select(col("doc_id"))
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH RECURSIVE
+      $ngramJaccardPairsSql,
+      $pairClosureSql
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+      ORDER BY doc_id""")),
 
     // L9b — int8 embedding quantization (symmetric absmax — the layout
     // vector stores and training pipelines ship embeddings in: 4× smaller,
