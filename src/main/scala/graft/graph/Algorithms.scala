@@ -338,17 +338,27 @@ object Algorithms {
     * mirror (computing 1−0.15 would yield a different double than the 0.85
     * literal).
     */
-  def pageRankBounded(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankBounded(edges: DataFrame, iters: Int): DataFrame =
+    prIterate(edges, iters, initPr = lit(1.0), teleport = lit(0.15))
+
+  /** Shared bounded power-iteration loop for [[pageRankBounded]] (uniform
+    * init + teleport) and [[personalizedPageRankBounded]] (seed-gated) —
+    * one copy of the join-aggregate step and its Materialize cadence.
+    * `initPr`/`teleport` are expressions over the node `id` column.
+    */
+  private def prIterate(edges: DataFrame, iters: Int,
+                        initPr: org.apache.spark.sql.Column,
+                        teleport: org.apache.spark.sql.Column): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight")).transform(Materialize.apply)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().transform(Materialize.apply)
-    var pr = nodes.withColumn("pr", lit(1.0))
+    var pr = nodes.withColumn("pr", initPr)
     var i = 0
     while (i < iters) {
       val msgs = pr.join(e, col("id") === col("src"))
         .groupBy(col("dst")).agg(sum(col("pr") * col("weight")).as("s"))
       pr = nodes.join(msgs, col("id") === col("dst"), "left_outer")
-        .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .select(col("id"), (teleport + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
         .transform(Materialize.apply)
       i += 1
     }
@@ -362,23 +372,10 @@ object Algorithms {
     * shuffle profile (one join + agg per step) and the same unrolled-CTE
     * oracle shape; fixed iterations keep it deterministic.
     */
-  def personalizedPageRankBounded(edges: DataFrame, seed: Long, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight")).transform(Materialize.apply)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().transform(Materialize.apply)
-    val teleport = when(col("id") === seed, lit(0.15)).otherwise(lit(0.0))
-    var pr = nodes.withColumn("pr", when(col("id") === seed, lit(1.0)).otherwise(lit(0.0)))
-    var i = 0
-    while (i < iters) {
-      val msgs = pr.join(e, col("id") === col("src"))
-        .groupBy(col("dst")).agg(sum(col("pr") * col("weight")).as("s"))
-      pr = nodes.join(msgs, col("id") === col("dst"), "left_outer")
-        .select(col("id"), (teleport + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .transform(Materialize.apply)
-      i += 1
-    }
-    pr
-  }
+  def personalizedPageRankBounded(edges: DataFrame, seed: Long, iters: Int): DataFrame =
+    prIterate(edges, iters,
+      initPr = when(col("id") === seed, lit(1.0)).otherwise(lit(0.0)),
+      teleport = when(col("id") === seed, lit(0.15)).otherwise(lit(0.0)))
 
   /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a

@@ -289,8 +289,14 @@ object AsOf {
       df.schema(ts).dataType match {
         case LongType => -col(ts)
         case TimestampType => -unix_micros(col(ts))
-        // UTC sessions (the engine contract, GraftSession) make this cast lossless
-        case TimestampNTZType => -unix_micros(col(ts).cast(TimestampType))
+        // NTZ must negate its NAIVE micros with no session-timezone step —
+        // a cast through TimestampType would shift by the session offset
+        // and make the forward direction disagree with the backward join
+        // (which evaluates NTZ natively) outside UTC sessions.
+        // timestampdiff over two NTZ values is a pure naive difference.
+        case TimestampNTZType =>
+          -org.apache.spark.sql.functions.expr(
+            s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$ts`)")
         case dt => throw new IllegalArgumentException(s"unsupported as-of timestamp type $dt")
       }
     val (lNeg, rNeg) = ("__asof_neg_lts", "__asof_neg_rts")

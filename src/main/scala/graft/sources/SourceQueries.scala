@@ -103,8 +103,10 @@ object SourceQueries {
     // with a partition-key predicate. The filter prunes DIRECTORIES before
     // any file is opened (PartitionFilters in the scan, not a data filter)
     // — at 100 TB this is the difference between reading 5/25ths of the
-    // table and reading it all. Partition columns come back as inferred
-    // ints; cast to long for a stable graded schema.
+    // table and reading it all. Explicit schema per this object's
+    // schema-on-read contract — it also pins the PARTITION column's type,
+    // which inference would otherwise guess (int, or string when a
+    // deployment disables partitionColumnTypeInference).
     E("s04_partitioned_roundtrip", (s, d) => {
       val path = tmpDir("supplier_part")
       Tables(s, d).supplier
@@ -112,9 +114,12 @@ object SourceQueries {
                 col("s_acctbal").cast("double").as("s_acctbal"),
                 col("s_nationkey").cast("long").as("s_nationkey"))
         .write.mode("overwrite").partitionBy("s_nationkey").parquet(path)
-      s.read.parquet(path)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_acctbal", DoubleType),
+        StructField("s_nationkey", LongType)))
+      s.read.schema(schema).parquet(path)
         .filter(col("s_nationkey") < 5)
-        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_suppliers"),
              round(sum(graft.Tables.dec(col("s_acctbal"))).cast("double"), 2).as("acctbal_sum"))
         .orderBy("s_nationkey")

@@ -774,13 +774,16 @@ object LlmQueries {
     // before training (high rare-ratio = misencoded or synthetic junk).
     // Deliberately transcendental-free (counts + one rounded division):
     // a log-prob score would hang cross-engine parity on libm last-ulp
-    // agreement. Scale shape: the frequency table is vocabulary-sized, so
-    // at 100 TB the join back to tokens is a broadcast, not a shuffle.
+    // agreement. Scale shape: the frequency table is vocabulary-sized and a
+    // plain Catalyst aggregate (stats known), so AQE broadcasts it when it
+    // fits — no forced hint: a garbage corpus is exactly the input whose
+    // vocabulary explodes, and a hard broadcast there aborts instead of
+    // degrading to a shuffle join.
     E("l19_rare_tokens", (s, d) => {
       val tok = Tables(s, d).documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      tok.join(broadcast(freq), "tok")
+      tok.join(freq, "tok")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
              sum(when(col("cnt") <= 2, 1).otherwise(0)).cast("long").as("n_rare"),
