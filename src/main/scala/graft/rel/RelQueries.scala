@@ -336,10 +336,16 @@ object RelQueries {
       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey""")),
 
-    // R15 — aggregate windows with explicit frames: running + moving
+    // R15 — aggregate windows with explicit frames: running + moving.
+    // The window ORDER BY ends in l_quantity because (l_orderkey,
+    // l_linenumber) duplicates DO collide on the whole (shipdate, orderkey,
+    // linenumber) prefix with different quantities (first materializes at
+    // sf0.1) — a ROWS frame over a non-total order is engine-dependent for
+    // exactly those ties. With the quantity tiebreak, any remaining tied
+    // rows are full duplicates, whose frame multisets are identical.
     E("r15_window_frame", (s, d) => {
       val base = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       Tables(s, d).lineitem.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(dec(col("l_quantity")))
@@ -352,8 +358,8 @@ object RelQueries {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty", "mov3_min_qty")
     }, Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-             MIN(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_min_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+             MIN(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_min_qty
       FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty, mov3_min_qty""")),
 
     // R16 — top-k (TakeOrderedAndProject)
@@ -661,21 +667,26 @@ object RelQueries {
     // dense_rank: ntile quartiles, percent_rank, cume_dist per nation.
     // The ORDER BY is (acctbal, custkey) — a TOTAL order — because ntile
     // splits tie groups by row position, so a non-total order would be
-    // nondeterministic across engines/partitionings.
+    // nondeterministic across engines/partitionings. Rounding is spelled
+    // floor(x*1e6 + 0.5)/1e6: rank/n can land EXACTLY on a decimal
+    // rounding boundary (e.g. 333/640 = 0.5203125), where the engines'
+    // ROUND implementations disagree; the floor form is a pure function of
+    // the shared double input.
     E("r35_window_ranks", (s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
       Tables(s, d).customer.select(
           col("c_nationkey").cast("long").as("c_nationkey"), col("c_custkey"),
           ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cdist"))
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cdist"))
         .orderBy("c_custkey")
     }, Some("""
       SELECT c_nationkey, c_custkey,
              NTILE(4) OVER w AS quartile,
-             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-             ROUND(CUME_DIST() OVER w, 6) AS cdist
+             FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+             FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cdist
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       ORDER BY c_custkey""")),
