@@ -60,12 +60,18 @@ object GraphBuilder {
   // passes an explicit `windowMaxRows` of 0 to force the scale tier, or
   // uses a fresh path — silent staleness only ever costs plan choice, never
   // correctness (the tiers are row-identical).
-  private val feedCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // Keyed on the session REFERENCE (WeakHashMap identity semantics —
+  // SparkSession doesn't override equals) rather than an identity hash
+  // string, which a GC'd-then-reallocated session could collide on; weak
+  // keys let dead sessions' entries vanish instead of pinning them.
+  private val feedCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]())
 
   def userTransitions(t: Tables, windowMaxRows: Long = 10000000L): DataFrame = {
     val feed = t.events.select(col("user_id"), col("ts"), col("event_id"))
-    val feedRows = feedCounts.computeIfAbsent(
-      s"${System.identityHashCode(t.spark)}:${t.dir}", _ => Long.box(feed.count()))
+    val perSession = feedCounts.computeIfAbsent(t.spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+    val feedRows = perSession.computeIfAbsent(t.dir, _ => Long.box(feed.count()))
     if (feedRows > windowMaxRows) return userTransitionsAtScale(t)
     val w = Window.orderBy(col("ts"), col("event_id"))
     feed

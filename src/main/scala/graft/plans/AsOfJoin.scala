@@ -194,8 +194,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val advancing = ctx.freshName("asofAdvancing")
     val cmp = if (strict) "<" else "<="
 
+    // limitNotReachedCond (SortMergeJoinExec's pattern): when a LIMIT is
+    // fused into this codegen stage, stop the merge as soon as it's hit
+    // instead of draining the whole left partition.
     s"""
-       |while ($leftInput.hasNext()) {
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
        |  InternalRow $leftRow = (InternalRow) $leftInput.next();
        |  ${lkCode.code}
        |  ${ltCode.code}

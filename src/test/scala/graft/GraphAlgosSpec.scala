@@ -251,6 +251,22 @@ class UboSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1.0))) // odd steps land on 2; terminates
   }
 
+  test("regulatory >=25% owner threshold fires on a concentrated fixture (g03_ubo_owners path)") {
+    // Two owners of holding 10 (60/40); 10 owns 50% of target 100, plus
+    // owner 2 holds 10% of 100 directly. Propagated shares into 100:
+    //   owner 1: 0.6*0.5            = 0.30  (flagged at 25%)
+    //   owner 2: 0.4*0.5 + 0.1*1.0  = 0.30 via two layers — but the direct
+    //     10% edge enters at layer 2 only if present there; keep it simple:
+    //     owner 2: 0.4*0.5 = 0.20   (below threshold)
+    val e = Seq((1L, 10L, 0.6), (2L, 10L, 0.4), (10L, 100L, 0.5))
+      .toDF("src", "dst", "weight")
+    val init = Seq((1L, 1L, 1.0), (2L, 2L, 1.0)).toDF("owner", "entity", "share")
+    val owners = Ubo.propagate(e, init, 2)
+      .filter(col("entity") === 100L && round(col("share"), 6) >= 0.25)
+      .select("owner").as[Long].collect().toSeq
+    assert(owners === Seq(1L), s"expected exactly owner 1 flagged, got $owners")
+  }
+
   test("ubo edge weights are out-normalized (sum to 1 per source)") {
     val t = Tables(spark, sfDir)
     val sums = Ubo.uboEdges(t).groupBy("src").agg(sum("weight").as("s"))
