@@ -822,7 +822,131 @@ object LlmQueries {
              array_to_string(ws[i+1:i+20], ' ') AS chunk_text,
              LEAST(20, len(ws) - i) AS chunk_tokens
       FROM toks, UNNEST(range(0, len(ws), 10)) AS t(i)
-      ORDER BY doc_id, chunk_idx"""))
+      ORDER BY doc_id, chunk_idx""")),
+
+    // L21 — PII redaction (round 4): scrub emails/phone numbers before a
+    // corpus ships to training. The synthetic corpus is word-salad with no
+    // real PII, so the graded query PLANTS one deterministic email + phone
+    // per document (same planted-fixture pattern as l01_exact_dedup_dups) —
+    // the redaction op itself is the real, reusable piece. Patterns avoid
+    // backslash classes entirely ([.] [+] instead of \. \+) so the SAME
+    // text is a valid regex in Java (Spark), Spark-SQL literals, and RE2
+    // (DuckDB). One narrow projection — pipelines in the scan at 100 TB.
+    E("l21_pii_redact", (s, d) => {
+      val emailPat = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val phonePat = "[+]1-555-[0-9]{4}"
+      Tables(s, d).documents
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("aug"), lit(emailPat), lit("<EMAIL>")),
+                         lit(phonePat), lit("<PHONE>")).as("redacted"),
+          expr(s"size(regexp_extract_all(aug, '$emailPat', 0))").cast("long").as("n_emails"),
+          expr(s"size(regexp_extract_all(aug, '$phonePat', 0))").cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH aug AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+           FROM documents)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'),
+                            '[+]1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '[+]1-555-[0-9]{4}')) AS BIGINT) AS n_phones
+      FROM aug ORDER BY doc_id""")),
+
+    // L22 — repetition signals (Gopher-style quality rules, Rae et al. 2021
+    // §A1.1): duplicate-trigram fraction + most-frequent-token mass per doc.
+    // High values mark boilerplate/degenerate text a curation pipeline
+    // drops. Fractions use the floor(x*1e6+0.5)/1e6 convention (pure
+    // function of the shared double — r35's rounding-boundary lesson).
+    E("l22_repetition", (s, d) => {
+      def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val base = docs
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+          expr("transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))").as("tgs"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("tgs")).cast("long").as("n_trigrams"),
+          size(array_distinct(col("tgs"))).cast("long").as("n_distinct"))
+      val cnt = docs.select(col("doc_id"), explode(col("ws")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("tok"))
+      val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_token"), col("c").as("top_count"))
+      base.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams")).as("dup_trigram_frac"),
+          col("top_token"),
+          r6(col("top_count").cast("double") / col("n_tokens")).as("top_token_frac"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+      base AS (SELECT doc_id, len(ws) AS n_tokens,
+                      len(ws) - 2 AS n_trigrams,
+                      len(list_distinct(list_transform(range(1, len(ws) - 1),
+                        i -> array_to_string(ws[i:i+2], ' ')))) AS n_distinct
+               FROM toks),
+      cnt AS (SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, UNNEST(ws) AS tok FROM toks) GROUP BY 1, 2),
+      top AS (SELECT doc_id, tok AS top_token, c AS top_count FROM
+        (SELECT doc_id, tok, c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+         FROM cnt) WHERE rn = 1)
+      SELECT b.doc_id, b.n_tokens,
+             FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams) * 1000000.0 + 0.5) / 1000000.0 AS dup_trigram_frac,
+             top_token,
+             FLOOR((CAST(top_count AS DOUBLE) / b.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS top_token_frac
+      FROM base b JOIN top USING (doc_id) ORDER BY doc_id""")),
+
+    // L23 — benchmark-contamination check (round 4): flag training docs
+    // sharing any 8-gram with a held-out benchmark set (the GPT-3 §C /
+    // PaLM-style n-gram decontamination convention, shortened to 8 for this
+    // corpus's doc lengths). Benchmark set = every 50th doc — stands in for
+    // an eval suite. The benchmark n-gram table is tiny relative to the
+    // corpus, so it broadcasts: at 100 TB the corpus side never shuffles.
+    E("l23_contamination", (s, d) => {
+      val gs = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))")).as("g"))
+        .distinct()
+      val bench = gs.filter(col("doc_id") % 50 === 0).select("g").distinct()
+      gs.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tg AS (SELECT DISTINCT doc_id, g FROM
+        (SELECT doc_id, UNNEST(list_transform(range(1, len(string_split(text, ' ')) - 6),
+                i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS g
+         FROM documents WHERE len(string_split(text, ' ')) >= 8)),
+      bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 50 = 0)
+      SELECT doc_id, COUNT(*) AS n_shared_8grams
+      FROM tg JOIN bench USING (g) WHERE doc_id % 50 <> 0
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // L24 — stratified corpus sampling (round 4): per-language downsampling
+    // with the deterministic Knuth multiplicative hash (r30's convention) —
+    // language rebalancing before training. Deterministic hash (not rand())
+    // means the sample is reproducible across runs/engines and the op is
+    // one narrow shuffle-free filter at any scale.
+    E("l24_stratified_sample", (s, d) => {
+      Tables(s, d).documents
+        .withColumn("bucket", ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % 100)
+        .filter(col("bucket") < when(col("lang") === "en", lit(10)).otherwise(lit(40)))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang, ((doc_id % 1000000007) * 2654435761) % 100 AS bucket
+      FROM documents
+      WHERE ((doc_id % 1000000007) * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+      ORDER BY doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
