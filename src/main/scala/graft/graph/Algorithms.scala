@@ -377,6 +377,48 @@ object Algorithms {
       initPr = when(col("id") === seed, lit(1.0)).otherwise(lit(0.0)),
       teleport = when(col("id") === seed, lit(0.15)).otherwise(lit(0.0)))
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in a
+    * Hyperlinked Environment"), fixed iteration count, 1-norm normalized
+    * each half-step so scores stay bounded and engine-comparable:
+    * auth_k(v) = Σ_{u→v} hub_{k-1}(u), hub_k(u) = Σ_{u→v} auth_k(v),
+    * each divided by its global sum. PageRank ranks by incoming mass only;
+    * HITS separates "points at the important" (hub) from "pointed at by
+    * the important" (auth) — on a directed interaction graph these are
+    * different orderings. Same shuffle profile as [[pageRankBounded]]
+    * (one join + agg per half-step); the normalizer is a scalar aggregate
+    * broadcast back, not a second pass over edges.
+    */
+  def hitsBounded(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).transform(Materialize.apply)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().transform(Materialize.apply)
+    // materialize the raw sums BEFORE normalizing: the normalizer reads the
+    // same frame twice (values + scalar total), and the division over a
+    // materialized input is a trivial recompute, so only one pass pays the
+    // join+agg.
+    def normalize1(raw: DataFrame): DataFrame = {
+      val m = Materialize(raw)
+      m.crossJoin(broadcast(m.agg(sum(col("v")).as("norm"))))
+        .select(col("id"), (col("v") / col("norm")).as("v"))
+    }
+    var hub = nodes.withColumn("v", lit(1.0))
+    var auth = hub
+    var i = 0
+    while (i < iters) {
+      auth = normalize1(nodes.join(
+          hub.join(e, col("id") === col("src")).groupBy(col("dst")).agg(sum(col("v")).as("s")),
+          col("id") === col("dst"), "left_outer")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("v")))
+      hub = normalize1(nodes.join(
+          auth.join(e, col("id") === col("dst")).groupBy(col("src")).agg(sum(col("v")).as("s")),
+          col("id") === col("src"), "left_outer")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("v")))
+      i += 1
+    }
+    hub.select(col("id"), col("v").as("hub"))
+      .join(auth.select(col("id"), col("v").as("auth")), Seq("id"))
+  }
+
   /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a
     * deterministic sample of source nodes, accumulated. O(sources × E) —

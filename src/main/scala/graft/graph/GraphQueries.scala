@@ -546,6 +546,85 @@ object GraphQueries {
       WHERE ROUND(CAST(c AS DOUBLE) / (da.n + db.n - c), 6) >= 0.2
       ORDER BY a, b""")),
 
+    // G21 — HITS hubs & authorities (Kleinberg 1999) on the DIRECTED strong
+    // user graph: separates "initiates interactions with important targets"
+    // (hub) from "targeted by important initiators" (auth) — the two sides
+    // of influence that g09's single PageRank score conflates (NetworkX
+    // "centrality", README.md:28, offers HITS under the same banner).
+    // 4 fixed half-step pairs, 1-norm normalized; unrolls into CTE steps
+    // with a scalar-subquery normalizer exactly like the g09 oracle.
+    E("g21_hits", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      Algorithms.hitsBounded(e2, 4)
+        .select(col("id"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+        .orderBy("id")
+    }, Some({
+      // normalizer is SUM(v) OVER () in the SAME step, not a scalar
+      // subquery: a subquery would reference the previous CTE twice, and
+      // DuckDB 1.0 re-inlines multiply-referenced CTEs — doubling per step
+      // makes an 8-step chain re-evaluate the events window 2^8 times
+      // (observed as a parity hang). Window-normalized, every CTE is
+      // referenced exactly once and the chain stays linear.
+      def astep(h: String, ar: String, a: String) =
+        s"""$ar AS (SELECT n.id, COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS v FROM nodes n LEFT JOIN
+           |  (SELECT e.dst, SUM(h.v) AS s FROM $h h JOIN e ON e.src = h.id GROUP BY 1) m ON m.dst = n.id),
+           |$a AS (SELECT id, v / SUM(v) OVER () AS v FROM $ar)""".stripMargin
+      def hstep(a: String, hr: String, h: String) =
+        s"""$hr AS (SELECT n.id, COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS v FROM nodes n LEFT JOIN
+           |  (SELECT e.src, SUM(a.v) AS s FROM $a a JOIN e ON e.dst = a.id GROUP BY 1) m ON m.src = n.id),
+           |$h AS (SELECT id, v / SUM(v) OVER () AS v FROM $hr)""".stripMargin
+      s"""
+      WITH ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS v FROM nodes),
+      ${astep("h0", "a1r", "a1")}, ${hstep("a1", "h1r", "h1")},
+      ${astep("h1", "a2r", "a2")}, ${hstep("a2", "h2r", "h2")},
+      ${astep("h2", "a3r", "a3")}, ${hstep("a3", "h3r", "h3")},
+      ${astep("h3", "a4r", "a4")}, ${hstep("a4", "h4r", "h4")}
+      SELECT h4.id, ROUND(h4.v, 6) AS hub, ROUND(a4.v, 6) AS auth
+      FROM h4 JOIN a4 ON a4.id = h4.id ORDER BY h4.id"""
+    })),
+
+    // G22 — Adamic-Adar + resource-allocation link prediction (Adamic &
+    // Adar 2003; Zhou et al. 2009): common-neighbor pairs where each shared
+    // neighbor contributes 1/ln(deg) (AA) and 1/deg (RA), so rare shared
+    // neighbors count more than hubs — the refinement of g19's unweighted
+    // Jaccard for README.md:15's hidden-relationship detection. Same
+    // inverted-index 2-path join as g19 (cost scales with 2-paths, never
+    // all-pairs); the c >= 3 support gate keeps row membership an integer
+    // predicate (no double-boundary row flips between engines).
+    E("g22_adamic_adar", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = Traversals.symmetrize(e2).distinct()
+      val deg = sym.groupBy(col("src").as("x")).agg(count(lit(1)).as("n"))
+      val pairs = sym.select(col("src").as("a"), col("dst").as("x"))
+        .join(sym.select(col("src").as("b"), col("dst").as("x")), Seq("x"))
+        .filter(col("a") < col("b"))
+      pairs.join(deg, Seq("x"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("c"),
+             round(sum(lit(1.0) / log(col("n").cast("double"))), 6).as("aa"),
+             round(sum(lit(1.0) / col("n").cast("double")), 6).as("ra"))
+        .filter(col("c") >= 3)
+        .select(col("a"), col("b"), col("aa"), col("ra"))
+        .orderBy("a", "b")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      deg AS (SELECT src AS x, COUNT(*) AS n FROM sym GROUP BY 1),
+      p AS (SELECT s1.src AS a, s2.src AS b, s1.dst AS x
+            FROM sym s1 JOIN sym s2 ON s1.dst = s2.dst AND s1.src < s2.src)
+      SELECT a, b,
+        ROUND(SUM(CAST(1.0 AS DOUBLE) / LN(CAST(n AS DOUBLE))), 6) AS aa,
+        ROUND(SUM(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS ra
+      FROM p JOIN deg USING (x)
+      GROUP BY a, b HAVING COUNT(*) >= 3
+      ORDER BY a, b""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

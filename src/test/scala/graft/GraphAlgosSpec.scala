@@ -95,6 +95,32 @@ class AlgorithmsSpec extends SparkSpec {
     assert(df2 === gx2)
   }
 
+  test("hitsBounded: star graph concentrates authority on the center") {
+    // 1,2,3 all point at 9: 9 is the sole authority (score 1 after 1-norm),
+    // the three spokes are equal hubs (1/3 each), and the roles don't mix.
+    val e = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val got = Algorithms.hitsBounded(e, 3).as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(got(9L)._2 - 1.0) < 1e-12, "all authority on the center")
+    assert(got(9L)._1 === 0.0, "the center points at nothing: zero hub")
+    Seq(1L, 2L, 3L).foreach { u =>
+      assert(math.abs(got(u)._1 - 1.0 / 3) < 1e-12, s"equal hub share for $u")
+      assert(got(u)._2 === 0.0, s"nothing points at $u: zero auth")
+    }
+  }
+
+  test("hitsBounded scores normalize to 1 and survive repartitioning") {
+    val t = Tables(spark, sfDir)
+    val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst"))
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Algorithms.hitsBounded(e, 2).as[(Long, Double, Double)].collect()
+        .map(r => (r._1, (r._2 * 1e6).round, (r._3 * 1e6).round)).sortBy(_._1).toSeq
+    val a = Algorithms.hitsBounded(e2, 2).agg(sum("hub"), sum("auth"))
+      .as[(Double, Double)].head()
+    assert(math.abs(a._1 - 1.0) < 1e-9 && math.abs(a._2 - 1.0) < 1e-9)
+    assert(run(e2) === run(e2.repartition(13)), "rounded scores partition-invariant")
+  }
+
   test("scc finds the cycle, leaves the tail trivial") {
     // 1->2->3->1 cycle, 3->4 tail
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
