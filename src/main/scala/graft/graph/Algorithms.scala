@@ -419,6 +419,33 @@ object Algorithms {
       .join(auth.select(col("id"), col("v").as("auth")), Seq("id"))
   }
 
+  /** Bounded k-core peeling (Seidman 1983, "Network structure and minimum
+    * degree"): `rounds` synchronous rounds of "drop every node whose degree
+    * within the surviving set is < k", over the symmetrized input. A fixed
+    * round count keeps the result a pure function of the graph (and
+    * SQL-unrollable); peeling converges monotonically, so rounds beyond the
+    * fixpoint are no-ops. Each round is two semi-restricting joins + one
+    * aggregate — all shuffles keyed on the edge endpoints, no broadcast of
+    * the (initially node-sized) survivor set, which is the posture that
+    * holds when nodes are billions. Returns survivors with their in-core
+    * degree.
+    */
+  def kCoreBounded(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = graft.graph.Traversals.symmetrize(edges).distinct()
+      .transform(Materialize.apply)
+    def coreDeg(s: DataFrame): DataFrame =
+      sym.join(s.select(col("v").as("a")), col("src") === col("a"))
+        .join(s.select(col("v").as("b")), col("dst") === col("b"))
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    var s = sym.select(col("src").as("v")).distinct().transform(Materialize.apply)
+    var i = 0
+    while (i < rounds) {
+      s = coreDeg(s).filter(col("deg") >= k).select("v").transform(Materialize.apply)
+      i += 1
+    }
+    coreDeg(s).select(col("v").as("id"), col("deg"))
+  }
+
   /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a
     * deterministic sample of source nodes, accumulated. O(sources × E) —

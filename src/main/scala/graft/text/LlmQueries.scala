@@ -946,7 +946,129 @@ object LlmQueries {
       SELECT doc_id, lang, ((doc_id % 1000000007) * 2654435761) % 100 AS bucket
       FROM documents
       WHERE ((doc_id % 1000000007) * 2654435761) % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // L25 — exact substring (span) dedup, the sequence-level dedup of
+    // Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    // Better"): doc pairs sharing >= 3 distinct 12-token contiguous spans.
+    // Inverted-index join on the span — cost scales with span collisions,
+    // never all-pairs — with a document-frequency cap (df <= 50) that drops
+    // boilerplate spans, which is both the published practice and the thing
+    // that bounds per-span fan-out (df² pairs) at corpus scale. The graded
+    // join keys on the raw span text so both engines dedup on identical
+    // semantics; the 100 TB variant pre-hashes spans to 8 bytes with
+    // xxhash64 before the shuffle (same result up to 2^-64 collisions),
+    // cutting shuffle bytes ~6×.
+    E("l25_span_dedup", (s, d) => {
+      val spans = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) >= 12
+             THEN array_distinct(transform(sequence(1, size(t) - 11), i -> concat_ws(' ', slice(t, i, 12))))
+             ELSE array() END""")).as("span"))
+      // single pass: group once on span, expand the (bounded) per-span doc
+      // set to pairs inline — one shuffle on span + one on the pair, and the
+      // tokenize/explode scan runs exactly once (a rare-span semi-join
+      // formulation re-scans and re-explodes the corpus per join arm).
+      spans.groupBy("span").agg(collect_set(col("doc_id")).as("docs"))
+        .filter(size(col("docs")).between(2, 50))
+        .select(explode(expr(
+          "filter(flatten(transform(docs, a -> transform(docs, b -> named_struct('a', a, 'b', b)))), p -> p.a < p.b)")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared_spans"))
+        .filter(col("n_shared_spans") >= 3)
+        .orderBy("a", "b")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      spans AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 11), ' ') AS span
+                FROM toks, UNNEST(range(1, len(t) - 10)) AS u(i)),
+      rare AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) BETWEEN 2 AND 50),
+      cand AS (SELECT s.span, s.doc_id FROM spans s JOIN rare r ON r.span = s.span)
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared_spans
+      FROM cand x JOIN cand y ON x.span = y.span AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY a, b""")),
+
+    // L26 — KMeans clustering of the embedding corpus (Lloyd's algorithm,
+    // k = 4, two fixed assign/update rounds, seeds = the 4 lowest vec_ids):
+    // the topic-balancing / cluster-level curation step of an embedding
+    // pipeline. Formulated relationally over (vec_id, pos, v) rows — the
+    // assignment is a join on pos + a per-(vec, centroid) squared-distance
+    // aggregate + an argmin window, the update a per-(centroid, pos) avg —
+    // so it unrolls into SQL exactly and, at scale, the k·d centroid table
+    // auto-broadcasts while the points never shuffle more than once per
+    // round. Deterministic: fixed seeds, fixed rounds, (d2, cid) argmin
+    // tie-break.
+    E("l26_kmeans", (s, d) => {
+      val emb = Tables(s, d).embeddings
+      def byPos(df: DataFrame, idCol: String, vCol: String) = df
+        .select(col(idCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col(idCol), col("pos").cast("long").as("pos"),
+                col("v").cast("double").as(vCol))
+      val pts = byPos(emb, "vec_id", "v")
+      val init = byPos(emb.orderBy("vec_id").limit(4)
+        .withColumnRenamed("vec_id", "cid"), "cid", "c")
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+        pts.join(cent, Seq("pos"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+      }
+      def update(asg: DataFrame): DataFrame =
+        asg.join(pts, Seq("vec_id"))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("c"))
+      assign(update(assign(init)))
+        .select(col("vec_id"), col("cid").as("cluster"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH pts AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+                   FROM embeddings, UNNEST(range(64)) AS t(i)),
+      init AS (SELECT e.vec_id AS cid, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS c
+               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4) e, UNNEST(range(64)) AS t(i)),
+      d1 AS (SELECT p.vec_id, c.cid, SUM((p.v - c.c) * (p.v - c.c)) AS d2
+             FROM pts p JOIN init c USING (pos) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a.cid, p.pos, AVG(p.v) AS c
+             FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+      d2s AS (SELECT p.vec_id, c.cid, SUM((p.v - c.c) * (p.v - c.c)) AS d2
+              FROM pts p JOIN c1 c USING (pos) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM d2s) WHERE rn = 1)
+      SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id""")),
+
+    // L27 — character-entropy quality scoring: Shannon entropy of the
+    // per-document character distribution plus the distinct-char count —
+    // the cheap gibberish/repetition signal used alongside length and
+    // stopword ratios in corpus filtering (low entropy = repeated filler,
+    // near-maximal = random noise; complements l07's ratio filters and
+    // l22's repetition detector). One explode + two aggregations; the
+    // distribution never leaves its doc_id partition.
+    E("l27_char_entropy", (s, d) => {
+      val counts = Tables(s, d).documents
+        .select(col("doc_id"), length(col("text")).as("n"),
+          explode(expr(
+            """CASE WHEN length(text) >= 1
+               THEN transform(sequence(1, length(text)), i -> substring(text, i, 1))
+               ELSE array() END""")).as("ch"))
+        .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      counts.groupBy("doc_id").agg(
+          round(-sum(p * log2(p)), 6).as("entropy"),
+          count(lit(1)).as("n_distinct_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH chars AS (SELECT doc_id, LENGTH(text) AS n, substr(text, i, 1) AS ch
+                     FROM documents, UNNEST(range(1, LENGTH(text) + 1)) AS u(i)),
+      counts AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3)
+      SELECT doc_id,
+             ROUND(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LOG2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy,
+             COUNT(*) AS n_distinct_chars
+      FROM counts GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

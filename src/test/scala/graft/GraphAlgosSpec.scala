@@ -121,6 +121,34 @@ class AlgorithmsSpec extends SparkSpec {
     assert(run(e2) === run(e2.repartition(13)), "rounded scores partition-invariant")
   }
 
+  test("kCoreBounded peels pendants, keeps the clique, reaches a fixpoint") {
+    // K4 {1,2,3,4} (3-core) + chain 4-5-6 that must peel off
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+                (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Algorithms.kCoreBounded(e, 3, 4).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // fixpoint: extra rounds change nothing (peeling is monotone)
+    val more = Algorithms.kCoreBounded(e, 3, 6).as[(Long, Long)].collect().toMap
+    assert(more === got)
+  }
+
+  test("kCoreBounded matches a driver-side peeling reimplementation") {
+    val t = Tables(spark, sfDir)
+    val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst"))
+    val got = Algorithms.kCoreBounded(e2, 5, 4).as[(Long, Long)].collect().toMap
+    // independent recomputation: symmetrize, then 4 synchronous peel rounds
+    val sym = e2.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var alive = sym.map(_._1).toSet
+    for (_ <- 1 to 4) {
+      val deg = sym.filter(p => alive(p._1) && alive(p._2)).groupBy(_._1).map { case (v, es) => v -> es.length }
+      alive = deg.filter(_._2 >= 5).keySet
+    }
+    val expect = sym.filter(p => alive(p._1) && alive(p._2))
+      .groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    assert(got === expect)
+  }
+
   test("scc finds the cycle, leaves the tail trivial") {
     // 1->2->3->1 cycle, 3->4 tail
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")

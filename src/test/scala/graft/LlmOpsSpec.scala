@@ -148,4 +148,44 @@ class LlmOpsSpec extends SparkSpec {
       .flatMap(p => Seq(p._1, p._2)).toSet
     assert(allMembers.toSet === pairDocs)
   }
+
+  test("span dedup matches a driver-side reimplementation exactly") {
+    val got = LlmQueries.queries("l25_span_dedup")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.nonEmpty, "corpus plants duplicated docs — spans must collide")
+    // independent recomputation: distinct 12-token spans per doc, df-capped
+    val texts = Tables(spark, sfDir).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val docSpans = texts.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(12).filter(_.length == 12).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = docSpans.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val kept = docSpans.map { case (id, ss) => id -> ss.filter(s => df(s) >= 2 && df(s) <= 50) }
+    val expect = (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq if a < b
+      n = (sa & sb).size if n >= 3
+    } yield (a, b) -> n.toLong).toMap
+    assert(got === expect)
+  }
+
+  test("kmeans assignments match a driver-side Lloyd's reimplementation") {
+    val got = LlmQueries.queries("l26_kmeans")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val vecs = Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }.sortBy(_._1)
+    var cents: Seq[(Long, Array[Double])] = vecs.take(4).toSeq
+    def assign() = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+      }.min._2
+    }.toMap
+    val a1 = assign()
+    cents = a1.groupBy(_._2).toSeq.map { case (cid, m) =>
+      val vs = m.keys.toSeq.map(vecs.toMap)
+      cid -> Array.tabulate(64)(i => vs.map(_(i)).sum / vs.size)
+    }
+    assert(assign() === got)
+    assert(got.values.toSet.size >= 2, "seeds should not collapse to one cluster")
+  }
 }
