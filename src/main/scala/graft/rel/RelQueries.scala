@@ -760,7 +760,30 @@ object RelQueries {
              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sum30
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // R36 — salted skew join, graded for RESULT EQUIVALENCE: Skew.saltedJoin
+    // spreads a hot fact key across 8 salt buckets (dim side replicated 8×),
+    // and must produce exactly the rows of the plain equi-join — the oracle
+    // IS the plain join, so the salting is proven invisible to semantics.
+    // This is the explicit fallback for supernode keys that AQE's skew split
+    // can't save (SURVEY §7.3.4); grading it keeps the escape hatch honest.
+    E("r36_skew_salted_join", (s, d) => {
+      val t = Tables(s, d)
+      val fact = t.lineitem.select(col("l_suppkey").as("suppkey"),
+        col("l_orderkey"), col("l_linenumber"), dec(col("l_extendedprice")).as("price"))
+      val dim = t.supplier.select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(fact, dim, "suppkey", buckets = 8,
+          saltBy = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(col("price")).cast("double").as("revenue"))
+        .orderBy("nationkey")
+    }, Some("""
+      SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1 ORDER BY nationkey"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -50,6 +50,26 @@ object EventOps {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
 
+  /** T9 — stream-stream interval join: each event paired with the same
+    * user's follow-up events in (ts, ts + 1h]. Both sides are watermarked
+    * and the range predicate is what lets the symmetric hash join EVICT
+    * buffered rows once they age past watermark + interval — bounded
+    * per-key state, the property that makes a stream-stream join viable on
+    * an unbounded feed (an unconstrained equi-join would buffer both
+    * streams forever). Batch twin: same code, watermark is a no-op.
+    */
+  def followUps(lhs: DataFrame, rhs: DataFrame): DataFrame = {
+    val a = lhs.withWatermark("ts", "10 minutes").alias("a")
+    val b = rhs.withWatermark("ts", "10 minutes").alias("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+        col("b.ts") > col("a.ts") &&
+        col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("a.event_id").as("eid"), col("b.event_id").as("fid"),
+              col("a.user_id").as("user_id"),
+              col("a.ts").as("ts_a"), col("b.ts").as("ts_b"))
+  }
+
   /** Shared semantics of the two T6 implementations — keeping the fold in
     * one place so the flatMapGroupsWithState and transformWithState paths
     * cannot drift apart.

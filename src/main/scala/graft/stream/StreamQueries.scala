@@ -104,7 +104,24 @@ object StreamQueries {
       SELECT e.event_id, e.user_id, d.user_total
       FROM events e LEFT JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY 1) d
         ON e.user_id = d.user_id
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id""")),
+
+    // T9 — stream-stream interval join twin (EventOps.followUps): same-user
+    // follow-ups within an hour. gap_us subtracts two epoch conversions, so
+    // any NTZ/session-offset shift cancels; ids + an integer gap keep the
+    // output hash-stable.
+    E("t09_stream_stream_join", (s, d) => {
+      val e = Tables(s, d).events
+      EventOps.followUps(e, e)
+        .select(col("eid"), col("fid"), col("user_id"),
+                (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+        .orderBy("eid", "fid")
+    }, Some("""
+      SELECT a.event_id AS eid, b.event_id AS fid, a.user_id,
+             epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      ORDER BY eid, fid"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

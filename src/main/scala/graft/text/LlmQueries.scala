@@ -1068,7 +1068,32 @@ object LlmQueries {
       SELECT doc_id,
              ROUND(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LOG2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy,
              COUNT(*) AS n_distinct_chars
-      FROM counts GROUP BY doc_id ORDER BY doc_id"""))
+      FROM counts GROUP BY doc_id ORDER BY doc_id""")),
+
+    // L28 — source-level curation rollup: the domain/source-granularity
+    // pass of corpus curation (CCNet/RefinedWeb-style: decide retention per
+    // SOURCE before touching documents — cheap, and catches systematically
+    // bad feeds that per-doc filters only catch one doc at a time). All
+    // ratios derive from exact integer sums (one double division at the
+    // end), so the output is bit-stable across engines. One hash agg.
+    E("l28_source_rollup", (s, d) => {
+      Tables(s, d).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("n_chars_total"),
+             countDistinct(col("lang")).as("n_langs"),
+             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("source"), col("n_docs"), col("n_chars_total"), col("n_langs"),
+          round(col("n_chars_total").cast("double") / col("n_docs"), 6).as("avg_chars"),
+          round(col("n_en").cast("double") / col("n_docs"), 6).as("pct_en"))
+        .orderBy("source")
+    }, Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+             COUNT(DISTINCT lang) AS n_langs,
+             ROUND(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+             ROUND(CAST(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS pct_en
+      FROM documents GROUP BY source ORDER BY source"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

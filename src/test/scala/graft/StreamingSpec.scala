@@ -116,6 +116,22 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.exists(s => s._1 == 9L && s._3 == 1L))
   }
 
+  test("T9: stream-stream interval join pairs follow-ups across batches, bounded by the hour") {
+    val left = MemoryStream[Ev](spark)
+    val right = MemoryStream[Ev](spark)
+    val out = EventOps.followUps(left.toDF(), right.toDF())
+    val q = out.writeStream.format("memory").queryName("t9join")
+      .outputMode(OutputMode.Append()).start()
+    left.addData(Ev(1, ts(0), 7, "a", 0), Ev(4, ts(0), 9, "a", 0))
+    right.addData(Ev(2, ts(30), 7, "a", 0))            // 30m after e1 -> pairs
+    q.processAllAvailable()
+    right.addData(Ev(3, ts(90), 7, "a", 0))            // 90m after e1 -> outside the hour
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t9join").select("eid", "fid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)), s"only the within-hour same-user pair should emit, got $got")
+  }
+
   test("T5: duplicate event ids within the watermark are dropped") {
     val got = runToCompletion("t5dedup") { src =>
       src.addData(Ev(1, ts(0), 1, "a", 0), Ev(1, ts(1), 1, "a", 0), Ev(2, ts(2), 1, "a", 0))
