@@ -97,6 +97,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("k-cores nest: core(k+1) is a subgraph of core(k), survivors keep degree >= k") {
+    cases(edgeListGen).foreach { es =>
+      val e = es.toDF("src", "dst")
+      val byK = (1 to 3).map { k =>
+        k -> Algorithms.kCoreBounded(e, k, 8).as[(Long, Long)].collect().toMap
+      }.toMap
+      byK.foreach { case (k, core) =>
+        core.foreach { case (id, deg) =>
+          assert(deg >= k, s"k=$k survivor $id has in-core degree $deg; edges: $es")
+        }
+      }
+      (1 to 2).foreach { k =>
+        assert(byK(k + 1).keySet.subsetOf(byK(k).keySet),
+          s"core(${k + 1}) must nest inside core($k); edges: $es")
+      }
+    }
+  }
+
   test("exact dedup partitions the corpus: distinct canonicals, counts sum to N") {
     cases(Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd"))).foreach { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
