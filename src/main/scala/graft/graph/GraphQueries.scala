@@ -657,6 +657,50 @@ object GraphQueries {
       GROUP BY 1 ORDER BY id"""
     })),
 
+    // G24 — local clustering coefficient (Watts & Strogatz 1998):
+    // c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) on the strong undirected user
+    // graph — how close each node's neighborhood is to a clique, the
+    // per-node refinement of g17's raw triangle counts ("tightly-knit
+    // clusters", README.md:4). Same canonical a<b<c triangle join as g17;
+    // all counts are exact integers, one double division at the end, so
+    // the output is bit-stable across engines. Nodes with deg < 2 are
+    // excluded (coefficient undefined).
+    E("g24_clustering_coeff", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = Traversals.symmetrize(e2).distinct()
+        .transform(Materialize.apply)
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val ed = sym.filter(col("src") < col("dst"))
+      val tri = ed.select(col("src").as("a"), col("dst").as("b"))
+        .join(ed.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+        .join(ed.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      val corners = tri.select(col("a").as("id"))
+        .unionByName(tri.select(col("b").as("id")))
+        .unionByName(tri.select(col("c").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(corners, Seq("id"), "left_outer")
+        .select(col("id"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+                (col("deg") * (col("deg") - 1)).cast("double"), 6).as("coeff"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e2 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+      ed AS MATERIALIZED (SELECT src, dst FROM sym WHERE src < dst),
+      tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+              FROM ed x JOIN ed y ON y.src = x.dst JOIN ed z ON z.src = x.src AND z.dst = y.dst),
+      corners AS (SELECT id, COUNT(*) AS n_tri FROM (
+        SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        GROUP BY 1)
+      SELECT d.id, d.deg, COALESCE(c.n_tri, 0) AS n_tri,
+             ROUND(2.0 * CAST(COALESCE(c.n_tri, 0) AS DOUBLE) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coeff
+      FROM deg d LEFT JOIN corners c ON c.id = d.id
+      WHERE d.deg >= 2 ORDER BY d.id""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

@@ -1093,7 +1093,42 @@ object LlmQueries {
              COUNT(DISTINCT lang) AS n_langs,
              ROUND(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
              ROUND(CAST(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS pct_en
-      FROM documents GROUP BY source ORDER BY source"""))
+      FROM documents GROUP BY source ORDER BY source""")),
+
+    // L29 — corpus-bigram cross-entropy: per-doc average -log2 P(bigram)
+    // under the corpus-wide character-bigram MLE — the self-trained stand-in
+    // for LM-perplexity quality filtering (CCNet's filtering signal; no
+    // external LM in this container, and a corpus-trained n-gram model is
+    // the classical version of the same signal). High xent = doc is
+    // out-of-distribution for the corpus (noise, wrong language, binary
+    // junk). The bigram vocabulary is at most |alphabet|² distinct keys, so
+    // the count table broadcasts and the per-doc join never shuffles the
+    // corpus; probabilities are exact-integer ratios.
+    E("l29_bigram_xent", (s, d) => {
+      val bg = Tables(s, d).documents
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN length(text) >= 2
+             THEN transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
+             ELSE array() END""")).as("bg"))
+      val counts = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+        .transform(graft.graph.Materialize.apply)
+      val withTot = counts.crossJoin(broadcast(counts.agg(sum(col("c")).as("t"))))
+      bg.join(broadcast(withTot), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(round(avg(-log2(col("c").cast("double") / col("t").cast("double"))), 6).as("xent"),
+             count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH bg AS MATERIALIZED (
+        SELECT doc_id, substr(text, i, 2) AS bg
+        FROM documents, UNNEST(range(1, LENGTH(text))) AS u(i)),
+      counts AS MATERIALIZED (SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts)
+      SELECT b.doc_id,
+             ROUND(AVG(-LOG2(CAST(cn.c AS DOUBLE) / CAST(t.t AS DOUBLE))), 6) AS xent,
+             COUNT(*) AS n_bigrams
+      FROM bg b JOIN counts cn USING (bg) CROSS JOIN tot t
+      GROUP BY b.doc_id ORDER BY doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
