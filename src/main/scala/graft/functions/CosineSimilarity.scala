@@ -101,9 +101,16 @@ object GraftFunctions {
       "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
     (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
 
-  /** Imperative registration for sessions not built with the extension. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration for sessions not built with the extension.
+    * Covers both custom-function kinds the library ships: the native
+    * Catalyst expression (codegen'd) and the typed Aggregator UDAF —
+    * after this, `spark.sql("SELECT hhi(qty) ... ")` and
+    * `SELECT cosine_sim(a, b)` both resolve.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(cosineInfo._1, cosineInfo._2, cosineInfo._3)
+    spark.udf.register("hhi", org.apache.spark.sql.functions.udaf(HhiAggregator))
+  }
 }
 
 /** SparkSessionExtensions entry point — the injection mechanism a deployment

@@ -37,6 +37,15 @@ class FunctionsSpec extends SparkSpec {
     both.foreach { case (id, n, f) => assert(n == f, s"vec $id: native $n != fold $f") }
   }
 
+  test("hhi registers as a SQL aggregate and matches the closed form") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT g, hhi(q) AS h FROM VALUES (1, 10.0), (1, 10.0), (2, 30.0), (2, 10.0) AS t(g, q) GROUP BY g ORDER BY g")
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(got(1) - 0.5) < 1e-12, "two equal players -> HHI 1/2")
+    assert(math.abs(got(2) - (900.0 + 100.0) / 1600.0) < 1e-12)
+  }
+
   test("SimHash aggregator equals the 16-parallel-aggregates expression form") {
     val viaAgg = {
       val sim = udaf(graft.functions.SimHashAggregator)
