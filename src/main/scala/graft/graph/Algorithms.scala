@@ -424,7 +424,12 @@ object Algorithms {
     * within the surviving set is < k", over the symmetrized input. A fixed
     * round count keeps the result a pure function of the graph (and
     * SQL-unrollable); peeling converges monotonically, so rounds beyond the
-    * fixpoint are no-ops. Each round is two semi-restricting joins + one
+    * fixpoint are no-ops. CAVEAT: if `rounds` is BELOW the fixpoint the
+    * result is the intermediate peel state, which may still contain nodes
+    * with in-core degree < k — callers claiming "the k-core" must verify
+    * convergence (run with rounds and rounds+1 and compare, as the graded
+    * g23 calibration and KCoreSpec do). Each round is two
+    * semi-restricting joins + one
     * aggregate — all shuffles keyed on the edge endpoints, no broadcast of
     * the (initially node-sized) survivor set, which is the posture that
     * holds when nodes are billions. Returns survivors with their in-core

@@ -561,23 +561,25 @@ object GraphQueries {
         .orderBy("id")
     }, Some({
       // normalizer is SUM(v) OVER () in the SAME step, not a scalar
-      // subquery: a subquery would reference the previous CTE twice, and
-      // DuckDB 1.0 re-inlines multiply-referenced CTEs — doubling per step
-      // makes an 8-step chain re-evaluate the events window 2^8 times
-      // (observed as a parity hang). Window-normalized, every CTE is
-      // referenced exactly once and the chain stays linear.
+      // subquery: a subquery would reference the previous step CTE twice,
+      // and DuckDB 1.0 re-inlines plain CTEs per reference — doubling per
+      // step re-evaluates the chain 2^8 times (observed as a parity hang).
+      // Window-normalized, each step references its predecessor once, and
+      // the remaining multi-referenced CTEs (e/nodes in every half-step,
+      // a4 in the final select) are AS MATERIALIZED so their re-evaluation
+      // is eliminated too rather than merely bounded.
       def astep(h: String, ar: String, a: String) =
         s"""$ar AS (SELECT n.id, COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS v FROM nodes n LEFT JOIN
            |  (SELECT e.dst, SUM(h.v) AS s FROM $h h JOIN e ON e.src = h.id GROUP BY 1) m ON m.dst = n.id),
-           |$a AS (SELECT id, v / SUM(v) OVER () AS v FROM $ar)""".stripMargin
+           |$a AS MATERIALIZED (SELECT id, v / SUM(v) OVER () AS v FROM $ar)""".stripMargin
       def hstep(a: String, hr: String, h: String) =
         s"""$hr AS (SELECT n.id, COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS v FROM nodes n LEFT JOIN
            |  (SELECT e.src, SUM(a.v) AS s FROM $a a JOIN e ON e.dst = a.id GROUP BY 1) m ON m.src = n.id),
-           |$h AS (SELECT id, v / SUM(v) OVER () AS v FROM $hr)""".stripMargin
+           |$h AS MATERIALIZED (SELECT id, v / SUM(v) OVER () AS v FROM $hr)""".stripMargin
       s"""
       WITH ${UboSql.interactedPairsCte},
-      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
-      nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      e AS MATERIALIZED (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
       h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS v FROM nodes),
       ${astep("h0", "a1r", "a1")}, ${hstep("a1", "h1r", "h1")},
       ${astep("h1", "a2r", "a2")}, ${hstep("a2", "h2r", "h2")},

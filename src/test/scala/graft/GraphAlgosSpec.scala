@@ -132,6 +132,18 @@ class AlgorithmsSpec extends SparkSpec {
     assert(more === got)
   }
 
+  test("kCoreBounded at the graded round count has converged (one more round is a no-op)") {
+    // guards the g23 calibration: if data or k ever change such that 4
+    // rounds stop reaching the fixpoint, this fails rather than silently
+    // grading an intermediate peel state (see kCoreBounded's caveat).
+    val t = Tables(spark, sfDir)
+    val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst"))
+    val r4 = Algorithms.kCoreBounded(e2, 14, 4).as[(Long, Long)].collect().toMap
+    val r5 = Algorithms.kCoreBounded(e2, 14, 5).as[(Long, Long)].collect().toMap
+    assert(r4 === r5)
+    r4.foreach { case (id, deg) => assert(deg >= 14, s"non-core survivor $id (deg $deg)") }
+  }
+
   test("kCoreBounded matches a driver-side peeling reimplementation") {
     val t = Tables(spark, sfDir)
     val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst"))
