@@ -783,7 +783,44 @@ object RelQueries {
       SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_items,
              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      GROUP BY 1 ORDER BY nationkey"""))
+      GROUP BY 1 ORDER BY nationkey""")),
+
+    // R37 — ordered event-sequence funnel (view → click → purchase): per
+    // user, the first view, the first click strictly after it, the first
+    // purchase strictly after that — the MATCH_RECOGNIZE-class sequence
+    // query expressed as three staged min-aggregations (each stage joins
+    // the previous stage's anchor, so it stays keyed on user_id end to end:
+    // three shuffles on the same key, no per-row state machine needed for
+    // a fixed pattern). Epoch-micro gaps subtract paired conversions, so
+    // session-offset shifts cancel; only completed funnels are emitted.
+    E("r37_funnel", (s, d) => {
+      val ev = Tables(s, d).events
+      def firstAfter(typ: String, anchor: DataFrame, anchorCol: String, out: String) =
+        ev.filter(col("event_type") === typ)
+          .join(anchor, Seq("user_id"))
+          .filter(col("ts") > col(anchorCol))
+          .groupBy("user_id", anchorCol).agg(min(col("ts")).as(out))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val c = firstAfter("click", v, "tv", "tc")
+      val p = firstAfter("purchase", c.select("user_id", "tc"), "tc", "tp")
+      v.join(c.select("user_id", "tc"), Seq("user_id"))
+        .join(p.select("user_id", "tp"), Seq("user_id"))
+        .select(col("user_id"),
+          (unix_micros(col("tc")) - unix_micros(col("tv"))).as("view_to_click_us"),
+          (unix_micros(col("tp")) - unix_micros(col("tc"))).as("click_to_purchase_us"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+      SELECT v.user_id,
+             epoch_us(c.tc) - epoch_us(v.tv) AS view_to_click_us,
+             epoch_us(p.tp) - epoch_us(c.tc) AS click_to_purchase_us
+      FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
+      ORDER BY v.user_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

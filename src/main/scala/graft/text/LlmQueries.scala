@@ -45,7 +45,10 @@ object LlmQueries {
     * (which closes them into clusters), so the tokenization/threshold can
     * never drift between the two — LlmOpsSpec asserts their consistency.
     */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** Distinct word trigrams per doc + per-doc trigram counts — the shared
+    * inverted-index base of [[ngramJaccardPairs]] and l31 containment.
+    */
+  private def trigramIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ws = Tables(s, d).documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -53,16 +56,25 @@ object LlmQueries {
         explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
       .distinct()
     val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    (tg, sz)
+  }
+
+  /** Shared-trigram pair counts with both doc sizes attached (da < db). */
+  private def trigramPairCounts(s: SparkSession, d: String): DataFrame = {
+    val (tg, sz) = trigramIndex(s, d)
     tg.select(col("doc_id").as("da"), col("g"))
       .join(tg.select(col("doc_id").as("db"), col("g")), Seq("g"))
       .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
       .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+  }
+
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    trigramPairCounts(s, d)
       .withColumn("jaccard", round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= 0.2)
       .select(col("da"), col("db"), col("jaccard"))
-  }
 
   /** Seeded-local-minima min-label closure over `pairs` (da, db) — CTE
     * chain ending in `comp` (id, cluster); see g07_cc_full's oracle for
@@ -80,13 +92,19 @@ object LlmQueries {
       |comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)""".stripMargin
 
   /** SQL mirror of [[ngramJaccardPairs]]: CTE chain ending in `pairs`. */
-  private val ngramJaccardPairsSql: String =
+  /** SQL mirror of [[trigramPairCounts]]: CTE chain ending in `inter`
+    * (da, db, i) with `sz` (doc_id, n) available — shared by l03/l16/l31.
+    */
+  private val trigramInterSql: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |tg AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
       |       FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-      |          FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |          FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardPairsSql: String =
+    trigramInterSql + """,
       |pairs AS (SELECT da, db, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
       |          FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |          WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2)""".stripMargin
@@ -1128,7 +1146,31 @@ object LlmQueries {
              ROUND(AVG(-LOG2(CAST(cn.c AS DOUBLE) / CAST(t.t AS DOUBLE))), 6) AS xent,
              COUNT(*) AS n_bigrams
       FROM bg b JOIN counts cn USING (bg) CROSS JOIN tot t
-      GROUP BY b.doc_id ORDER BY doc_id"""))
+      GROUP BY b.doc_id ORDER BY doc_id""")),
+
+    // L31 — asymmetric containment near-dup (Broder 1997's containment
+    // measure, the companion to resemblance/Jaccard): cont(A in B) =
+    // |A∩B| / |A| over distinct word trigrams. Catches SUBSET duplication —
+    // a short doc quoted wholesale inside a long one scores near 1.0 here
+    // while its Jaccard stays low (the union is dominated by the long doc),
+    // so l03 misses exactly the pairs this finds. Same inverted-index join
+    // and shared trigram base as l03 (single-sourced, cannot drift); exact
+    // integer counts, one rounded division per direction.
+    E("l31_containment", (s, d) => {
+      trigramPairCounts(s, d)
+        .withColumn("cont_ab", round(col("i").cast("double") / col("na"), 6))
+        .withColumn("cont_ba", round(col("i").cast("double") / col("nb"), 6))
+        .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.6)
+        .select(col("da"), col("db"), col("cont_ab"), col("cont_ba"))
+        .orderBy("da", "db")
+    }, Some(s"""
+      WITH $trigramInterSql
+      SELECT da, db,
+             ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS cont_ab,
+             ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS cont_ba
+      FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE GREATEST(ROUND(CAST(i AS DOUBLE) / sa.n, 6), ROUND(CAST(i AS DOUBLE) / sb.n, 6)) >= 0.6
+      ORDER BY da, db"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
