@@ -2,6 +2,7 @@ package graft.graph
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** G-series graph operators (SURVEY.md §2.2) as graded queries.
@@ -702,6 +703,32 @@ object GraphQueries {
              ROUND(2.0 * CAST(COALESCE(c.n_tri, 0) AS DOUBLE) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coeff
       FROM deg d LEFT JOIN corners c ON c.id = d.id
       WHERE d.deg >= 2 ORDER BY d.id""")),
+
+    // G25 — temporal momentum: per entity, new PLACED edges per quarter,
+    // the running total, and the quarter-over-quarter delta — the
+    // QUANTITATIVE form of README.md:17's "visualize how structures have
+    // evolved over years" (g12/g13 slice and diff the graph; this one
+    // trends it). Pure integer counts + one keyed window, so the oracle
+    // is exact; at scale the window partitions by entity (no global sort).
+    E("g25_temporal_momentum", (s, d) => {
+      val w = Window.partitionBy("src").orderBy("q")
+      GraphBuilder(Tables(s, d)).edgesOf("PLACED")
+        .filter(col("valid_from").isNotNull)
+        .withColumn("q", date_trunc("quarter", col("valid_from")))
+        .groupBy(col("src"), col("q")).agg(count(lit(1)).as("new_edges"))
+        .select(col("src"), unix_timestamp(col("q")).as("q_start_s"), col("new_edges"),
+          sum(col("new_edges")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum_edges"),
+          (col("new_edges") - coalesce(lag(col("new_edges"), 1).over(w), lit(0L))).as("delta"))
+        .orderBy("src", "q_start_s")
+    }, Some(s"""
+      WITH $edgesCte,
+      per AS (SELECT src, date_trunc('quarter', valid_from) AS q, COUNT(*) AS new_edges
+              FROM graph_edges WHERE rel_type = 'PLACED' AND valid_from IS NOT NULL
+              GROUP BY 1, 2)
+      SELECT src, CAST(EPOCH(q) AS BIGINT) AS q_start_s, new_edges,
+             CAST(SUM(new_edges) OVER (PARTITION BY src ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_edges,
+             new_edges - COALESCE(LAG(new_edges) OVER (PARTITION BY src ORDER BY q), 0) AS delta
+      FROM per ORDER BY src, q_start_s""")),
 
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
