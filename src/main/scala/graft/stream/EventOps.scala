@@ -58,13 +58,19 @@ object EventOps {
     * an unbounded feed (an unconstrained equi-join would buffer both
     * streams forever). Batch twin: same code, watermark is a no-op.
     */
-  def followUps(lhs: DataFrame, rhs: DataFrame): DataFrame = {
+  /** `joinType` "inner" emits matches as they arrive; "left_outer" also
+    * emits unmatched left rows (with nulls) once the watermark proves no
+    * in-interval match can still show up — the streaming form of "which
+    * events never got a follow-up".
+    */
+  def followUps(lhs: DataFrame, rhs: DataFrame, joinType: String = "inner"): DataFrame = {
     val a = lhs.withWatermark("ts", "10 minutes").alias("a")
     val b = rhs.withWatermark("ts", "10 minutes").alias("b")
     a.join(b,
         col("a.user_id") === col("b.user_id") &&
         col("b.ts") > col("a.ts") &&
-        col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR"))
+        col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
       .select(col("a.event_id").as("eid"), col("b.event_id").as("fid"),
               col("a.user_id").as("user_id"),
               col("a.ts").as("ts_a"), col("b.ts").as("ts_b"))

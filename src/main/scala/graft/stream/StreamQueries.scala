@@ -121,7 +121,26 @@ object StreamQueries {
              epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
       FROM events a JOIN events b
         ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-      ORDER BY eid, fid"""))
+      ORDER BY eid, fid""")),
+
+    // T9b — LEFT OUTER interval join twin: every event, with its follow-ups
+    // or null if none arrived within the hour (streaming: the null row
+    // emits only once the watermark passes ts + 1h, proving no match can
+    // still arrive). Null sort position differs between engines — Spark asc
+    // is nulls-first, DuckDB defaults NULLS LAST — so the oracle pins
+    // NULLS FIRST.
+    E("t09b_interval_join_outer", (s, d) => {
+      val e = Tables(s, d).events
+      EventOps.followUps(e, e, "left_outer")
+        .select(col("eid"), col("fid"), col("user_id"),
+                (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+        .orderBy("eid", "fid")
+    }, Some("""
+      SELECT a.event_id AS eid, b.event_id AS fid, a.user_id,
+             epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      FROM events a LEFT JOIN events b
+        ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      ORDER BY eid, fid NULLS FIRST"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -1148,6 +1148,25 @@ object LlmQueries {
       FROM bg b JOIN counts cn USING (bg) CROSS JOIN tot t
       GROUP BY b.doc_id ORDER BY doc_id""")),
 
+    // L30 — per-source vocabulary stats: token count, type count, and
+    // type-token ratio — the vocabulary-richness axis of corpus QA (a
+    // source whose TTR collapses is template spam even when per-doc
+    // filters pass). Exact integers + one final division; tokens never
+    // leave their source partition after the explode.
+    E("l30_vocab_stats", (s, d) => {
+      Tables(s, d).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+        .orderBy("source")
+    }, Some("""
+      WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+             ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr
+      FROM tok GROUP BY source ORDER BY source""")),
+
     // L31 — asymmetric containment near-dup (Broder 1997's containment
     // measure, the companion to resemblance/Jaccard): cont(A in B) =
     // |A∩B| / |A| over distinct word trigrams. Catches SUBSET duplication —

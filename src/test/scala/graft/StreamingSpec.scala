@@ -132,6 +132,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L)), s"only the within-hour same-user pair should emit, got $got")
   }
 
+  test("T9b: outer interval join emits the unmatched row only after the watermark proves no match") {
+    val left = MemoryStream[Ev](spark)
+    val right = MemoryStream[Ev](spark)
+    val out = EventOps.followUps(left.toDF(), right.toDF(), "left_outer")
+    val q = out.writeStream.format("memory").queryName("t9outer")
+      .outputMode(OutputMode.Append()).start()
+    left.addData(Ev(1, ts(0), 7, "a", 0))
+    right.addData(Ev(9, ts(5), 8, "a", 0))             // other user: no match
+    q.processAllAvailable()
+    val early = spark.table("t9outer").filter(col("eid") === 1).count()
+    assert(early === 0L, "null row must NOT emit while a match could still arrive")
+    // advance both watermarks far past ts(0) + 1h, then nudge once more so
+    // the state-eviction microbatch runs
+    left.addData(Ev(2, ts(600), 7, "a", 0))
+    right.addData(Ev(10, ts(600), 8, "a", 0))
+    q.processAllAvailable()
+    left.addData(Ev(3, ts(700), 7, "a", 0))
+    right.addData(Ev(11, ts(700), 8, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val e1 = spark.table("t9outer").filter(col("eid") === 1)
+      .select("fid").as[Option[Long]].collect().toSeq
+    assert(e1 === Seq(None), s"event 1 should emit exactly one null-joined row, got $e1")
+  }
+
   test("T5: duplicate event ids within the watermark are dropped") {
     val got = runToCompletion("t5dedup") { src =>
       src.addData(Ev(1, ts(0), 1, "a", 0), Ev(1, ts(1), 1, "a", 0), Ev(2, ts(2), 1, "a", 0))
