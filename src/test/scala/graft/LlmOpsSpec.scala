@@ -188,4 +188,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(assign() === got)
     assert(got.values.toSet.size >= 2, "seeds should not collapse to one cluster")
   }
+
+  test("gopher quality signals match a driver-side reimplementation") {
+    val got = LlmQueries.queries("l34_gopher_quality")(spark, sfDir)
+      .select("doc_id", "top_bigram_char_frac", "dup3_char_frac", "stop_hits", "gopher_pass")
+      .as[(Long, Double, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val stopSet = Set("the", "a", "and", "of", "to", "in")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val texts = Tables(spark, sfDir).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nChars = ws.map(_.length).sum
+      val bigrams = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topFrac = if (bigrams.isEmpty) 0.0 else {
+        val (g, c) = bigrams.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (g, c) => (-c, g) }
+        r6(g.replace(" ", "").length.toDouble * c / nChars)
+      }
+      val tris = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val dupSet = tris.groupBy(identity).filter(_._2.size > 1).keySet
+      val covered = tris.zipWithIndex.collect {
+        case (g, i) if dupSet(g) => Seq(i, i + 1, i + 2)
+      }.flatten.toSet
+      val dupFrac = r6(covered.toSeq.map(ws(_).length).sum.toDouble / nChars)
+      val stops = ws.count(stopSet)
+      val (gTop, gDup, gStops, gPass) = got(id)
+      assert(gTop === topFrac, s"doc $id top-bigram frac")
+      assert(gDup === dupFrac, s"doc $id dup3 coverage frac")
+      assert(gStops === stops.toLong, s"doc $id stop hits")
+      val mwl = r6(nChars.toDouble / ws.length)
+      val expectPass = ws.length >= 10 && ws.length <= 1000 &&
+        mwl >= 2.0 && mwl <= 12.0 && topFrac <= 0.10 && dupFrac <= 0.05 && stops >= 2
+      assert(gPass === expectPass, s"doc $id gate")
+    }
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "gate should be non-vacuous: some docs pass, some fail")
+  }
 }
