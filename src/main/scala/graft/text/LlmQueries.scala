@@ -1280,7 +1280,67 @@ object LlmQueries {
         (n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0
          AND top_bigram_char_frac <= 0.10 AND dup3_char_frac <= 0.05
          AND stop_hits >= 2) AS gopher_pass
-      FROM scored ORDER BY doc_id"""))
+      FROM scored ORDER BY doc_id""")),
+
+    // L33 — DSIR-style importance weighting (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score each
+    // doc by log p_target/p_raw under bag-of-hashed-unigram models, target
+    // = the src0/src1 slice (stand-in for a curated high-quality corpus).
+    // Token→bucket is a polynomial rolling hash over char codes mod 64,
+    // implemented with the SAME integer arithmetic in Spark and DuckDB so
+    // the bucketing is engine-identical; per-doc log-weights are ordered
+    // folds over bucket-sorted terms (the repo's bit-identical-double
+    // convention). Scale shape: one token-level hash+count (map-side
+    // combine), a 64-row broadcast delta table, and a per-doc bounded fold
+    // — no corpus-crossing join, so the op stays linear at 100 TB.
+    E("l33_dsir_importance", (s, d) => {
+      val docs = Tables(s, d).documents
+      val htok = docs
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("b",
+          expr("aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007) % 64"))
+      val isTgt = col("source").isin("src0", "src1")
+      val raw = htok.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
+      val tots = raw.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      val delta = raw.crossJoin(broadcast(tots))
+        .select(col("b"),
+          (log((col("ct") + 1).cast("double") / (col("tt") + 64)) -
+           log((col("cr") + 1).cast("double") / (col("tr") + 64))).as("d"))
+      val docb = htok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      val scored = docb.join(broadcast(delta), "b")
+        .withColumn("term", col("c").cast("double") * col("d"))
+        .groupBy("doc_id")
+        .agg(expr("aggregate(sort_array(collect_list(struct(b, term))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)").as("lw"))
+      scored.join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          (floor(col("lw") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("dsir_logw"),
+          (col("lw") > 0).as("selected"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS t FROM documents),
+      htok AS (SELECT doc_id, source,
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(LENGTH(t)), i -> CAST(ord(substr(t, CAST(i+1 AS INT), 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS b
+       FROM tok),
+      tgt AS (SELECT b, COUNT(*) AS ct FROM htok WHERE source IN ('src0', 'src1') GROUP BY 1),
+      raw AS (SELECT b, COUNT(*) AS cr FROM htok GROUP BY 1),
+      tots AS (SELECT (SELECT COUNT(*) FROM htok WHERE source IN ('src0', 'src1')) AS tt,
+                      (SELECT COUNT(*) FROM htok) AS tr),
+      delta AS (SELECT raw.b,
+        LN(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / (tots.tt + 64))
+          - LN(CAST(raw.cr + 1 AS DOUBLE) / (tots.tr + 64)) AS d
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+      docb AS (SELECT doc_id, b, COUNT(*) AS c FROM htok GROUP BY 1, 2),
+      scored AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(c AS DOUBLE) * d ORDER BY docb.b)),
+                    (a, v) -> a + v) AS lw
+        FROM docb JOIN delta ON docb.b = delta.b GROUP BY doc_id)
+      SELECT d.doc_id, d.source, FLOOR(lw * 1000000.0 + 0.5) / 1000000.0 AS dsir_logw,
+             lw > 0 AS selected
+      FROM scored s JOIN documents d USING (doc_id) ORDER BY d.doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

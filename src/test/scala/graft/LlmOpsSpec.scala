@@ -226,4 +226,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.values.exists(_._4) && got.values.exists(!_._4),
       "gate should be non-vacuous: some docs pass, some fail")
   }
+
+  test("dsir importance weights match a driver-side reimplementation") {
+    val got = LlmQueries.queries("l33_dsir_importance")(spark, sfDir)
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    val rows = Tables(spark, sfDir).documents
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def bucket(t: String): Long =
+      (t.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)) % 64
+    val toks = rows.map { case (id, src, t) => (id, src, t.split(" ", -1).map(bucket)) }
+    val tgt = toks.filter(r => r._2 == "src0" || r._2 == "src1").flatMap(_._3)
+    val raw = toks.flatMap(_._3)
+    val ct = tgt.groupBy(identity).view.mapValues(_.size).toMap
+    val cr = raw.groupBy(identity).view.mapValues(_.size).toMap
+    val (tt, tr) = (tgt.length, raw.length)
+    def delta(b: Long) =
+      math.log((ct.getOrElse(b, 0) + 1).toDouble / (tt + 64)) -
+        math.log((cr(b) + 1).toDouble / (tr + 64))
+    toks.foreach { case (id, _, bs) =>
+      val lw = bs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (b, c)) => acc + c.toDouble * delta(b) }
+      assert(got(id) === math.floor(lw * 1e6 + 0.5) / 1e6, s"doc $id")
+    }
+    // target sources should be favored on average (signal, not noise)
+    val bySrc = rows.map(r => (r._1, r._2)).toMap
+    val (tgtW, restW) = got.partition { case (id, _) =>
+      bySrc(id) == "src0" || bySrc(id) == "src1" }
+    assert(tgtW.values.sum / tgtW.size > restW.values.sum / restW.size,
+      "mean log-weight of target sources should exceed the rest")
+  }
 }
