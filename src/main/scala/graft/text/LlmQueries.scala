@@ -39,6 +39,52 @@ object LlmQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), (acc, v) -> acc + v)"
 
+  /** Two fixed Lloyd's rounds (k = 4, seeds = 4 lowest vec_ids) over any
+    * (vec_id, embedding) frame → (vec_id, cid). Single-sourced for
+    * l26_kmeans and l32_semdedup so the clustering cannot drift between
+    * the grading query and the dedup that builds on it.
+    */
+  private def lloydAssign(emb: DataFrame): DataFrame = {
+    def byPos(df: DataFrame, idCol: String, vCol: String) = df
+      .select(col(idCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+              col("v").cast("double").as(vCol))
+    val pts = byPos(emb, "vec_id", "v")
+    val init = byPos(emb.orderBy("vec_id").limit(4)
+      .withColumnRenamed("vec_id", "cid"), "cid", "c")
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      pts.join(cent, Seq("pos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    }
+    def update(asg: DataFrame): DataFrame =
+      asg.join(pts, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("c"))
+    assign(update(assign(init)))
+  }
+
+  /** DuckDB mirror of [[lloydAssign]]: CTE chain ending in a2(vec_id, cid),
+    * parameterized by the (vec_id, embedding) source relation. */
+  private def lloydCtes(src: String): String = s"""pts AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+                   FROM $src, UNNEST(range(64)) AS t(i)),
+      init AS (SELECT e.vec_id AS cid, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS c
+               FROM (SELECT * FROM $src ORDER BY vec_id LIMIT 4) e, UNNEST(range(64)) AS t(i)),
+      d1 AS (SELECT p.vec_id, c.cid, SUM((p.v - c.c) * (p.v - c.c)) AS d2
+             FROM pts p JOIN init c USING (pos) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a.cid, p.pos, AVG(p.v) AS c
+             FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+      d2s AS (SELECT p.vec_id, c.cid, SUM((p.v - c.c) * (p.v - c.c)) AS d2
+              FROM pts p JOIN c1 c USING (pos) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM d2s) WHERE rn = 1)"""
+
   /** Exact 3-gram Jaccard near-dup pairs (da < db, jaccard >= 0.2) via an
     * inverted-index join on the trigram — single-sourced for
     * l03_ngram_jaccard (which grades the pairs) and l16_dedup_clusters
@@ -1018,45 +1064,11 @@ object LlmQueries {
     // round. Deterministic: fixed seeds, fixed rounds, (d2, cid) argmin
     // tie-break.
     E("l26_kmeans", (s, d) => {
-      val emb = Tables(s, d).embeddings
-      def byPos(df: DataFrame, idCol: String, vCol: String) = df
-        .select(col(idCol), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col(idCol), col("pos").cast("long").as("pos"),
-                col("v").cast("double").as(vCol))
-      val pts = byPos(emb, "vec_id", "v")
-      val init = byPos(emb.orderBy("vec_id").limit(4)
-        .withColumnRenamed("vec_id", "cid"), "cid", "c")
-      def assign(cent: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-        pts.join(cent, Seq("pos"))
-          .groupBy(col("vec_id"), col("cid"))
-          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-      }
-      def update(asg: DataFrame): DataFrame =
-        asg.join(pts, Seq("vec_id"))
-          .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("c"))
-      assign(update(assign(init)))
+      lloydAssign(Tables(s, d).embeddings.select("vec_id", "embedding"))
         .select(col("vec_id"), col("cid").as("cluster"))
         .orderBy("vec_id")
-    }, Some("""
-      WITH pts AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
-                   FROM embeddings, UNNEST(range(64)) AS t(i)),
-      init AS (SELECT e.vec_id AS cid, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS c
-               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4) e, UNNEST(range(64)) AS t(i)),
-      d1 AS (SELECT p.vec_id, c.cid, SUM((p.v - c.c) * (p.v - c.c)) AS d2
-             FROM pts p JOIN init c USING (pos) GROUP BY 1, 2),
-      a1 AS (SELECT vec_id, cid FROM (
-               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-               FROM d1) WHERE rn = 1),
-      c1 AS (SELECT a.cid, p.pos, AVG(p.v) AS c
-             FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
-      d2s AS (SELECT p.vec_id, c.cid, SUM((p.v - c.c) * (p.v - c.c)) AS d2
-              FROM pts p JOIN c1 c USING (pos) GROUP BY 1, 2),
-      a2 AS (SELECT vec_id, cid FROM (
-               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-               FROM d2s) WHERE rn = 1)
+    }, Some(s"""
+      WITH ${lloydCtes("embeddings")}
       SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id""")),
 
     // L27 — character-entropy quality scoring: Shannon entropy of the
@@ -1340,7 +1352,54 @@ object LlmQueries {
         FROM docb JOIN delta ON docb.b = delta.b GROUP BY doc_id)
       SELECT d.doc_id, d.source, FLOOR(lw * 1000000.0 + 0.5) / 1000000.0 AS dsir_logw,
              lw > 0 AS selected
-      FROM scored s JOIN documents d USING (doc_id) ORDER BY d.doc_id"""))
+      FROM scored s JOIN documents d USING (doc_id) ORDER BY d.doc_id""")),
+
+    // L32 — SemDeDup (Abbas et al. 2023): cluster embeddings with KMeans,
+    // then near-dup ONLY within each cluster — the whole point at scale:
+    // the O(N²) pairwise cosine collapses to Σ O(|cluster|²), and k grows
+    // with the corpus so per-cluster pair cost stays bounded while the
+    // clustering itself is linear. Keep-rule here is keep-min-id (the
+    // repo's deterministic canonical convention, vs the paper's
+    // closest-to-centroid, which ties to FP ordering). Same planted-dup
+    // convention as l14 (20 scaled copies of the lowest vec_ids) so the
+    // removed set is non-vacuous and exactly known; the vec_id < 1000
+    // drill-down bound is the same documented grading bound as l14's.
+    // Clustering is single-sourced with l26 via [[lloydAssign]]/[[lloydCtes]].
+    E("l32_semdedup", (s, d) => {
+      val base = Tables(s, d).embeddings.filter(col("vec_id") < 1000)
+        .select(col("vec_id"), expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+                expr("transform(emb, v -> v * 0.999)").as("emb"))
+      val all = base.unionByName(planted)
+      val asg = lloydAssign(all.select(col("vec_id"), col("emb").as("embedding")))
+      val e = all.join(asg, "vec_id").withColumn("nrm", sqrt(dot("emb", "emb")))
+      val x = e.select(col("vec_id").as("a"), col("cid").as("ca"),
+                       col("emb").as("ea"), col("nrm").as("na"))
+      val y = e.select(col("vec_id").as("b"), col("cid").as("cb"),
+                       col("emb").as("eb"), col("nrm").as("nb"))
+      x.join(y, col("ca") === col("cb") && col("a") < col("b"))
+        .withColumn("cos", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.99)
+        .groupBy(col("b").as("removed"), col("cb").as("cluster"))
+        .agg(count(lit(1)).as("n_dup_partners"), min(col("a")).as("min_partner"))
+        .orderBy("removed")
+    }, Some(s"""
+      WITH e0 AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+                  FROM embeddings WHERE vec_id < 1000),
+      all_e AS (SELECT vec_id, emb AS embedding FROM e0
+                UNION ALL
+                SELECT vec_id + 1000000, list_transform(emb, v -> v * 0.999) FROM e0 WHERE vec_id < 20),
+      ${lloydCtes("all_e")},
+      en AS (SELECT a.vec_id, a.cid, e.embedding,
+                    SQRT(${dotSql("e.embedding", "e.embedding")}) AS nrm
+             FROM a2 a JOIN all_e e USING (vec_id)),
+      pairs AS (SELECT x.vec_id AS a, y.vec_id AS b, x.cid,
+                       ROUND(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cos
+                FROM en x JOIN en y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+      SELECT b AS removed, cid AS cluster, COUNT(*) AS n_dup_partners, MIN(a) AS min_partner
+      FROM pairs WHERE cos >= 0.99
+      GROUP BY 1, 2 ORDER BY removed"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

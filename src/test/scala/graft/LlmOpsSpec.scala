@@ -255,4 +255,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(tgtW.values.sum / tgtW.size > restW.values.sum / restW.size,
       "mean log-weight of target sources should exceed the rest")
   }
+
+  test("semdedup removes exactly the planted copies, each witnessed by its original") {
+    val rows = LlmQueries.queries("l32_semdedup")(spark, sfDir)
+      .select("removed", "min_partner").as[(Long, Long)].collect()
+    assert(rows.map(_._1).toSet === (0L until 20L).map(_ + 1000000L).toSet,
+      "removed set must be the 20 planted scaled copies and nothing else")
+    // witness == original also proves the copy co-clustered with its
+    // original (pairs only form within a cluster)
+    rows.foreach { case (removed, witness) =>
+      assert(witness === removed - 1000000L,
+        s"planted copy $removed should be witnessed by its own original")
+    }
+  }
 }
