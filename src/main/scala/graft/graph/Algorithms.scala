@@ -451,6 +451,41 @@ object Algorithms {
     coreDeg(s).select(col("v").as("id"), col("deg"))
   }
 
+  /** Bounded k-truss peel (Cohen 2008, "Trusses: cohesive subgraphs for
+    * social network analysis"): iteratively drop edges supported by fewer
+    * than k−2 triangles among surviving edges. The edge-level sibling of
+    * [[kCoreBounded]] — a k-truss is a stricter backbone than a k-core
+    * (every edge, not just every node, sits in a dense neighborhood).
+    * Each round is one canonical a<b<c triangle join + an edge-keyed
+    * count, all shuffles on edge endpoints; per-round cost collapses with
+    * the surviving edge set, so bounded rounds dominate round one (the
+    * full graph) at any scale. Bounded rounds may under-converge — pick
+    * `rounds` at the calling site so an extra round is a no-op (the graded
+    * g26 calibration and its spec check exactly that). Returns surviving
+    * canonical edges with their in-truss support.
+    */
+  def kTrussBounded(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = graft.graph.Traversals.symmetrize(edges).distinct()
+    def sup(e: DataFrame): DataFrame = {
+      val tri = e.select(col("src").as("a"), col("dst").as("b"))
+        .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+        .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      tri.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(tri.select(col("b").as("src"), col("c").as("dst")))
+        .unionByName(tri.select(col("a").as("src"), col("c").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+    }
+    var ed = sym.filter(col("src") < col("dst")).transform(Materialize.apply)
+    var i = 0
+    while (i < rounds) {
+      ed = ed.join(sup(ed).filter(col("sup") >= k - 2), Seq("src", "dst"))
+        .select("src", "dst").transform(Materialize.apply)
+      i += 1
+    }
+    ed.join(sup(ed), Seq("src", "dst"), "left_outer")
+      .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
   /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a
     * deterministic sample of source nodes, accumulated. O(sources × E) —

@@ -361,3 +361,46 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e")
   }
 }
+
+class KTrussSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kTrussBounded keeps the clique with exact support, peels the tail") {
+    // K4 {1,2,3,4}: every edge closes 2 triangles -> 4-truss survives;
+    // the 4-5-6 chain closes none and must peel in round one.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+                (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Algorithms.kTrussBounded(e, 4, 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(got === k4.map(_ -> 2L).toMap)
+  }
+
+  test("kTrussBounded at the graded round count has converged (one more round is a no-op)") {
+    // guards the g26 calibration, same posture as the g23 guard above
+    val t = Tables(spark, sfDir)
+    val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst"))
+    def run(r: Int) = Algorithms.kTrussBounded(e2, 5, r)
+      .as[(Long, Long, Long)].collect().map(x => (x._1, x._2) -> x._3).toMap
+    val r10 = run(10)
+    assert(r10 === run(11))
+    r10.foreach { case (e, s) => assert(s >= 3, s"under-supported edge $e (sup $s)") }
+  }
+
+  test("kTrussBounded matches a driver-side peeling reimplementation") {
+    val t = Tables(spark, sfDir)
+    val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst"))
+    val got = Algorithms.kTrussBounded(e2, 4, 6)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sym = e2.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var ed = sym.filter(p => p._1 < p._2).toSet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      es.toSeq.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+    }
+    for (_ <- 1 to 6) { val s = support(ed); ed = ed.filter(e => s(e) >= 2) }
+    assert(got === support(ed).filter { case (e, _) => ed(e) })
+  }
+}
