@@ -486,6 +486,35 @@ object Algorithms {
       .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
   }
 
+  /** Truncated harmonic centrality (Boldi & Vigna 2014): Σ 1/dist(v,u)
+    * over u within `k` hops of v on the symmetrized graph. Per-distance
+    * counts are exact integers and the harmonic sum is one closed-form
+    * expression over them, so there is no float-summation-order hazard.
+    * The hop cap is the scale control (untruncated all-pairs is O(V·E));
+    * each level is one frontier-edge join + distinct.
+    */
+  def harmonicKHop(edges: DataFrame, k: Int): DataFrame = {
+    val sym = graft.graph.Traversals.symmetrize(edges).distinct()
+      .transform(Materialize.apply)
+    var levels = List(sym.select(col("src").as("s"), col("dst").as("v")).distinct()
+      .transform(Materialize.apply))
+    for (_ <- 2 to k)
+      levels = levels.head.join(sym, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v")).distinct()
+        .transform(Materialize.apply) :: levels
+    val lv = levels.reverse.zipWithIndex
+      .map { case (df, i) => df.withColumn("dist", lit(i + 1)) }
+      .reduce(_ unionByName _)
+      .filter(col("v") =!= col("s"))
+      .groupBy("s", "v").agg(min(col("dist")).as("dist"))
+    val counts = (1 to k).map(i =>
+      sum(when(col("dist") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val harmonic = (1 to k).map(i => col(s"n$i").cast("double") / i.toDouble)
+      .reduce(_ + _)
+    lv.groupBy(col("s").as("id")).agg(counts.head, counts.tail: _*)
+      .withColumn("harmonic", round(harmonic, 6))
+  }
+
   /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
     * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a
     * deterministic sample of source nodes, accumulated. O(sources × E) —

@@ -773,6 +773,38 @@ object GraphQueries {
       ORDER BY e.src, e.dst"""
     })),
 
+    // G27 — truncated harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    // Centrality": harmonic handles disconnected graphs where closeness
+    // breaks): Σ 1/dist(v,u) over u within 3 hops of v on the strong user
+    // graph — "which entities sit closest to everything else" with a
+    // bounded horizon. The 3-hop cap IS the scale control: untruncated
+    // all-pairs distance is O(V·E) but each bounded level is one
+    // frontier-edge join, and per-(source,dist) counts are INTEGERS, so
+    // the harmonic sum is a closed-form expression over exact counts —
+    // no float-summation-order hazard in either engine.
+    E("g27_harmonic_khop", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      Algorithms.harmonicKHop(e2, 3).orderBy("id")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e2 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      r1 AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS v FROM sym),
+      r2 AS MATERIALIZED (SELECT DISTINCT r1.s, e.dst AS v FROM r1 JOIN sym e ON e.src = r1.v),
+      r3 AS (SELECT DISTINCT r2.s, e.dst AS v FROM r2 JOIN sym e ON e.src = r2.v),
+      lv AS (SELECT s, v, 1 AS dist FROM r1 UNION ALL SELECT s, v, 2 FROM r2
+             UNION ALL SELECT s, v, 3 FROM r3),
+      md AS (SELECT s, v, MIN(dist) AS dist FROM lv WHERE v <> s GROUP BY 1, 2)
+      SELECT s AS id,
+             CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             ROUND(CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   + CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS DOUBLE) / 2.0
+                   + CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0, 6) AS harmonic
+      FROM md GROUP BY s ORDER BY id""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

@@ -403,4 +403,20 @@ class KTrussSpec extends SparkSpec {
     for (_ <- 1 to 6) { val s = support(ed); ed = ed.filter(e => s(e) >= 2) }
     assert(got === support(ed).filter { case (e, _) => ed(e) })
   }
+
+  test("harmonicKHop: exact values on a star and on a path") {
+    // star 0-{1,2,3,4}: center sees 4 at dist 1; each leaf sees the
+    // center at 1 and the other 3 leaves at 2
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val gs = Algorithms.harmonicKHop(star, 3)
+      .select("id", "harmonic").as[(Long, Double)].collect().toMap
+    assert(gs(0L) === 4.0)
+    (1L to 4L).foreach(l => assert(gs(l) === 1.0 + 3.0 / 2.0, s"leaf $l"))
+    // path 1-2-3-4-5, k=3: end nodes reach 3 of 4; middle reaches all
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val gp = Algorithms.harmonicKHop(path, 3)
+      .select("id", "harmonic").as[(Long, Double)].collect().toMap
+    assert(gp(1L) === math.floor((1.0 + 0.5 + 1.0 / 3.0) * 1e6 + 0.5) / 1e6)
+    assert(gp(3L) === 2.0 + 2.0 / 2.0)
+  }
 }
