@@ -820,7 +820,57 @@ object RelQueries {
              epoch_us(c.tc) - epoch_us(v.tv) AS view_to_click_us,
              epoch_us(p.tp) - epoch_us(c.tc) AS click_to_purchase_us
       FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
-      ORDER BY v.user_id"""))
+      ORDER BY v.user_id""")),
+
+    // R39 — time-series gap-fill + forward-fill: the dense daily
+    // (priority × day) grid from a distributed date spine, zero-filled
+    // counts/revenue, last-observation-carried-forward revenue and
+    // days-since-last-order. The missing-row repair step every downstream
+    // time-series op assumes ("no row" and "zero row" must mean the same
+    // thing before windowing). Scale shape: the spine is generated from
+    // one global min/max (2 scalars broadcast), the grid is
+    // |dims| × |days| rows — never a function of fact-row count — and the
+    // forward-fill window partitions by dimension, so no global sort.
+    // Money goes through decimal(18,2) per the repo convention.
+    E("r39_gapfill", (s, d) => {
+      val o = Tables(s, d).orders
+        .select(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val bounds = o.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val spine = bounds.select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val grid = o.select("priority").distinct().crossJoin(spine)
+      val daily = o.groupBy("priority", "day").agg(
+        count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+      val w = Window.partitionBy("priority").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("priority", "day"), "left_outer")
+        .select(col("priority"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0.0)).as("revenue"),
+          last(col("rev"), ignoreNulls = true).over(w).as("last_seen_revenue"),
+          datediff(col("day"),
+            last(when(col("n").isNotNull, col("day")), ignoreNulls = true).over(w))
+            .cast("long").as("days_since_order"))
+        .orderBy("priority", "day")
+    }, Some("""
+      WITH o AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                        o_totalprice FROM orders),
+      bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM o),
+      spine AS (SELECT CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                       INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      grid AS (SELECT p.priority, s.day FROM (SELECT DISTINCT priority FROM o) p CROSS JOIN spine s),
+      daily AS (SELECT priority, day, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+                FROM o GROUP BY 1, 2)
+      SELECT g.priority, g.day,
+             COALESCE(d.n, 0) AS n_orders,
+             COALESCE(d.rev, 0.0) AS revenue,
+             last_value(d.rev IGNORE NULLS) OVER
+               (PARTITION BY g.priority ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS last_seen_revenue,
+             CAST(g.day - last_value(CASE WHEN d.n IS NOT NULL THEN g.day END IGNORE NULLS) OVER
+               (PARTITION BY g.priority ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS days_since_order
+      FROM grid g LEFT JOIN daily d ON d.priority = g.priority AND d.day = g.day
+      ORDER BY g.priority, g.day"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
