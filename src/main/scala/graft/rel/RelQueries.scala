@@ -870,7 +870,53 @@ object RelQueries {
              CAST(g.day - last_value(CASE WHEN d.n IS NOT NULL THEN g.day END IGNORE NULLS) OVER
                (PARTITION BY g.priority ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS days_since_order
       FROM grid g LEFT JOIN daily d ON d.priority = g.priority AND d.day = g.day
-      ORDER BY g.priority, g.day"""))
+      ORDER BY g.priority, g.day""")),
+
+    // R38 — SCD2 effective-dating (Kimball type-2 dimension build): collapse
+    // each customer's order-priority history into change runs
+    // (gaps-and-islands: a new version starts exactly when the value
+    // changes under the (day, orderkey) total order), then effective_from /
+    // effective_to / is_current via lead. The MERGE-style upsert every
+    // warehouse needs, expressed as pure windows: one customer-keyed sort,
+    // no self-join, no driver loop — partitions by customer at any scale.
+    E("r38_scd2", (s, d) => {
+      val o = Tables(s, d).orders.select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+        to_date(col("o_orderdate")).as("day"), col("o_orderpriority").as("tier"))
+      val wo = Window.partitionBy("custkey").orderBy("day", "okey")
+      val runs = o
+        .withColumn("chg", when(lag(col("tier"), 1).over(wo).isNull ||
+          lag(col("tier"), 1).over(wo) =!= col("tier"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("chg"))
+          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("custkey", "version")
+        .agg(min(col("tier")).as("tier"), min(col("day")).as("effective_from"),
+             count(lit(1)).as("n_orders"))
+      val wv = Window.partitionBy("custkey").orderBy("version")
+      runs
+        .withColumn("effective_to", lead(col("effective_from"), 1).over(wv))
+        .withColumn("is_current", col("effective_to").isNull)
+        .select("custkey", "version", "tier", "effective_from", "effective_to",
+                "n_orders", "is_current")
+        .orderBy("custkey", "version")
+    }, Some("""
+      WITH o AS (SELECT o_custkey AS custkey, o_orderkey AS okey,
+                        CAST(o_orderdate AS DATE) AS day, o_orderpriority AS tier
+                 FROM orders),
+      marked AS (SELECT custkey, okey, day, tier,
+        CASE WHEN LAG(tier) OVER w IS NULL OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        FROM o WINDOW w AS (PARTITION BY custkey ORDER BY day, okey)),
+      versioned AS (SELECT custkey, day, tier,
+        CAST(SUM(chg) OVER (PARTITION BY custkey ORDER BY day, okey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM marked),
+      runs AS (SELECT custkey, version, MIN(tier) AS tier, MIN(day) AS effective_from,
+                      COUNT(*) AS n_orders
+               FROM versioned GROUP BY 1, 2)
+      SELECT custkey, version, tier, effective_from,
+             LEAD(effective_from) OVER (PARTITION BY custkey ORDER BY version) AS effective_to,
+             n_orders,
+             LEAD(effective_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL AS is_current
+      FROM runs ORDER BY custkey, version"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
