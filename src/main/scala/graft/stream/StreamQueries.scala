@@ -140,7 +140,47 @@ object StreamQueries {
              epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
       FROM events a LEFT JOIN events b
         ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
-      ORDER BY eid, fid NULLS FIRST"""))
+      ORDER BY eid, fid NULLS FIRST""")),
+
+    // T10 — burst debounce: per (user, event_type), group events into
+    // bursts (gaps-and-islands with a 10-minute gap timeout — the same
+    // island rule session windows use) and keep only each burst's FIRST
+    // event, reporting how many followers were suppressed. The batch twin
+    // of retention-bounded stream dedup (t05 grades fixed minute-bucket
+    // dedup; this grades the gap-relative form, which fixed buckets get
+    // wrong across bucket boundaries). One keyed sort, no self-join.
+    E("t10_burst_debounce", (s, d) => {
+      val wo = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("user_id", "event_type", "burst")
+      val bursts = Tables(s, d).events
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wo)))
+        .withColumn("nb", when(col("gap_us").isNull || col("gap_us") > 600L * 1000000L, 1L)
+          .otherwise(0L))
+        .withColumn("burst", sum(col("nb"))
+          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      bursts
+        .withColumn("rn", row_number().over(ws.orderBy(col("ts"), col("event_id"))))
+        .withColumn("n_suppressed", count(lit(1)).over(ws) - 1)
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("burst_start_us"), col("n_suppressed"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH marked AS (SELECT event_id, user_id, event_type, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 600 * 1000000 THEN 1 ELSE 0 END AS nb
+        FROM events WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      bursts AS (SELECT event_id, user_id, event_type, ts,
+        SUM(nb) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS burst
+        FROM marked)
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS burst_start_us, n_suppressed
+      FROM (SELECT event_id, user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id, event_type, burst) - 1 AS n_suppressed
+            FROM bursts) t
+      WHERE rn = 1 ORDER BY event_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -165,6 +165,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("T5b: dedup state expires with the watermark — a far-later resend is re-emitted") {
+    // the behavior that distinguishes dropDuplicatesWithinWatermark from
+    // unbounded dropDuplicates: state is retention-bounded, so the same id
+    // re-sent AFTER the watermark passed its eviction point flows through
+    // again (and state stays O(watermark window) instead of O(stream))
+    val source = MemoryStream[Ev](spark)
+    val q = EventOps.dedupEvents(source.toDF())
+      .writeStream.format("memory").queryName("t5expiry")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(Ev(1, ts(0), 1, "a", 0))
+    q.processAllAvailable()
+    // advance the watermark far past id 1's eviction (10-min delay)
+    source.addData(Ev(2, ts(60), 1, "a", 0))
+    q.processAllAvailable()
+    // same event id again, within the NEW watermark window
+    source.addData(Ev(1, ts(61), 1, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t5expiry").select("event_id").as[Long].collect().toSeq
+    assert(ids.count(_ == 1L) === 2, s"id 1 should be emitted twice (state expired): $ids")
+    assert(ids.count(_ == 2L) === 1)
+  }
+
   test("T6: flatMapGroupsWithState keeps running per-user state across batches") {
     val source = MemoryStream[Ev](spark)
     val out = EventOps.runningUserState(source.toDS())
