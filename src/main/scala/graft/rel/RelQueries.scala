@@ -916,7 +916,37 @@ object RelQueries {
              LEAD(effective_from) OVER (PARTITION BY custkey ORDER BY version) AS effective_to,
              n_orders,
              LEAD(effective_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL AS is_current
-      FROM runs ORDER BY custkey, version"""))
+      FROM runs ORDER BY custkey, version""")),
+
+    // R40 — rolling 7-day distinct users (the WAU-per-day retention
+    // metric). Distinct-count over a RANGE frame has no shuffle-friendly
+    // direct form (windowed COUNT(DISTINCT) isn't supported in Spark, and
+    // naively it holds a 7-day user set per row); instead each (user, day)
+    // first-class fact CONTRIBUTES itself to the 7 calendar days it covers
+    // (explode of a bounded literal range), turning the range-distinct into
+    // a plain hash groupBy + distinct count — partial-aggregatable,
+    // skew-free, and linear at any scale. Day horizon trimmed to observed
+    // days so the output carries no phantom trailing week.
+    E("r40_rolling_distinct", (s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = Tables(s, d).events
+        .agg(to_date(max(col("ts"))).as("mx")).select("mx")
+      ev.select(col("user_id"), explode(expr("sequence(day, day + interval 6 day)")).as("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("mx"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    }, Some("""
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      mx AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+      contrib AS (SELECT user_id, CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                         CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM ud)
+      SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+      FROM contrib c CROSS JOIN mx WHERE c.day <= mx.mx
+      GROUP BY c.day ORDER BY c.day"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

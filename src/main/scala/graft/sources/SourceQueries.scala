@@ -127,7 +127,38 @@ object SourceQueries {
       SELECT s_nationkey, COUNT(*) AS n_suppliers,
              ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS acctbal_sum
       FROM supplier WHERE s_nationkey < 5
-      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+      GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // S5b — schema-evolution roundtrip: an incremental pipeline's old
+    // batches lack columns newer batches carry. Batch 1 writes (n_nationkey,
+    // n_name); batch 2 adds n_regionkey; a mergeSchema read must union the
+    // schemas and null-fill the missing column in old rows — graded by
+    // aggregating with explicit null handling so both the widened schema
+    // and the null-fill are value-checked. At scale mergeSchema footer
+    // reconciliation is a bounded driver-side step (one footer per file),
+    // the data path stays columnar.
+    E("s05_schema_evolution", (s, d) => {
+      val path = tmpDir("nation_evo")
+      val n = Tables(s, d).nation
+      n.filter(col("n_nationkey") < 12)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(path + "/b1")
+      n.filter(col("n_nationkey") >= 12)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+                col("n_regionkey").cast("long").as("n_regionkey"))
+        .write.mode("overwrite").parquet(path + "/b2")
+      s.read.option("mergeSchema", "true").parquet(path + "/b1", path + "/b2")
+        .groupBy(coalesce(col("n_regionkey"), lit(-1L)).as("region"))
+        .agg(count(lit(1)).as("n_nations"),
+             sum(col("n_nationkey")).as("key_sum"),
+             min(col("n_name")).as("first_name"))
+        .orderBy("region")
+    }, Some("""
+      SELECT COALESCE(CASE WHEN n_nationkey >= 12 THEN n_regionkey END, -1) AS region,
+             COUNT(*) AS n_nations,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             MIN(n_name) AS first_name
+      FROM nation GROUP BY 1 ORDER BY region"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
