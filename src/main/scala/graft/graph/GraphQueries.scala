@@ -805,6 +805,48 @@ object GraphQueries {
                    + CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0, 6) AS harmonic
       FROM md GROUP BY s ORDER BY id""")),
 
+    // G28 — deterministic random-walk sampling (the DeepWalk/node2vec
+    // corpus-generation step, Perozzi 2014/Grover 2016): one length-3 walk
+    // per node on the strong user graph. The "random" step is the Knuth
+    // multiplicative hash of (current node, step) indexing into the
+    // SORTED, degree-capped neighbor list — reproducible across engines,
+    // runs, and partitionings, which is what makes walk corpora
+    // regenerable instead of stored. Scale shape: one adjacency build
+    // (sorted + capped at 64 neighbors, bounding row width under any
+    // skew), then one hash-join per step; no per-walk state, no RNG.
+    E("g28_random_walks", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val adj = Traversals.symmetrize(e2).distinct()
+        .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nb0"))
+        .select(col("src"), slice(col("nb0"), 1, 64).as("nbrs"))
+        .transform(Materialize.apply)
+      def step(df: DataFrame, cur: String, out: String, i: Int): DataFrame =
+        df.join(adj.select(col("src").as(cur), col("nbrs")), cur)
+          .withColumn(out, expr(
+            s"element_at(nbrs, CAST((($cur * 31 + $i) % 1000000007) * 2654435761 % size(nbrs) AS INT) + 1)"))
+          .drop("nbrs")
+      val w0 = adj.select(col("src").as("start"))
+      val w3 = step(step(step(
+        w0.withColumn("n0", col("start")), "n0", "n1", 1), "n1", "n2", 2), "n2", "n3", 3)
+      w3.select("start", "n1", "n2", "n3").orderBy("start")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e2 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      adj AS MATERIALIZED (SELECT src, list_slice(list_sort(list(dst)), 1, 64) AS nbrs
+                           FROM sym GROUP BY src),
+      w1 AS (SELECT a.src AS start,
+                    a.nbrs[CAST((a.src * 31 + 1) % 1000000007 * 2654435761 % len(a.nbrs) AS INT) + 1] AS n1
+             FROM adj a),
+      w2 AS (SELECT w1.start, w1.n1,
+                    a.nbrs[CAST((w1.n1 * 31 + 2) % 1000000007 * 2654435761 % len(a.nbrs) AS INT) + 1] AS n2
+             FROM w1 JOIN adj a ON a.src = w1.n1),
+      w3 AS (SELECT w2.start, w2.n1, w2.n2,
+                    a.nbrs[CAST((w2.n2 * 31 + 3) % 1000000007 * 2654435761 % len(a.nbrs) AS INT) + 1] AS n3
+             FROM w2 JOIN adj a ON a.src = w2.n2)
+      SELECT start, n1, n2, n3 FROM w3 ORDER BY start""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

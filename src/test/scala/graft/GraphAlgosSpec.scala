@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{Algorithms, Traversals, Ubo}
+import graft.graph.{Algorithms, GraphQueries, Traversals, Ubo}
 import org.apache.spark.sql.functions._
 
 class TraversalsSpec extends SparkSpec {
@@ -418,5 +418,22 @@ class KTrussSpec extends SparkSpec {
       .select("id", "harmonic").as[(Long, Double)].collect().toMap
     assert(gp(1L) === math.floor((1.0 + 0.5 + 1.0 / 3.0) * 1e6 + 0.5) / 1e6)
     assert(gp(3L) === 2.0 + 2.0 / 2.0)
+  }
+
+  test("random walks are valid paths on the graph and stable across runs") {
+    val t = Tables(spark, sfDir)
+    val sym = graft.graph.Traversals.symmetrize(
+        Ubo.interactedPairs(t).filter(col("cnt") >= 2).select(col("src"), col("dst")))
+      .distinct().as[(Long, Long)].collect().toSet
+    val walks = GraphQueries.queries("g28_random_walks")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(walks.nonEmpty)
+    walks.foreach { case (s0, n1, n2, n3) =>
+      assert(sym((s0, n1)) && sym((n1, n2)) && sym((n2, n3)),
+        s"walk $s0->$n1->$n2->$n3 must follow edges")
+    }
+    val again = GraphQueries.queries("g28_random_walks")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(walks.toSeq === again.toSeq, "walks must be deterministic")
   }
 }
