@@ -1306,26 +1306,30 @@ object LlmQueries {
     // combine), a 64-row broadcast delta table, and a per-doc bounded fold
     // — no corpus-crossing join, so the op stays linear at 100 TB.
     E("l33_dsir_importance", (s, d) => {
-      val docs = Tables(s, d).documents
-      val htok = docs
+      // ONE corpus scan: per-(doc, source, bucket) token counts are
+      // materialized, then target/raw/per-doc views all derive from that
+      // bucket-level table (PLANS.md check — the naive form re-scans and
+      // re-hashes the corpus once per derived view).
+      val docsb = Tables(s, d).documents
         .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
         .withColumn("b",
           expr("aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007) % 64"))
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+        .transform(graft.graph.Materialize.apply)
       val isTgt = col("source").isin("src0", "src1")
-      val raw = htok.groupBy("b").agg(
-        count(lit(1)).as("cr"),
-        sum(when(isTgt, 1L).otherwise(0L)).as("ct"))
+      val raw = docsb.groupBy("b").agg(
+        sum(col("c")).as("cr"),
+        sum(when(isTgt, col("c")).otherwise(0L)).as("ct"))
       val tots = raw.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
       val delta = raw.crossJoin(broadcast(tots))
         .select(col("b"),
           (log((col("ct") + 1).cast("double") / (col("tt") + 64)) -
            log((col("cr") + 1).cast("double") / (col("tr") + 64))).as("d"))
-      val docb = htok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      val scored = docb.join(broadcast(delta), "b")
+      val scored = docsb.join(broadcast(delta), "b")
         .withColumn("term", col("c").cast("double") * col("d"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")
         .agg(expr("aggregate(sort_array(collect_list(struct(b, term))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)").as("lw"))
-      scored.join(docs.select("doc_id", "source"), "doc_id")
+      scored
         .select(col("doc_id"), col("source"),
           (floor(col("lw") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("dsir_logw"),
           (col("lw") > 0).as("selected"))
