@@ -1403,7 +1403,98 @@ object LlmQueries {
                 FROM en x JOIN en y ON x.cid = y.cid AND x.vec_id < y.vec_id)
       SELECT b AS removed, cid AS cluster, COUNT(*) AS n_dup_partners, MIN(a) AS min_partner
       FROM pairs WHERE cos >= 0.99
-      GROUP BY 1, 2 ORDER BY removed"""))
+      GROUP BY 1, 2 ORDER BY removed""")),
+
+    // L35 — exact binary-asset dedup: hash every payload (the l12
+    // multimodal binary column) with the SAME 131-polynomial checksum the
+    // l12 stub codecs use, group, and report duplicate groups with the
+    // canonical minimum doc. The pre-decode dedup every media pipeline
+    // runs first (decoding a duplicate asset is pure waste) — and the
+    // ORACLE-CHECKED twin of the rows-only l12 family: payloads here are
+    // ASCII text bytes, so DuckDB reproduces the byte hash with ord()
+    // exactly. One hash agg; collision risk documented (131-poly mod 1e9+7
+    // is the stub convention — a production asset store would use a
+    // cryptographic digest, same plan shape).
+    E("l35_binary_dedup", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val docs = Tables(s, d).documents
+      // planted copies (the l01b/l14 convention): the first 100 payloads
+      // re-ingested under shifted asset ids — a re-crawled media batch
+      val all = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hashed = all
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          (id, bytes.length.toLong,
+           bytes.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007))
+        })
+        .toDF("doc_id", "byte_len", "checksum")
+      hashed.groupBy("checksum", "byte_len")
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical"),
+             concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+        .filter(col("n_copies") >= 2)
+        .orderBy("canonical")
+    }, Some("""
+      WITH all_docs AS (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+      hashed AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS byte_len,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(LENGTH(text)), i -> CAST(ord(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
+          (a, x) -> (a * 131 + x) % 1000000007) AS checksum
+        FROM all_docs)
+      SELECT checksum, byte_len, COUNT(*) AS n_copies, MIN(doc_id) AS canonical,
+             string_agg(doc_id, ',' ORDER BY doc_id) AS members
+      FROM hashed GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY canonical""")),
+
+    // L36 — Zipf rank-frequency fit per source: OLS slope of ln(freq) on
+    // ln(rank) over each source's token distribution. Natural corpora sit
+    // near slope −1 (Zipf 1949); template spam and synthetic filler bend
+    // the curve, so the slope is a cheap source-level QA signal next to
+    // l30's TTR. All four OLS sums are ordered folds over the rank-sorted
+    // vocabulary (the repo's bit-identical-double convention) and the
+    // slope/intercept are single closed-form expressions, so the oracle
+    // hash-matches exactly. Scale: token count → per-source vocab is
+    // bounded; the heavy step is the token groupBy (one shuffle), the fit
+    // itself touches |vocab| rows per source.
+    E("l36_zipf_fit", (s, d) => {
+      val cnt = Tables(s, d).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val ranked = cnt.withColumn("rank",
+        row_number().over(Window.partitionBy("source").orderBy(col("c").desc, col("tok"))))
+      def fold(term: String) = expr(
+        s"aggregate(sort_array(collect_list(struct(rank, $term AS t))), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)")
+      val sums = ranked.groupBy("source").agg(
+        count(lit(1)).cast("double").as("n"),
+        fold("ln(rank)").as("sx"), fold("ln(c)").as("sy"),
+        fold("ln(rank) * ln(c)").as("sxy"), fold("ln(rank) * ln(rank)").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+                  (col("n") * col("sxx") - col("sx") * col("sx"))
+      sums.select(col("source"), col("n").cast("long").as("n_types"),
+          round(slope, 6).as("zipf_slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+        .orderBy("source")
+    }, Some("""
+      WITH cnt AS (SELECT source, tok, COUNT(*) AS c FROM
+                   (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+                   GROUP BY 1, 2),
+      ranked AS (SELECT source, c,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rank FROM cnt),
+      sums AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(LN(rank) ORDER BY rank)), (a, v) -> a + v) AS sx,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(LN(c) ORDER BY rank)), (a, v) -> a + v) AS sy,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(LN(rank) * LN(c) ORDER BY rank)), (a, v) -> a + v) AS sxy,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(LN(rank) * LN(rank) ORDER BY rank)), (a, v) -> a + v) AS sxx
+        FROM ranked GROUP BY source)
+      SELECT source, CAST(n AS BIGINT) AS n_types,
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+             ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      FROM sums ORDER BY source"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

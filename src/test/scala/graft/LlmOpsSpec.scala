@@ -268,4 +268,35 @@ class LlmOpsSpec extends SparkSpec {
         s"planted copy $removed should be witnessed by its own original")
     }
   }
+
+  test("binary dedup finds exactly the planted payload copies (plus any natural text dups)") {
+    val got = LlmQueries.queries("l35_binary_dedup")(spark, sfDir)
+      .select("canonical", "members").as[(Long, String)].collect()
+      .map { case (c, m) => c -> m.split(",").map(_.toLong).toSet }.toMap
+    val texts = Tables(spark, sfDir).documents
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val planted = texts.filter(_._1 < 100).map { case (id, t) => (id + 1000000L, t) }
+    val groups = (texts ++ planted).groupBy(_._2).values
+      .filter(_.size >= 2).map(g => g.map(_._1).min -> g.map(_._1).toSet).toMap
+    assert(got === groups)
+  }
+
+  test("zipf fit matches a driver-side OLS over the rank-ordered vocabulary") {
+    val got = LlmQueries.queries("l36_zipf_fit")(spark, sfDir)
+      .select("source", "zipf_slope").as[(String, Double)].collect().toMap
+    val toks = Tables(spark, sfDir).documents
+      .select("source", "text").as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split(" ", -1).map(src -> _) }
+    toks.groupBy(_._1).foreach { case (src, ts) =>
+      val ranked = ts.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (tok, c) => (-c, tok) }.zipWithIndex
+        .map { case ((_, c), i) => (math.log(i + 1.0), math.log(c.toDouble)) }
+      val n = ranked.size.toDouble
+      val (sx, sy) = (ranked.foldLeft(0.0)(_ + _._1), ranked.foldLeft(0.0)(_ + _._2))
+      val sxy = ranked.foldLeft(0.0)((a, e) => a + e._1 * e._2)
+      val sxx = ranked.foldLeft(0.0)((a, e) => a + e._1 * e._1)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(got(src) - slope) < 1e-6, s"source $src: ${got(src)} vs $slope")
+    }
+  }
 }
