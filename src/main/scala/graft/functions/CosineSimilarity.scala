@@ -101,6 +101,12 @@ object GraftFunctions {
       "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
     (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
 
+  private val polyHashInfo = (
+    FunctionIdentifier("poly_hash"),
+    new ExpressionInfo(classOf[PolyHash].getName, null, "poly_hash",
+      "poly_hash(s, seed, mult) - polynomial rolling hash of the bytes of s mod 1e9+7", ""),
+    (children: Seq[Expression]) => PolyHash(children.head, children(1), children(2)))
+
   /** Imperative registration for sessions not built with the extension.
     * Covers both custom-function kinds the library ships: the native
     * Catalyst expression (codegen'd) and the typed Aggregator UDAF —
@@ -109,6 +115,7 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(cosineInfo._1, cosineInfo._2, cosineInfo._3)
+    spark.sessionState.functionRegistry.registerFunction(polyHashInfo._1, polyHashInfo._2, polyHashInfo._3)
     spark.udf.register("hhi", org.apache.spark.sql.functions.udaf(HhiAggregator))
   }
 }
@@ -123,6 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, null, "poly_hash",
+        "poly_hash(s, seed, mult) - polynomial rolling hash of the bytes of s mod 1e9+7", ""),
+      (children: Seq[Expression]) => PolyHash(children.head, children(1), children(2))))
     // the custom as-of join (plans/AsOfJoin) for extensions-configured
     // deployments; AsOf.join also self-registers via extraStrategies for
     // sessions built without extensions

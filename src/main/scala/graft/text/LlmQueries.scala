@@ -1310,10 +1310,13 @@ object LlmQueries {
       // materialized, then target/raw/per-doc views all derive from that
       // bucket-level table (PLANS.md check — the naive form re-scans and
       // re-hashes the corpus once per derived view).
+      graft.functions.GraftFunctions.register(s)
       val docsb = Tables(s, d).documents
         .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("b",
-          expr("aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007) % 64"))
+        // native codegen'd byte-loop hash (graft.functions.PolyHash) — the
+        // composable aggregate/transform fold is the interpreted fallback
+        // form and FunctionsSpec proves them equal
+        .withColumn("b", expr("poly_hash(t, 7L, 31L) % 64"))
         .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
         .transform(graft.graph.Materialize.apply)
       val isTgt = col("source").isin("src0", "src1")
@@ -1416,8 +1419,7 @@ object LlmQueries {
     // is the stub convention — a production asset store would use a
     // cryptographic digest, same plan shape).
     E("l35_binary_dedup", (s, d) => {
-      val spark = s
-      import spark.implicits._
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables(s, d).documents
       // planted copies (the l01b/l14 convention): the first 100 payloads
       // re-ingested under shifted asset ids — a re-crawled media batch
@@ -1426,12 +1428,11 @@ object LlmQueries {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val hashed = all
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          (id, bytes.length.toLong,
-           bytes.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007))
-        })
-        .toDF("doc_id", "byte_len", "checksum")
+        .select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"),
+          // native byte-loop hash over the BINARY column (PolyHash accepts
+          // string and binary) — stays inside whole-stage codegen, unlike
+          // a typed mapPartitions stub hop
+          expr("poly_hash(payload, 0L, 131L)").as("checksum"))
       hashed.groupBy("checksum", "byte_len")
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical"),
              concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))

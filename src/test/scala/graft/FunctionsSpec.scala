@@ -98,4 +98,51 @@ class FunctionsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("poly_hash equals the composable fold on string and binary, codegen on") {
+    GraftFunctions.register(spark)
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val toks = Tables(spark, sfDir).documents.limit(50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      // two calls in one projection (freshName collision guard) + the
+      // interpreted ascii-fold reference on the string path
+      val rows = toks.select(
+          expr("poly_hash(t, 7L, 31L)").as("native"),
+          expr("poly_hash(t, 0L, 131L)").as("native131"),
+          expr("aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)").as("fold"),
+          expr("aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 131 + c) % 1000000007)").as("fold131"))
+        .as[(Long, Long, Long, Long)].collect()
+      rows.foreach { case (n, n131, f, f131) =>
+        assert(n === f); assert(n131 === f131)
+      }
+      // binary input path hashes the same bytes as the string path (ASCII)
+      val bin = Tables(spark, sfDir).documents.limit(10)
+        .select(expr("poly_hash(CAST(text AS BINARY), 0L, 131L)").as("b"),
+                expr("poly_hash(text, 0L, 131L)").as("s"))
+        .as[(Long, Long)].collect()
+      bin.foreach { case (b, s) => assert(b === s) }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("poly_hash codegen path agrees with interpreted eval") {
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, sfDir).documents.limit(20).select(col("text"))
+    val withCodegen = docs.select(expr("poly_hash(text, 7L, 31L)")).collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = docs.select(expr("poly_hash(text, 7L, 31L)")).collect()
+      assert(withCodegen.sameElements(interpreted))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
