@@ -883,12 +883,8 @@ object RelQueries {
       val o = Tables(s, d).orders.select(
         col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
         to_date(col("o_orderdate")).as("day"), col("o_orderpriority").as("tier"))
-      val wo = Window.partitionBy("custkey").orderBy("day", "okey")
-      val runs = o
-        .withColumn("chg", when(lag(col("tier"), 1).over(wo).isNull ||
-          lag(col("tier"), 1).over(wo) =!= col("tier"), 1L).otherwise(0L))
-        .withColumn("version", sum(col("chg"))
-          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runs = Islands.runIds(o, Seq("custkey"), Seq("day", "okey"), "version")(
+          w => lag(col("tier"), 1).over(w) =!= col("tier"))
         .groupBy("custkey", "version")
         .agg(min(col("tier")).as("tier"), min(col("day")).as("effective_from"),
              count(lit(1)).as("n_orders"))

@@ -150,15 +150,10 @@ object StreamQueries {
     // dedup; this grades the gap-relative form, which fixed buckets get
     // wrong across bucket boundaries). One keyed sort, no self-join.
     E("t10_burst_debounce", (s, d) => {
-      val wo = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
       val ws = Window.partitionBy("user_id", "event_type", "burst")
-      val bursts = Tables(s, d).events
-        .withColumn("gap_us",
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wo)))
-        .withColumn("nb", when(col("gap_us").isNull || col("gap_us") > 600L * 1000000L, 1L)
-          .otherwise(0L))
-        .withColumn("burst", sum(col("nb"))
-          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bursts = graft.rel.Islands.runIds(Tables(s, d).events,
+        Seq("user_id", "event_type"), Seq("ts", "event_id"), "burst")(
+        w => unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 600L * 1000000L)
       bursts
         .withColumn("rn", row_number().over(ws.orderBy(col("ts"), col("event_id"))))
         .withColumn("n_suppressed", count(lit(1)).over(ws) - 1)

@@ -125,4 +125,27 @@ class PropertySpec extends SparkSpec {
       assert(rows.map(_._3).sum === texts.length)
     }
   }
+
+  test("islands run ids match a sequential fold for random value sequences") {
+    // the single-sourced core of r38 (SCD2) and t10 (burst debounce)
+    val seqGen: Gen[List[(Long, Int, String)]] =
+      Gen.listOfN(16, for {
+        k <- Gen.choose(1L, 3L); v <- Gen.oneOf("a", "b", "c")
+      } yield (k, 0, v)).map(_.zipWithIndex.map { case ((k, _, v), i) => (k, i, v) })
+    cases(seqGen).foreach { rows =>
+      val df = rows.toDF("k", "pos", "v")
+      val got = graft.rel.Islands.runIds(df, Seq("k"), Seq("pos"), "run")(
+          w => lag(col("v"), 1).over(w) =!= col("v"))
+        .select("k", "pos", "run").as[(Long, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      rows.groupBy(_._1).foreach { case (k, ks) =>
+        var run = 0L; var prev: Option[String] = None
+        ks.sortBy(_._2).foreach { case (_, pos, v) =>
+          if (!prev.contains(v)) run += 1
+          prev = Some(v)
+          assert(got((k, pos)) === run, s"key $k pos $pos of $rows")
+        }
+      }
+    }
+  }
 }
