@@ -42,6 +42,24 @@ object GraphQueries {
        |${UboSql.step("s1", "s2", "ubo_edges", Some(0.005))},
        |${UboSql.step("s2", "s3", "ubo_edges", Some(0.005))}""".stripMargin
 
+  /** DuckDB mirror of Algorithms.labelPropagation(e2, 3) on the strong
+    * user graph: sym CTE + 3 unrolled majority-vote steps ending in
+    * l3(v, label). Single-sourced for g18 (grades the labels) and g29
+    * (grades conductance OVER the labels) so the community definition
+    * cannot drift between them.
+    */
+  private val lpCtes: String = {
+    def step(prev: String, cur: String) =
+      s"""$cur AS (SELECT v, label FROM (
+         |  SELECT s.dst AS v, p.label, COUNT(*) AS c,
+         |         ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY COUNT(*) DESC, p.label) AS rn
+         |  FROM $prev p JOIN sym s ON s.src = p.v GROUP BY s.dst, p.label) WHERE rn = 1)""".stripMargin
+    s"""e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
+      ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}"""
+  }
+
   private val entries: Seq[E] = Seq(
 
     // S2 — node scan by label (Cypher `MATCH (n:supplier)`, README.md:25):
@@ -497,20 +515,10 @@ object GraphQueries {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
       Algorithms.labelPropagation(e2, 3).orderBy("id")
-    }, Some({
-      def step(prev: String, cur: String) =
-        s"""$cur AS (SELECT v, label FROM (
-           |  SELECT s.dst AS v, p.label, COUNT(*) AS c,
-           |         ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY COUNT(*) DESC, p.label) AS rn
-           |  FROM $prev p JOIN sym s ON s.src = p.v GROUP BY s.dst, p.label) WHERE rn = 1)""".stripMargin
-      s"""
+    }, Some(s"""
       WITH ${UboSql.interactedPairsCte},
-      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
-      sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-      l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
-      ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
-      SELECT v AS id, label AS community FROM l3 ORDER BY id"""
-    })),
+      $lpCtes
+      SELECT v AS id, label AS community FROM l3 ORDER BY id""")),
 
     // G19 — neighborhood Jaccard (link-prediction / hidden-relationship
     // feature, README.md:15's "shared directors" generalized): user pairs
@@ -846,6 +854,51 @@ object GraphQueries {
                     a.nbrs[CAST((w2.n2 * 31 + 3) % 1000000007 * 2654435761 % len(a.nbrs) AS INT) + 1] AS n3
              FROM w2 JOIN adj a ON a.src = w2.n2)
       SELECT start, n1, n2, n3 FROM w3 ORDER BY start""")),
+
+    // G29 — community conductance (Kannan/Vempala/Vetta 2004's cluster
+    // quality measure): for each g18 label-propagation community C,
+    // cut(C) / min(vol(C), 2|E|−vol(C)) on the strong user graph — low
+    // conductance = a real module, high = a label-prop artifact. The
+    // quality check that should accompany ANY community detection before
+    // acting on it. Exact integer cut/volume counts from one labeled-edge
+    // join (labels single-sourced with g18 via Algorithms.labelPropagation
+    // / the shared lpCtes oracle chain); one double division at the end.
+    E("g29_conductance", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = Traversals.symmetrize(e2).distinct().transform(Materialize.apply)
+      val lab = Algorithms.labelPropagation(e2, 3).transform(Materialize.apply)
+      val labeled = sym
+        .join(lab.select(col("id").as("src"), col("community").as("la")), "src")
+        .join(lab.select(col("id").as("dst"), col("community").as("lb")), "dst")
+      val m2 = sym.agg(count(lit(1)).as("m2"))
+      val per = labeled.groupBy(col("la").as("community")).agg(
+        count(lit(1)).as("vol"),
+        sum(when(col("la") =!= col("lb"), 1L).otherwise(0L)).as("cut"))
+      val sizes = lab.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      per.join(sizes, "community").crossJoin(broadcast(m2))
+        .select(col("community"), col("n_nodes"), col("vol"), col("cut"),
+          // null when one community spans the whole graph (min volume 0)
+          when(least(col("vol"), col("m2") - col("vol")) > 0,
+            round(col("cut").cast("double") /
+              least(col("vol"), col("m2") - col("vol")).cast("double"), 6)).as("conductance"))
+        .orderBy("community")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      $lpCtes,
+      labeled AS (SELECT a.label AS la, b.label AS lb
+                  FROM sym s JOIN l3 a ON a.v = s.src JOIN l3 b ON b.v = s.dst),
+      m2 AS (SELECT COUNT(*) AS m2 FROM sym),
+      per AS (SELECT la AS community, COUNT(*) AS vol,
+                     CAST(SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT) AS cut
+              FROM labeled GROUP BY 1),
+      sizes AS (SELECT label AS community, COUNT(*) AS n_nodes FROM l3 GROUP BY 1)
+      SELECT p.community, s.n_nodes, p.vol, p.cut,
+             CASE WHEN LEAST(p.vol, m2.m2 - p.vol) > 0
+                  THEN ROUND(CAST(p.cut AS DOUBLE) / CAST(LEAST(p.vol, m2.m2 - p.vol) AS DOUBLE), 6)
+             END AS conductance
+      FROM per p JOIN sizes s ON s.community = p.community CROSS JOIN m2
+      ORDER BY p.community""")),
 
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
