@@ -900,6 +900,47 @@ object GraphQueries {
       FROM per p JOIN sizes s ON s.community = p.community CROSS JOIN m2
       ORDER BY p.community""")),
 
+    // G30 — degree assortativity (Newman 2002, "Assortative mixing in
+    // networks"): the Pearson correlation of endpoint degrees over all
+    // directed edges of the symmetrized strong user graph — do hubs link
+    // to hubs (r>0, social webs) or to leaves (r<0, shell-company stars)?
+    // Every Pearson sum (Σx, Σy, Σxy, Σx², Σy²) is a sum of INTEGERS here,
+    // so the aggregation is exact in any order and the single closed-form
+    // division at the end is the only float op — bit-stable across
+    // engines with no ordered-fold machinery needed.
+    E("g30_assortativity", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = Traversals.symmetrize(e2).distinct().transform(Materialize.apply)
+      val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val pairs = sym
+        .join(deg.select(col("v").as("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("v").as("dst"), col("deg").as("y")), "dst")
+      val sums = pairs.agg(
+        count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      sums.select(col("m"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("assortativity"))
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e2 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      deg AS (SELECT src AS v, COUNT(*) AS deg FROM sym GROUP BY 1),
+      pairs AS (SELECT dx.deg AS x, dy.deg AS y
+                FROM sym s JOIN deg dx ON dx.v = s.src JOIN deg dy ON dy.v = s.dst),
+      sums AS (SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(x * y) AS BIGINT) AS sxy,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+               FROM pairs)
+      SELECT m, ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                      (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                AS assortativity
+      FROM sums""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {
