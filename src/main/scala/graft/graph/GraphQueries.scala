@@ -920,10 +920,14 @@ object GraphQueries {
         count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      // null when either endpoint-degree variance is zero (degree-regular
+      // graph — correlation undefined; the sf0.001 user graph is one)
+      val vx = col("m") * col("sxx") - col("sx") * col("sx")
+      val vy = col("m") * col("syy") - col("sy") * col("sy")
       sums.select(col("m"),
-        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-           sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        when(vx > 0 && vy > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
           .as("assortativity"))
     }, Some(s"""
       WITH ${UboSql.interactedPairsCte},
@@ -936,9 +940,10 @@ object GraphQueries {
                       CAST(SUM(x * y) AS BIGINT) AS sxy,
                       CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
                FROM pairs)
-      SELECT m, ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
-                      (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
-                AS assortativity
+      SELECT m, CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                     THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                          (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                END AS assortativity
       FROM sums""")),
 
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
