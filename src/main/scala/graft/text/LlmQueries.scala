@@ -1507,12 +1507,15 @@ object LlmQueries {
       FROM sums ORDER BY source""")),
 
     // L37 — composed curation decision: the Gopher gate (l34) AND the DSIR
-    // selection (l33) joined into one retention verdict per doc — the
-    // "filters compose into ONE Catalyst plan" property that makes a
-    // DataFrame-library pipeline different from a bash pipeline of
-    // per-filter jobs (shared scans, one shuffle set, one output pass).
-    // Built by COMPOSING the registered queries and their oracles verbatim
+    // selection (l33) joined into one retention verdict per doc. Built by
+    // COMPOSING the registered queries and their oracles verbatim
     // (subquery embedding) — the composite cannot drift from its parts.
+    // Honest plan note: Catalyst compiles this to ONE job with one output
+    // pass, but it does NOT dedupe the branches' scans (each signal
+    // re-reads documents); a production pipeline materializes the signal
+    // tables once and joins them — l33's docsb materialization is that
+    // pattern, and the composition here grades decision semantics, not
+    // scan sharing.
     E("l37_curation_v2", (s, d) => {
       val gate = LlmQueries.queries("l34_gopher_quality")(s, d)
         .select("doc_id", "gopher_pass")
