@@ -1530,7 +1530,34 @@ object LlmQueries {
       SELECT g.doc_id, i.source, g.gopher_pass, i.dsir_logw, i.selected,
              (g.gopher_pass AND i.selected) AS retained
       FROM ($gopherSql) g JOIN ($dsirSql) i ON i.doc_id = g.doc_id
-      ORDER BY g.doc_id"""))
+      ORDER BY g.doc_id""")),
+
+    // L38 — trigram novelty under ingestion order: per doc, the fraction
+    // of its distinct trigrams whose FIRST corpus occurrence (min doc_id)
+    // is this doc — the incremental-crawl health metric (a feed whose
+    // novelty decays to 0 is re-crawling what you already have; the
+    // content-level complement of l35's asset-identity dedup). Reuses the
+    // shared trigram index of l03/l16/l31 (single-sourced tokenization).
+    // Exact integers + one division; the first-occurrence min is one
+    // trigram-keyed aggregate — no per-pair work at any corpus size.
+    E("l38_novelty", (s, d) => {
+      val (tg, sz) = trigramIndex(s, d)
+      val firstSeen = tg.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      tg.join(firstSeen, "g")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_trigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_trigrams"), 6))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $trigramInterSql,
+      first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM tg GROUP BY 1)
+      SELECT t.doc_id, COUNT(*) AS n_trigrams,
+             CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             ROUND(CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+      FROM tg t JOIN first_seen f USING (g)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
