@@ -946,6 +946,42 @@ object GraphQueries {
                 END AS assortativity
       FROM sums""")),
 
+    // G31 — recency-decayed degree: per entity, PLACED-edge activity where
+    // each edge counts 1/(1 + age_years) against the corpus's max order
+    // date — recent relationships dominate, stale webs fade (the recency
+    // refinement of g08's raw degree; README.md:17's evolution story as a
+    // ranking signal). Decay is RATIONAL (no pow/exp — cross-engine libm
+    // pow is not guaranteed correctly rounded) and summed as an ordered
+    // fold over (valid_from, dst) so the double accumulation is bit-exact.
+    // The reference date is one 1-scalar aggregate broadcast; per-entity
+    // fold length = that entity's degree.
+    E("g31_decayed_degree", (s, d) => {
+      val e = GraphBuilder(Tables(s, d)).edgesOf("PLACED")
+        .filter(col("valid_from").isNotNull)
+      val ref = e.agg(max(col("valid_from")).as("ref"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age_d", datediff(col("ref"), col("valid_from")).cast("long"))
+        .groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("age_d") <= 365, 1L).otherwise(0L)).as("n_last_year"),
+          expr("aggregate(sort_array(collect_list(struct(age_d, dst))), CAST(0.0 AS DOUBLE), (acc, e) -> acc + 1.0 / (1.0 + CAST(e.age_d AS DOUBLE) / 365.0))").as("dd"))
+        .select(col("id"), col("n_edges"), col("n_last_year"),
+          round(col("dd"), 6).as("decayed_degree"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH $edgesCte,
+      e AS (SELECT src, dst, valid_from FROM graph_edges
+            WHERE rel_type = 'PLACED' AND valid_from IS NOT NULL),
+      ref AS (SELECT MAX(valid_from) AS ref FROM e),
+      aged AS (SELECT src, dst, CAST(date_diff('day', valid_from, ref.ref) AS BIGINT) AS age_d
+               FROM e CROSS JOIN ref)
+      SELECT src AS id, COUNT(*) AS n_edges,
+             CAST(SUM(CASE WHEN age_d <= 365 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_year,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(1.0 / (1.0 + CAST(age_d AS DOUBLE) / 365.0) ORDER BY age_d, dst)),
+               (acc, v) -> acc + v), 6) AS decayed_degree
+      FROM aged GROUP BY src ORDER BY id""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {
