@@ -175,7 +175,33 @@ object StreamQueries {
                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst ORDER BY ts, event_id) AS rn,
                    COUNT(*) OVER (PARTITION BY user_id, event_type, burst) - 1 AS n_suppressed
             FROM bursts) t
-      WHERE rn = 1 ORDER BY event_id"""))
+      WHERE rn = 1 ORDER BY event_id""")),
+
+    // T11 — windowed top-k: the per-window leaderboard (top-3 event types
+    // per tumbling hour, deterministic (count DESC, type ASC) tiebreak) —
+    // the streaming-dashboard staple composed from t01's window agg + a
+    // window-partitioned rank. In streaming form this is the t01 windowed
+    // state with rank applied per finalized window on emit (complete/
+    // append mode after watermark close); the rank partitions by window,
+    // so no global ordering is ever required.
+    E("t11_windowed_topk", (s, d) => {
+      val counts = Tables(s, d).events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+                col("event_type"), col("cnt"))
+      val w = Window.partitionBy("win_start_s").orderBy(col("cnt").desc, col("event_type"))
+      counts.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+        .orderBy("win_start_s", "rnk")
+    }, Some("""
+      WITH counts AS (SELECT CAST(EPOCH(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+                             event_type, COUNT(*) AS cnt
+                      FROM events GROUP BY 1, 2)
+      SELECT win_start_s, event_type, cnt, rnk FROM (
+        SELECT win_start_s, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY win_start_s ORDER BY cnt DESC, event_type) AS rnk
+        FROM counts) t
+      WHERE rnk <= 3 ORDER BY win_start_s, rnk"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

