@@ -38,7 +38,11 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
         s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
   }
   override def dataType: DataType = LongType
-  override def nullable: Boolean = first.nullable
+  // seed/mult are foldable but may still be null LITERALS — if nullable
+  // ignored them, codegen would skip null tracking and read the null
+  // literal's default value as the seed while interpreted eval returns
+  // null (silent codegen/interpreted divergence)
+  override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "poly_hash"
 
   override def nullSafeEval(input: Any, seed: Any, mult: Any): Any = {

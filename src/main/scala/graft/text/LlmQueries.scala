@@ -39,6 +39,16 @@ object LlmQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), (acc, v) -> acc + v)"
 
+  /** DuckDB mirror of graft.functions.PolyHash — the ONE oracle-side
+    * definition of the library's polynomial byte-hash convention
+    * (single-sourced for the l33/l35/l39 oracles; ord() over the ASCII
+    * corpus = the byte semantics of the Spark expression).
+    */
+  private def polyHashSql(c: String, seed: Long, mult: Long): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
+      s"list_transform(range(LENGTH($c)), i -> CAST(ord(substr($c, CAST(i+1 AS INT), 1)) AS BIGINT))), " +
+      s"(acc, ch) -> (acc * $mult + ch) % 1000000007)"
+
   /** Oracle SQL for l34 / l33, factored so l37 (the composed curation
     * decision) can embed them verbatim as subqueries — the judge-visible
     * single-sourcing rule: a composite's oracle must be built FROM its
@@ -80,12 +90,10 @@ object LlmQueries {
          AND stop_hits >= 2) AS gopher_pass
       FROM scored ORDER BY doc_id"""
 
-  private val dsirSql = """
+  private val dsirSql = s"""
       WITH tok AS (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS t FROM documents),
       htok AS (SELECT doc_id, source,
-        list_reduce(list_prepend(CAST(7 AS BIGINT),
-          list_transform(range(LENGTH(t)), i -> CAST(ord(substr(t, CAST(i+1 AS INT), 1)) AS BIGINT))),
-          (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS b
+        ${polyHashSql("t", 7, 31)} % 64 AS b
        FROM tok),
       tgt AS (SELECT b, COUNT(*) AS ct FROM htok WHERE source IN ('src0', 'src1') GROUP BY 1),
       raw AS (SELECT b, COUNT(*) AS cr FROM htok GROUP BY 1),
@@ -206,10 +214,15 @@ object LlmQueries {
   /** SQL mirror of [[trigramPairCounts]]: CTE chain ending in `inter`
     * (da, db, i) with `sz` (doc_id, n) available — shared by l03/l16/l31.
     */
-  private val trigramInterSql: String =
+  /** toks+tg prefix alone (no pair join) — what l38 novelty composes;
+    * [[trigramInterSql]] extends it with the sz/inter pair CTEs. */
+  private val trigramBaseSql: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |tg AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
-      |       FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
+      |       FROM toks, UNNEST(range(len(ws) - 2)) AS t(i))""".stripMargin
+
+  private val trigramInterSql: String =
+    trigramBaseSql + """,
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
@@ -1447,14 +1460,12 @@ object LlmQueries {
              concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
         .filter(col("n_copies") >= 2)
         .orderBy("canonical")
-    }, Some("""
+    }, Some(s"""
       WITH all_docs AS (SELECT doc_id, text FROM documents
                         UNION ALL
                         SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
       hashed AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS byte_len,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(LENGTH(text)), i -> CAST(ord(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
-          (a, x) -> (a * 131 + x) % 1000000007) AS checksum
+        ${polyHashSql("text", 0, 131)} AS checksum
         FROM all_docs)
       SELECT checksum, byte_len, COUNT(*) AS n_copies, MIN(doc_id) AS canonical,
              string_agg(doc_id, ',' ORDER BY doc_id) AS members
@@ -1551,7 +1562,7 @@ object LlmQueries {
           round(col("n_novel").cast("double") / col("n_trigrams"), 6))
         .orderBy("doc_id")
     }, Some(s"""
-      WITH $trigramInterSql,
+      WITH $trigramBaseSql,
       first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM tg GROUP BY 1)
       SELECT t.doc_id, COUNT(*) AS n_trigrams,
              CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
@@ -1592,12 +1603,10 @@ object LlmQueries {
         .agg(expr("aggregate(sort_array(collect_list(struct(b, term AS t))), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)").as("jsd"))
         .select(col("sa"), col("sb"), round(col("jsd"), 6).as("jsd"))
         .orderBy("sa", "sb")
-    }, Some("""
+    }, Some(s"""
       WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents),
       counts AS (SELECT source,
-        list_reduce(list_prepend(CAST(7 AS BIGINT),
-          list_transform(range(LENGTH(t)), i -> CAST(ord(substr(t, CAST(i+1 AS INT), 1)) AS BIGINT))),
-          (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS b, COUNT(*) AS c
+        ${polyHashSql("t", 7, 31)} % 64 AS b, COUNT(*) AS c
         FROM tok GROUP BY 1, 2),
       tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
       buckets AS (SELECT UNNEST(range(64)) AS b),

@@ -105,8 +105,12 @@ class FunctionsSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
+      // empty tokens excluded: the reference fold's sequence(1, length(t))
+      // yields the DESCENDING [1, 0] when length = 0 and would hash two
+      // phantom zero bytes; poly_hash('') correctly returns the seed
       val toks = Tables(spark, sfDir).documents.limit(50)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) >= 1)
       // two calls in one projection (freshName collision guard) + the
       // interpreted ascii-fold reference on the string path
       val rows = toks.select(
