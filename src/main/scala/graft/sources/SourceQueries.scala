@@ -158,7 +158,57 @@ object SourceQueries {
              COUNT(*) AS n_nations,
              CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
              MIN(n_name) AS first_name
-      FROM nation GROUP BY 1 ORDER BY region"""))
+      FROM nation GROUP BY 1 ORDER BY region""")),
+
+    // S6b — malformed-row ingest hygiene: a CSV feed with planted corrupt
+    // rows (wrong arity, non-numeric keys) read under an explicit schema;
+    // clean rows are selected by PERMISSIVE parsing + an explicit
+    // `_corrupt_record IS NULL` filter and the graded aggregate must equal
+    // the clean-source oracle exactly — proving the bad rows (and ONLY
+    // the bad rows) were excluded. Deliberately NOT mode=DROPMALFORMED:
+    // its malformed detection only sees the columns that survive pruning
+    // (Spark documents CSV count/pruning changing its semantics — we
+    // reproduced `count()` keeping rows the full projection drops), so a
+    // downstream projection silently changes WHICH rows it keeps.
+    // Referencing the corrupt-record column forces full-row parse
+    // regardless of pruning. ScaleSpec asserts the recovered corrupt rows
+    // themselves. At scale both paths are per-task streaming parses.
+    E("s06_malformed_csv", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val path = tmpDir("nation_malformed")
+      Tables(s, d).nation
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+                col("n_regionkey").cast("long"))
+        .write.mode("overwrite").option("header", "false").csv(path + "/good")
+      Seq("not_a_number,BADLAND,0", "1,TOO,0,EXTRA,COLS", "999")
+        .toDF("value").coalesce(1)
+        .write.mode("overwrite").text(path + "/bad")
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path + "/good", path + "/bad")
+        .filter(col("_corrupt_record").isNull)
+        .drop("_corrupt_record")
+        // materialization barrier: corruptness is judged on the fields the
+        // scan actually parses, so a downstream projection that prunes
+        // columns changes WHICH rows count as corrupt (reproduced: a
+        // select of 2 columns kept rows the full projection rejects).
+        // Materializing the full clean row here pins the semantics for
+        // every consumer.
+        .transform(graft.graph.Materialize.apply)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"), sum(col("n_nationkey")).as("key_sum"),
+             min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n_nations,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             MIN(n_name) AS first_name
+      FROM nation GROUP BY 1 ORDER BY n_regionkey"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -67,4 +67,29 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
       s"expected partition filter in scan:\n$plan")
   }
+
+  test("malformed CSV: PERMISSIVE recovers exactly the planted corrupt rows; clean rows all kept") {
+    import org.apache.spark.sql.types._
+    // s06 writes its feed under the JVM temp dir on first run; run it first.
+    // collect the full graded output BEFORE aggregating (an aggregate of
+    // the query would invite the same pruning trap s06's comment documents)
+    val perRegion = graft.sources.SourceQueries.queries("s06_malformed_csv")(spark, sfDir)
+      .select("n_regionkey", "n_nations").collect()
+    val clean = perRegion.map(_.getLong(1)).sum
+    val nNation = Tables(spark, sfDir).nation.count()
+    assert(clean === nNation, "corrupt-filtered read must keep exactly the clean rows")
+    val base = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_fmt"), "nation_malformed").getPath
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType), StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$base/good", s"$base/bad").cache()
+    try {
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 3L,
+        "exactly the 3 planted corrupt rows must be captured")
+      assert(permissive.filter(col("_corrupt_record").isNull).count() === nNation)
+    } finally permissive.unpersist()
+  }
 }
