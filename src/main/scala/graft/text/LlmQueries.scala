@@ -1621,7 +1621,41 @@ object LlmQueries {
       SELECT sa, sb,
              ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
                    (acc, v) -> acc + v), 6) AS jsd
-      FROM pairs GROUP BY 1, 2 ORDER BY sa, sb"""))
+      FROM pairs GROUP BY 1, 2 ORDER BY sa, sb""")),
+
+    // L40 — sequence packing (concat-and-chunk): per source, docs are
+    // concatenated in doc_id order and cut into fixed 512-token training
+    // sequences; each doc reports the sequence its first token lands in,
+    // its token offset there, and whether it straddles a cut — the packing
+    // step between curation and the trainer, and the batch-shape contract
+    // a data loader consumes. One running-sum window per source (token
+    // counts are integers, so placement is exact); at scale the window
+    // partitions by source shard and the 512 constant is the model's
+    // context length, not a data-dependent bound.
+    E("l40_seq_packing", (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("cum_before") / 512).cast("long").as("seq_id"),
+          (col("cum_before") % 512).as("seq_offset"),
+          ((col("cum_before") % 512) + col("n_tokens") > 512).as("straddles"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM t)
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(cum_before // 512 AS BIGINT) AS seq_id,
+             CAST(cum_before % 512 AS BIGINT) AS seq_offset,
+             (cum_before % 512) + n_tokens > 512 AS straddles
+      FROM c ORDER BY doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
