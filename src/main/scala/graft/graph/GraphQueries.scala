@@ -946,6 +946,86 @@ object GraphQueries {
                 END AS assortativity
       FROM sums""")),
 
+    // G32 — bounded SimRank (Jeh & Widom 2002, "SimRank: a measure of
+    // structural-context similarity"): two entities are similar if their
+    // IN-neighbors are similar — the link-analysis companion to PageRank
+    // (g09) and HITS (g21), here for "entities approached by the same
+    // kinds of actors". Two iterations from the identity, C = 0.8, on the
+    // first-60-node drill-down of the strong user graph (the l14/l32
+    // bounded-grading convention — full SimRank is O(V²·d²) pair state and
+    // is exactly what you extract a subgraph for). Iteration 1 from s0 is
+    // CLOSED-FORM over integer counts (C·|I(a)∩I(b)|/(|I(a)|·|I(b)|)); the
+    // single double summation in iteration 2 is an ordered (u,v)-keyed
+    // fold, so the oracle hash-matches bit-exactly.
+    E("g32_simrank", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val nodes = e2.select(col("src").as("v"))
+        .unionByName(e2.select(col("dst").as("v"))).distinct()
+        .orderBy("v").limit(60)
+      val es = e2.join(nodes.select(col("v").as("src")), "src")
+        .join(nodes.select(col("v").as("dst")), "dst")
+        .select("src", "dst").transform(Materialize.apply)
+      val ins = es.select(col("dst").as("v"), col("src").as("u"))
+      val indeg = ins.groupBy("v").agg(count(lit(1)).as("n"))
+      // |I(a) ∩ I(b)| for a < b via the shared in-neighbor
+      val common = ins.select(col("v").as("a"), col("u"))
+        .join(ins.select(col("v").as("b"), col("u")), Seq("u"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      val withDeg = common
+        .join(indeg.select(col("v").as("a"), col("n").as("na")), "a")
+        .join(indeg.select(col("v").as("b"), col("n").as("nb")), "b")
+      val s1 = withDeg.select(col("a"), col("b"), col("na"), col("nb"),
+        col("c").as("common"),
+        (lit(0.8) * col("c").cast("double") / (col("na") * col("nb")).cast("double")).as("s1"))
+      // symmetric closure of s1 for the iteration-2 cross terms (u != v);
+      // row membership is support-gated on common >= 1 (the g22 convention:
+      // integer-gated membership is engine-stable where a >0.0 float gate
+      // would not be) — mirrored in the oracle's FROM s1
+      val s1sym = s1.select(col("a").as("u"), col("b").as("v"), col("s1").as("suv"))
+        .unionByName(s1.select(col("b").as("u"), col("a").as("v"), col("s1").as("suv")))
+      // in-neighbor pairs (ua, ub) of (a, b) joined to s1 values; fold ordered
+      val ia = ins.select(col("v").as("a"), col("u").as("ua"))
+      val ib = ins.select(col("v").as("b"), col("u").as("ub"))
+      val terms = ia.join(ib, col("a") < col("b"))
+        .join(s1sym, col("ua") === col("u") && col("ub") === col("v"))
+        .select(col("a"), col("b"), col("u").as("tu"), col("v").as("tv"), col("suv"))
+      val folded = terms.groupBy("a", "b").agg(
+        expr("aggregate(sort_array(collect_list(struct(tu, tv, suv AS t))), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)").as("cross_sum"))
+      s1.join(folded, Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"), round(col("s1"), 6).as("s1"),
+          round(lit(0.8) * (col("common").cast("double") + coalesce(col("cross_sum"), lit(0.0))) /
+            (col("na") * col("nb")).cast("double"), 6).as("s2"))
+        .orderBy("a", "b")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      e2 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sub AS (SELECT v FROM (SELECT src AS v FROM e2 UNION SELECT dst FROM e2) ORDER BY v LIMIT 60),
+      es AS MATERIALIZED (SELECT src, dst FROM e2
+            WHERE src IN (SELECT v FROM sub) AND dst IN (SELECT v FROM sub)),
+      ins AS MATERIALIZED (SELECT dst AS v, src AS u FROM es),
+      indeg AS (SELECT v, COUNT(*) AS n FROM ins GROUP BY 1),
+      common AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS c
+                 FROM ins x JOIN ins y ON y.u = x.u AND x.v < y.v GROUP BY 1, 2),
+      s1 AS MATERIALIZED (SELECT a, b, da.n AS na, db.n AS nb, c AS common,
+                   0.8 * CAST(c AS DOUBLE) / CAST(da.n * db.n AS DOUBLE) AS s1
+            FROM common JOIN indeg da ON da.v = a JOIN indeg db ON db.v = b),
+      s1sym AS MATERIALIZED (SELECT a AS u, b AS v, s1 AS suv FROM s1
+                             UNION ALL SELECT b, a, s1 FROM s1),
+      terms AS (SELECT ia.v AS a, ib.v AS b, ss.u AS tu, ss.v AS tv, ss.suv
+                FROM ins ia JOIN ins ib ON ia.v < ib.v
+                JOIN s1sym ss ON ss.u = ia.u AND ss.v = ib.u),
+      folded AS (SELECT a, b,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(suv ORDER BY tu, tv)),
+                     (acc, x) -> acc + x) AS cross_sum
+                 FROM terms GROUP BY 1, 2)
+      SELECT s1.a, s1.b, ROUND(s1.s1, 6) AS s1,
+             ROUND(0.8 * (CAST(s1.common AS DOUBLE) + COALESCE(f.cross_sum, 0.0)) /
+                   CAST(s1.na * s1.nb AS DOUBLE), 6) AS s2
+      FROM s1 LEFT JOIN folded f ON f.a = s1.a AND f.b = s1.b
+      ORDER BY s1.a, s1.b""")),
+
     // G31 — recency-decayed degree: per entity, PLACED-edge activity where
     // each edge counts 1/(1 + age_years) against the corpus's max order
     // date — recent relationships dominate, stale webs fade (the recency

@@ -420,6 +420,34 @@ class KTrussSpec extends SparkSpec {
     assert(gp(3L) === 2.0 + 2.0 / 2.0)
   }
 
+  test("simrank matches a driver-side reimplementation of two iterations") {
+    val got = GraphQueries.queries("g32_simrank")(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.nonEmpty)
+    // rebuild the drill-down subgraph exactly as the query does
+    val e2 = Ubo.interactedPairs(Tables(spark, sfDir)).filter(col("cnt") >= 2)
+      .select("src", "dst").as[(Long, Long)].collect()
+    val sub = e2.flatMap(e => Seq(e._1, e._2)).distinct.sorted.take(60).toSet
+    val es = e2.filter(e => sub(e._1) && sub(e._2)).distinct
+    val ins = es.groupBy(_._2).map { case (v, xs) => v -> xs.map(_._1).toSet }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val C = 0.8
+    def s1(a: Long, b: Long): Double = {
+      val (ia, ib) = (ins.getOrElse(a, Set.empty), ins.getOrElse(b, Set.empty))
+      if (ia.isEmpty || ib.isEmpty) 0.0 else C * (ia & ib).size / (ia.size.toDouble * ib.size)
+    }
+    got.foreach { case ((a, b), (g1, g2)) =>
+      val (ia, ib) = (ins(a), ins(b))
+      assert((ia & ib).nonEmpty, "membership must be support-gated")
+      assert(math.abs(g1 - r6(s1(a, b))) < 2e-6, s"s1($a,$b)")
+      val cross = (for { u <- ia.toSeq; v <- ib.toSeq }
+        yield if (u == v) 1.0 else s1(math.min(u, v), math.max(u, v))).sum
+      assert(math.abs(g2 - C * cross / (ia.size.toDouble * ib.size)) < 2e-6, s"s2($a,$b)")
+      assert(g2 <= 0.8 + 1e-9 && g2 > 0.0)
+    }
+  }
+
   test("random walks are valid paths on the graph and stable across runs") {
     val t = Tables(spark, sfDir)
     val sym = graft.graph.Traversals.symmetrize(
