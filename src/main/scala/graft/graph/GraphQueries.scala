@@ -60,6 +60,23 @@ object GraphQueries {
       ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}"""
   }
 
+  /** DuckDB mirror of Algorithms.scc on the cnt >= `minCnt` interaction
+    * graph: recursive mutual-reachability closure ending in
+    * scc(id, component). Single-sourced for g06_scc and g06_condensation
+    * (the threshold is the only difference) so the closure cannot drift
+    * between the cycle query and the DAG built on top of it. Callers
+    * prepend WITH RECURSIVE and the ie_pairs CTE.
+    */
+  private def sccCtes(minCnt: Int): String =
+    s"""e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= $minCnt),
+      reach(a, b) AS (
+        SELECT src, src FROM e UNION SELECT dst, dst FROM e
+        UNION SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      scc AS MATERIALIZED (
+        SELECT f.a AS id, MIN(f.b) AS component
+        FROM reach f JOIN reach b ON f.a = b.b AND f.b = b.a
+        GROUP BY f.a)"""
+
   private val entries: Seq[E] = Seq(
 
     // S2 — node scan by label (Cypher `MATCH (n:supplier)`, README.md:25):
@@ -332,13 +349,8 @@ object GraphQueries {
       Algorithms.scc(e2).orderBy("id")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
-      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
-      reach(a, b) AS (
-        SELECT src, src FROM e UNION SELECT dst, dst FROM e
-        UNION SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
-      SELECT f.a AS id, MIN(f.b) AS component
-      FROM reach f JOIN reach b ON f.a = b.b AND f.b = b.a
-      GROUP BY f.a ORDER BY id""")),
+      ${sccCtes(2)}
+      SELECT id, component FROM scc ORDER BY id""")),
 
     // G6c — SCC condensation: collapse each strongly-connected component
     // (g06's cycles) to one node and report the acyclic component DAG —
@@ -376,14 +388,7 @@ object GraphQueries {
         .orderBy("component")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
-      e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 3),
-      reach(a, b) AS (
-        SELECT src, src FROM e UNION SELECT dst, dst FROM e
-        UNION SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
-      scc AS MATERIALIZED (
-        SELECT f.a AS id, MIN(f.b) AS component
-        FROM reach f JOIN reach b ON f.a = b.b AND f.b = b.a
-        GROUP BY f.a),
+      ${sccCtes(3)},
       ce AS MATERIALIZED (
         SELECT DISTINCT la.component AS ca, lb.component AS cb
         FROM e JOIN scc la ON la.id = e.src JOIN scc lb ON lb.id = e.dst

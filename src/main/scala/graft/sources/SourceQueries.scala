@@ -21,8 +21,17 @@ object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
   private final case class E(name: String, fn: Q, sql: Option[String])
 
-  private def tmpDir(leaf: String): String =
+  // private[graft]: ScaleSpec reads s06's feed back for the corrupt-row
+  // assertions — sharing the path/schema keeps test and query in lockstep
+  private[graft] def tmpDir(leaf: String): String =
     new java.io.File(new java.io.File(sys.props("java.io.tmpdir"), "graft_fmt"), leaf).getPath
+
+  /** s06's read schema incl. the corrupt-record column (shared with
+    * ScaleSpec so the recovery-path test cannot drift from the query). */
+  private[graft] val malformedCsvSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", LongType), StructField("n_name", StringType),
+    StructField("n_regionkey", LongType),
+    StructField("_corrupt_record", StringType)))
 
   private val entries: Seq[E] = Seq(
 
@@ -184,11 +193,7 @@ object SourceQueries {
       Seq("not_a_number,BADLAND,0", "1,TOO,0,EXTRA,COLS", "999")
         .toDF("value").coalesce(1)
         .write.mode("overwrite").text(path + "/bad")
-      val schema = StructType(Seq(
-        StructField("n_nationkey", LongType), StructField("n_name", StringType),
-        StructField("n_regionkey", LongType),
-        StructField("_corrupt_record", StringType)))
-      s.read.schema(schema).option("mode", "PERMISSIVE")
+      s.read.schema(malformedCsvSchema).option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path + "/good", path + "/bad")
         .filter(col("_corrupt_record").isNull)

@@ -78,12 +78,8 @@ class ScaleSpec extends SparkSpec {
     val clean = perRegion.map(_.getLong(1)).sum
     val nNation = Tables(spark, sfDir).nation.count()
     assert(clean === nNation, "corrupt-filtered read must keep exactly the clean rows")
-    val base = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_fmt"), "nation_malformed").getPath
-    val schema = StructType(Seq(
-      StructField("n_nationkey", LongType), StructField("n_name", StringType),
-      StructField("n_regionkey", LongType), StructField("_corrupt_record", StringType)))
-    val permissive = spark.read.schema(schema)
+    val base = graft.sources.SourceQueries.tmpDir("nation_malformed")
+    val permissive = spark.read.schema(graft.sources.SourceQueries.malformedCsvSchema)
       .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(s"$base/good", s"$base/bad").cache()
     try {
