@@ -516,20 +516,44 @@ object Algorithms {
   }
 
   /** Sampled Brandes betweenness (Brandes 2001, "A Faster Algorithm for
-    * Betweenness Centrality"; SURVEY.md §2 G10): exact Brandes from a
-    * deterministic sample of source nodes, accumulated. O(sources × E) —
-    * the documented cap that keeps it off the 100 TB cliff; full Brandes is
-    * O(VE) and intentionally not offered.
+    * Betweenness Centrality"; SURVEY.md §2 G10) with tier auto-selection,
+    * the same measured gate as [[scc]]: exact Brandes from a deterministic
+    * sample of source nodes (the nSources lowest node ids), accumulated.
+    * O(sources × E) — the documented cap that keeps it off the 100 TB
+    * cliff; full Brandes is O(VE) and intentionally not offered.
     *
-    * Runs per-source BFS + dependency accumulation on a COLLECTED edge list:
-    * betweenness is only ever run on an extracted analysis subgraph (the
-    * reference does the same via NetworkX), never the full data graph.
+    * Below `localMaxEdges` distinct edges the in-process tier collects the
+    * edge list and runs classic Brandes (extract-then-analyze, mirroring
+    * the reference's NetworkX path — README.md:28 — and ~100× faster than
+    * distributed supersteps on audit-sized subgraphs). Above it, the
+    * DISTRIBUTED tier runs the identical math as dataflow: a multi-source
+    * level-synchronous BFS (one shuffle join per level, state one row per
+    * reached (source, node) pair) followed by per-level dependency
+    * accumulation — no driver-side edge list anywhere, so pointing this at
+    * the full 100 TB graph yields a plan, not an OOM. BetweennessSpec
+    * cross-validates the tiers and checks both against an independent
+    * pair-dependency reimplementation.
     */
-  def betweennessSampled(edges: DataFrame, nSources: Int): DataFrame = {
+  def betweennessSampled(edges: DataFrame, nSources: Int,
+                         localMaxEdges: Long = 1000000L): DataFrame = {
+    val distinct = edges.select(col("src"), col("dst")).distinct()
+      .transform(Materialize.apply)
+    if (distinct.count() <= localMaxEdges) betweennessLocal(distinct, nSources)
+    else betweennessDistributed(distinct, nSources)
+  }
+
+  /** In-process Brandes tier (see [[betweennessSampled]] for the contract):
+    * per-source BFS + backward dependency accumulation on a collected edge
+    * list. Output: every node reached from a sampled source (excluding the
+    * source itself in that source's accumulation), with its summed
+    * dependency — identical row set and values to the distributed tier.
+    */
+  def betweennessLocal(edges: DataFrame, nSources: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // collect through the tuple encoder, not Row (see sccTarjan)
     val adj = edges.select(col("src"), col("dst")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .as[(Long, Long)].collect()
       .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
     val nodes = (adj.keySet ++ adj.values.flatten).toArray.sorted
     val sources = nodes.take(nSources)
@@ -560,5 +584,91 @@ object Algorithms {
     }
     spark.createDataFrame(centrality.toSeq.map { case (id, c) => (id, c) })
       .toDF("id", "betweenness")
+  }
+
+  /** Distributed Brandes tier (see [[betweennessSampled]]): the same
+    * sampled-source betweenness as dataflow, for graphs past the collect
+    * gate.
+    *
+    * Forward pass — multi-source level-synchronous BFS keyed by source:
+    * state is (s, v, sigma) per reached pair; each level is one shuffle
+    * join (frontier × edges), one partial-aggregating groupBy (sums sigma
+    * over same-level parents — map-side combine applies), and one anti-join
+    * against the visited set (so only strictly-shorter-distance discoveries
+    * survive; same-level edges are correctly NOT BFS-DAG edges). Lineage is
+    * truncated per level via [[Materialize]].
+    *
+    * Backward pass — Brandes' dependency accumulation, one level at a time
+    * from the deepest: BFS-DAG edges level d → d+1 are recovered by joining
+    * level d through the edge list into level d+1 (the join enforces
+    * dist(w) = dist(v)+1 exactly), and delta(v) = Σ sigma(v)/sigma(w) ×
+    * (1 + delta(w)) is a groupBy over them. Total work: 2 × depth
+    * supersteps, each touching one row per reached (source, node) pair —
+    * the profile of a Pregel superstep in Catalyst form, never a
+    * driver-side structure.
+    */
+  def betweennessDistributed(edges: DataFrame, nSources: Int,
+                             maxDepth: Int = 128): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .transform(Materialize.apply)
+    // deterministic sample: the nSources lowest node ids (matches the
+    // local tier's nodes.sorted.take). nSources rows — broadcast-sized.
+    val sources = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().orderBy(col("id")).limit(nSources)
+      .transform(Materialize.apply)
+    // forward BFS: levels(d) = (s, v, sigma) for nodes first reached at
+    // distance d from source s, sigma = #shortest s→v paths
+    var frontier = sources
+      .select(col("id").as("s"), col("id").as("v"), lit(1.0).as("sigma"))
+      .transform(Materialize.apply)
+    var visited = frontier.select("s", "v")
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var depth = 0
+    var frontierRows = frontier.count()
+    while (frontierRows > 0) {
+      depth += 1
+      if (depth > maxDepth) throw new IllegalStateException(
+        s"betweennessDistributed exceeded maxDepth=$maxDepth levels")
+      val next = frontier.join(e, col("v") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .transform(Materialize.apply)
+      frontierRows = next.count()
+      if (frontierRows > 0) {
+        visited = visited.unionByName(next.select("s", "v"))
+          .transform(Materialize.apply)
+        levels += next
+        frontier = next
+      }
+    }
+    // backward accumulation: deepest level has delta = 0
+    var deltas = levels.last.withColumn("delta", lit(0.0))
+    val acc = scala.collection.mutable.ArrayBuffer(deltas)
+    for (d <- (levels.size - 2) to 0 by -1) {
+      val succ = deltas.select(col("s").as("ws"), col("v").as("w"),
+        col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = levels(d)
+        .join(e, col("v") === col("src"))
+        .join(succ, col("s") === col("ws") && col("dst") === col("w"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w")))
+          .as("delta"))
+      // left-outer keeps BFS-DAG leaves (no successor → delta = 0), so the
+      // reached row set matches the local tier exactly
+      deltas = levels(d).join(contrib, Seq("s", "v"), "left_outer")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .transform(Materialize.apply)
+      acc += deltas
+    }
+    // sum dependencies over sources, excluding each source's own row
+    acc.map(_.select(col("s"), col("v"), col("delta")))
+      .reduce(_ unionByName _)
+      .filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("delta")).as("betweenness"))
   }
 }

@@ -530,7 +530,11 @@ object GraphQueries {
     })),
 
     // G10 — sampled Brandes betweenness on the undirected strong user graph
-    // (golden-tested; no SQL oracle — rows-only check).
+    // (no SQL oracle — rows-only check; BetweennessSpec verifies both tiers
+    // against an independent pair-dependency reimplementation and each
+    // other, including on this exact subgraph). betweennessSampled is
+    // GATED like scc: measured distinct-edge count picks the local collect
+    // tier below 1M edges, the dataflow tier above — no ungated collect.
     E("g10_betweenness", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
