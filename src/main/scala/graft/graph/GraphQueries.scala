@@ -974,9 +974,9 @@ object GraphQueries {
     // directed edges of the symmetrized strong user graph — do hubs link
     // to hubs (r>0, social webs) or to leaves (r<0, shell-company stars)?
     // Every Pearson sum (Σx, Σy, Σxy, Σx², Σy²) is a sum of INTEGERS here,
-    // so the aggregation is exact in any order and the single closed-form
-    // division at the end is the only float op — bit-stable across
-    // engines with no ordered-fold machinery needed.
+    // so the aggregation is exact in any order; only the single-row closed
+    // form at the end runs in double (same expression both engines) —
+    // bit-stable with no ordered-fold machinery needed.
     E("g30_assortativity", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
@@ -990,13 +990,19 @@ object GraphQueries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
       // null when either endpoint-degree variance is zero (degree-regular
-      // graph — correlation undefined; the sf0.001 user graph is one)
-      val vx = col("m") * col("sxx") - col("sx") * col("sx")
-      val vy = col("m") * col("syy") - col("sy") * col("sy")
+      // graph — correlation undefined; the sf0.001 user graph is one).
+      // The closed form goes through DOUBLE before the products: m·sxx and
+      // sx² overflow Long on large graphs, and the engines fail
+      // differently there (Spark wraps silently, DuckDB raises) — in
+      // double both compute the identical expression at any scale.
+      val vx = col("m").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = col("m").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      val num = col("m").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
       sums.select(col("m"),
-        when(vx > 0 && vy > 0,
-          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+        when(vx > 0 && vy > 0, round(num / (sqrt(vx) * sqrt(vy)), 6))
           .as("assortativity"))
     }, Some(s"""
       WITH ${UboSql.interactedPairsCte},
@@ -1008,12 +1014,16 @@ object GraphQueries {
       sums AS (SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
                       CAST(SUM(x * y) AS BIGINT) AS sxy,
                       CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
-               FROM pairs)
-      SELECT m, CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
-                     THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
-                          (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+               FROM pairs),
+      d AS (SELECT m, CAST(m AS DOUBLE) AS md, CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+            FROM sums)
+      SELECT m, CASE WHEN md * sxxd - sxd * sxd > 0 AND md * syyd - syd * syd > 0
+                     THEN ROUND((md * sxyd - sxd * syd) /
+                          (SQRT(md * sxxd - sxd * sxd) * SQRT(md * syyd - syd * syd)), 6)
                 END AS assortativity
-      FROM sums""")),
+      FROM d""")),
 
     // G32 — bounded SimRank (Jeh & Widom 2002, "SimRank: a measure of
     // structural-context similarity"): two entities are similar if their

@@ -106,6 +106,29 @@ object StreamQueries {
         ON e.user_id = d.user_id
       ORDER BY e.event_id""")),
 
+    // T8 — T6's batch twin, putting an ORACLE anchor under the arbitrary-
+    // state path (VERDICT r5 nit 2): the running per-user state (cumulative
+    // event count + last event type) that EventOps.runningUserState /
+    // RunningUserStateV2 fold incrementally is, in batch form, one keyed
+    // window — the state after event e IS the prefix aggregate up to e in
+    // (ts, event_id) order. StreamingSpec proves the streaming operators
+    // emit exactly these rows when events arrive one per microbatch, so the
+    // hash-checked query grades the same fold the StateStore path runs.
+    E("t08_running_state", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d).events
+        .withColumn("n_events", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("n_events"),
+                col("event_type").as("last_type"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS n_events,
+             event_type AS last_type
+      FROM events ORDER BY event_id""")),
+
     // T9 — stream-stream interval join twin (EventOps.followUps): same-user
     // follow-ups within an hour. gap_us subtracts two epoch conversions, so
     // any NTZ/session-offset shift cancels; ids + an integer gap keep the

@@ -451,27 +451,22 @@ object LlmQueries {
                  x -> NOT list_contains(['the', 'a', 'data', 'table', 'row'], x)), ' ') AS kept_text
       FROM documents ORDER BY doc_id""")),
 
-    // L3c — ANN via IVF (inverted-file index): KMeans coarse quantizer,
-    // query probes the nearest `nprobe` centroid buckets only — the classic
-    // billion-vector layout (bucket = partition key at scale; the scan
-    // touches nprobe/k of the data). Approximate → rows-only + recall test.
+    // L3c — ANN via IVF (inverted-file index; see [[IvfIndex]]): KMeans
+    // coarse quantizer, query probes the nearest `nprobe` centroid buckets
+    // only — the classic billion-vector layout. The INDEX BUILD is a
+    // separate artifact with save/load (assignments partitioned by bucket
+    // → nprobe = partition pruning at scale); this graded entry composes
+    // build + query because the driver contract is one DataFrame, and
+    // IvfIndexSpec proves the persisted round-trip is result-identical.
+    // Approximate → rows-only + recall test.
     E("l05_ann_ivf", (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val emb = Tables(s, d).embeddings
-        .withColumn("v", array_to_vector(col("embedding")))
-      val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(16).setSeed(42).setFeaturesCol("v").setPredictionCol("cluster")
-        .fit(emb)
-      val assigned = model.transform(emb)
+      val idx = IvfIndex.build(Tables(s, d).embeddings, k = 16, seed = 42L)
       val qArr = Tables(s, d).embeddings.filter(col("vec_id") === 0)
         .head().getSeq[Float](1).map(_.toDouble).toArray
-      val qVec = org.apache.spark.ml.linalg.Vectors.dense(qArr)
-      val probes = model.clusterCenters.zipWithIndex
-        .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec) }
-        .take(8).map(_._2)
       val q = Tables(s, d).embeddings.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
-      assigned.filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      idx.candidates(qArr, nprobe = 8)
         .crossJoin(broadcast(q))
         .withColumn("cos", expr("cosine_sim(embedding, qv)"))
         .filter(col("vec_id") =!= 0)
@@ -1641,7 +1636,10 @@ object LlmQueries {
           coalesce(sum(col("n_tokens"))
             .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          (col("cum_before") / 512).cast("long").as("seq_id"),
+          // integer division (`div`), not `/`: Spark's `/` on integrals is
+          // DOUBLE division, whose truncated quotient can drift from the
+          // oracle's exact `//` once cumulative counts pass 2^53
+          expr("cum_before div 512").as("seq_id"),
           (col("cum_before") % 512).as("seq_offset"),
           ((col("cum_before") % 512) + col("n_tokens") > 512).as("straddles"))
         .orderBy("doc_id")

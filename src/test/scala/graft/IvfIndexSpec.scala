@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.IvfIndex
+
+/** The build-once/persist/query-many IVF contract (VERDICT r5 nit 3):
+  * the persisted index round-trips exactly, the query scans only the
+  * probed buckets, and on the partitioned layout the probe IS partition
+  * pruning (visible in the scan's PartitionFilters).
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sfDir).embeddings
+  private lazy val built = IvfIndex.build(emb, k = 16, seed = 42L)
+  private lazy val qArr = emb.filter(col("vec_id") === 0)
+    .head().getSeq[Float](1).map(_.toDouble).toArray
+
+  private def topk(idx: IvfIndex): Seq[(Long, Double)] = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    idx.candidates(qArr, nprobe = 8)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Double)].collect().toSeq
+  }
+
+  test("save/load round-trips the index exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_._1).toSeq === built.centroids.map(_._1).toSeq)
+    loaded.centroids.zip(built.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    val la = loaded.assigned.select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    val ba = built.assigned.select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    assert(la === ba)
+  }
+
+  test("query from the persisted index equals the graded l05_ann_ivf result") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val graded = graft.text.LlmQueries.queries("l05_ann_ivf")(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
+    assert(topk(loaded) === graded)
+    assert(topk(built) === graded)
+  }
+
+  test("candidates touch only nprobe buckets, via partition pruning on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val cand = loaded.candidates(qArr, nprobe = 8)
+    assert(cand.select("cluster").distinct().count() <= 8)
+    // the probe reaches the file source as a partition filter, so only
+    // nprobe of k bucket directories are ever read — checked on the scan
+    // node's own numFiles metric (inputFiles reports pre-pruning)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, s"no file scan in:\n$plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val scan = cand.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"expected a partition-pruned scan, got:\n$scan")
+    val full = filesRead(loaded.assigned)
+    val pruned = filesRead(cand)
+    assert(pruned < full, s"pruned scan reads $pruned of $full files")
+  }
+}

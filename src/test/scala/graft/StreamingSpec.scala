@@ -202,6 +202,31 @@ class StreamingSpec extends SparkSpec {
     assert(updates.contains((5L, 3L, "purchase")), "state carries across batches")
   }
 
+  test("T6 streaming updates equal the graded t08 batch twin, one event per microbatch") {
+    // the anchor the oracle-checked t08_running_state puts under T6: when
+    // real events arrive one per microbatch, the StateStore fold must emit
+    // exactly the batch twin's rows. A global (ts, event_id) prefix of the
+    // events table is also a per-user prefix, so t08's whole-table window
+    // values are directly comparable on the sampled ids.
+    val evs = Tables(spark, sfDir).events
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .orderBy("ts", "event_id").limit(40).as[Ev].collect()
+    val source = MemoryStream[Ev](spark)
+    val out = EventOps.runningUserState(source.toDS())
+    val q = out.writeStream.format("memory").queryName("t6twin")
+      .outputMode(OutputMode.Update()).start()
+    evs.foreach { e => source.addData(e); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("t6twin").as[(Long, Long, String)].collect().toSeq.sorted
+    val twin = graft.stream.StreamQueries.queries("t08_running_state")(spark, sfDir)
+      .filter(col("event_id").isin(evs.map(e => java.lang.Long.valueOf(e.event_id)): _*))
+      .select(col("user_id"), col("n_events"), col("last_type"))
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got.size === 40)
+    assert(got === twin)
+  }
+
   test("T6b: transformWithState (Spark 4 API) carries state on the RocksDB store") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
