@@ -99,6 +99,25 @@ class BetweennessSpec extends SparkSpec {
     assertClose(dist, expect)
   }
 
+  test("property: both tiers match the pair-dependency definition on random graphs") {
+    // raw ScalaCheck with fixed seeds (PropertySpec convention — the
+    // scalatest bridge isn't on the offline classpath); 3 cases, each
+    // runs the full distributed BFS + accumulation
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(12, for {
+      a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
+    } yield (a, b)).suchThat(_.nonEmpty)
+    val cs = (1 to 3).flatMap(i => gen.apply(Gen.Parameters.default, Seed(1006L + i)))
+    assert(cs.nonEmpty, "generator produced no cases — property would pass vacuously")
+    cs.foreach { es =>
+      val expect = pairDependency(es, 8)
+      val (local, dist) = tiersOn(es, 8)
+      assertClose(local, expect)
+      assertClose(dist, expect)
+    }
+  }
+
   test("gate: forcing the distributed tier on the graded g10 subgraph changes nothing") {
     val e2 = Ubo.interactedPairs(Tables(spark, sfDir)).filter(col("cnt") >= 2)
       .select(col("src"), col("dst"))
