@@ -608,7 +608,17 @@ object Algorithms {
     * driver-side structure.
     */
   def betweennessDistributed(edges: DataFrame, nSources: Int,
-                             maxDepth: Int = 128): DataFrame = {
+                             maxDepth: Int = 128,
+                             broadcastMaxRows: Long = 2000000L): DataFrame = {
+    // Broadcast hints gated on MEASURED per-level counts, exactly kHop's
+    // pattern: the per-(source, node) state frames are localCheckpoint'd
+    // (no stats → AQE can't find the conversion), and when they fit the
+    // gate the EDGE TABLE NEVER SHUFFLES — each superstep is one scan of
+    // cached edge blocks plus a broadcast. Past the gate it degrades to
+    // ordinary shuffle joins, never a driver structure. 2M three-column
+    // rows ≈ 50 MB per executor copy.
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
     val e = edges.select(col("src"), col("dst")).distinct()
       .transform(Materialize.apply)
     // deterministic sample: the nSources lowest node ids (matches the
@@ -623,45 +633,50 @@ object Algorithms {
       .select(col("id").as("s"), col("id").as("v"), lit(1.0).as("sigma"))
       .transform(Materialize.apply)
     var visited = frontier.select("s", "v")
-    val levels = scala.collection.mutable.ArrayBuffer(frontier)
-    var depth = 0
     var frontierRows = frontier.count()
+    var visitedRows = frontierRows
+    val levels = scala.collection.mutable.ArrayBuffer((frontier, frontierRows))
+    var depth = 0
     while (frontierRows > 0) {
       depth += 1
       if (depth > maxDepth) throw new IllegalStateException(
         s"betweennessDistributed exceeded maxDepth=$maxDepth levels")
-      val next = frontier.join(e, col("v") === col("src"))
+      val next = gated(frontier, frontierRows).join(e, col("v") === col("src"))
         .groupBy(col("s"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("s"), col("dst").as("v"), col("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
+        .join(gated(visited, visitedRows), Seq("s", "v"), "left_anti")
         .transform(Materialize.apply)
       frontierRows = next.count()
       if (frontierRows > 0) {
+        visitedRows += frontierRows
         visited = visited.unionByName(next.select("s", "v"))
           .transform(Materialize.apply)
-        levels += next
+        levels += ((next, frontierRows))
         frontier = next
       }
     }
     // backward accumulation: deepest level has delta = 0
-    var deltas = levels.last.withColumn("delta", lit(0.0))
+    var deltas = levels.last._1.withColumn("delta", lit(0.0))
+    var deltaRows = levels.last._2
     val acc = scala.collection.mutable.ArrayBuffer(deltas)
     for (d <- (levels.size - 2) to 0 by -1) {
+      val (lvl, lvlRows) = levels(d)
       val succ = deltas.select(col("s").as("ws"), col("v").as("w"),
         col("sigma").as("sigma_w"), col("delta").as("delta_w"))
-      val contrib = levels(d)
+      val contrib = gated(lvl, lvlRows)
         .join(e, col("v") === col("src"))
-        .join(succ, col("s") === col("ws") && col("dst") === col("w"))
+        .join(gated(succ, deltaRows), col("s") === col("ws") && col("dst") === col("w"))
         .groupBy(col("s"), col("v"))
         .agg(sum(col("sigma") / col("sigma_w") * (lit(1.0) + col("delta_w")))
           .as("delta"))
       // left-outer keeps BFS-DAG leaves (no successor → delta = 0), so the
       // reached row set matches the local tier exactly
-      deltas = levels(d).join(contrib, Seq("s", "v"), "left_outer")
+      deltas = lvl.join(contrib, Seq("s", "v"), "left_outer")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .transform(Materialize.apply)
+      deltaRows = lvlRows
       acc += deltas
     }
     // sum dependencies over sources, excluding each source's own row
