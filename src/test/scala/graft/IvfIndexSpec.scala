@@ -54,6 +54,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(topk(built) === graded)
   }
 
+  test("probing all k buckets degenerates to exact brute-force top-k") {
+    // the IVF correctness envelope: recall loss comes ONLY from unprobed
+    // buckets, so nprobe = k must reproduce the oracle-checked exact query
+    graft.functions.GraftFunctions.register(spark)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exhaustive = built.candidates(qArr, nprobe = 16)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .as[(Long, Double)].collect().toSeq
+    val brute = graft.text.LlmQueries.queries("l05_cosine_topk_native")(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
+    assert(exhaustive === brute)
+  }
+
+  test("candidate set is monotone in nprobe") {
+    val ids = (n: Int) => built.candidates(qArr, n)
+      .select("vec_id").as[Long].collect().toSet
+    val c4 = ids(4); val c8 = ids(8); val c16 = ids(16)
+    assert(c4.subsetOf(c8) && c8.subsetOf(c16))
+    assert(c16.size === emb.count())
+  }
+
   test("candidates touch only nprobe buckets, via partition pruning on disk") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     IvfIndex.save(built, dir)
