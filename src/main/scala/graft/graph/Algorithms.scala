@@ -650,8 +650,10 @@ object Algorithms {
       frontierRows = next.count()
       if (frontierRows > 0) {
         visitedRows += frontierRows
+        // kHop's convention: visited stays a LAZY union over checkpointed
+        // levels (lineage depth = level count, always small) — re-copying
+        // the whole set every level would be O(depth × |visited|) work
         visited = visited.unionByName(next.select("s", "v"))
-          .transform(Materialize.apply)
         levels += ((next, frontierRows))
         frontier = next
       }
