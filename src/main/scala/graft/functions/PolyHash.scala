@@ -22,9 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash runs once per TOKEN of a 100 TB corpus.
   *
   * Null contract: null input → null. seed/mult must be foldable longs.
-  * Parameter contract: the seed is reduced mod 1e9+7 before the fold (so
-  * any Long is safe); mult must stay below ~2^33 or h * mult overflows —
-  * the library's registered hashes all use single-byte-scale mults.
+  * Parameter contract: the seed is reduced to its canonical non-negative
+  * residue mod 1e9+7 before the fold (so any Long — including negative —
+  * is safe); mult must stay below ~2^33 or h * mult overflows — the
+  * library's registered hashes all use single-byte-scale mults.
   */
 case class PolyHash(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression {
@@ -55,10 +56,11 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
     }
     // reduce the seed up front: with a raw near-Long seed the first
     // h * m would overflow before the first % ever ran, silently leaving
-    // the documented mod-1e9+7 math. After this, h < 2^30, so the loop
-    // stays overflow-free for any mult below ~2^33 (the library's mults
-    // are all < 2^9).
-    var h = seed.asInstanceOf[Long] % MOD
+    // the documented mod-1e9+7 math. The double-% form is the CANONICAL
+    // residue (Java % preserves sign, so a negative seed needs the +MOD
+    // fold). After this, 0 <= h < 2^30, so the loop stays overflow-free
+    // for any mult below ~2^33 (the library's mults are all < 2^9).
+    var h = (seed.asInstanceOf[Long] % MOD + MOD) % MOD
     val m = mult.asInstanceOf[Long]
     var i = 0
     while (i < bytes.length) {
@@ -80,7 +82,7 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
         else s"byte[] $bytes = $in;"
       s"""
          |$toBytes
-         |long $h = $seed % ${MOD}L;
+         |long $h = ($seed % ${MOD}L + ${MOD}L) % ${MOD}L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
          |  $h = ($h * $mult + ($bytes[$i] & 0xff)) % ${MOD}L;
          |}

@@ -535,11 +535,14 @@ object Algorithms {
     * pair-dependency reimplementation.
     */
   def betweennessSampled(edges: DataFrame, nSources: Int,
-                         localMaxEdges: Long = 1000000L): DataFrame = {
+                         localMaxEdges: Long = 1000000L,
+                         maxDepth: Int = 128): DataFrame = {
     val distinct = edges.select(col("src"), col("dst")).distinct()
       .transform(Materialize.apply)
+    // the gate already deduped + checkpointed — the tiers must not repeat
+    // that shuffle on the largest dataset in the job (prepped = true)
     if (distinct.count() <= localMaxEdges) betweennessLocal(distinct, nSources)
-    else betweennessDistributed(distinct, nSources)
+    else betweennessDistributed(distinct, nSources, maxDepth, prepped = true)
   }
 
   /** In-process Brandes tier (see [[betweennessSampled]] for the contract):
@@ -609,6 +612,7 @@ object Algorithms {
     */
   def betweennessDistributed(edges: DataFrame, nSources: Int,
                              maxDepth: Int = 128,
+                             prepped: Boolean = false,
                              broadcastMaxRows: Long = 2000000L): DataFrame = {
     // Broadcast hints gated on MEASURED per-level counts, exactly kHop's
     // pattern: the per-(source, node) state frames are localCheckpoint'd
@@ -619,8 +623,13 @@ object Algorithms {
     // rows ≈ 50 MB per executor copy.
     def gated(df: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastMaxRows) broadcast(df) else df
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .transform(Materialize.apply)
+    // `prepped` skips the dedup + checkpoint when the caller (the
+    // betweennessSampled gate) already did both — repeating it here would
+    // be a second full shuffle + copy of the biggest dataset in the job
+    val e =
+      if (prepped) edges
+      else edges.select(col("src"), col("dst")).distinct()
+        .transform(Materialize.apply)
     // deterministic sample: the nSources lowest node ids (matches the
     // local tier's nodes.sorted.take). nSources rows — broadcast-sized.
     val sources = e.select(col("src").as("id"))
@@ -662,7 +671,10 @@ object Algorithms {
     var deltas = levels.last._1.withColumn("delta", lit(0.0))
     var deltaRows = levels.last._2
     val acc = scala.collection.mutable.ArrayBuffer(deltas)
-    for (d <- (levels.size - 2) to 0 by -1) {
+    // stop at level 1: level 0 is only (s, s) rows, which the final
+    // v =!= s filter discards — its accumulation superstep (a full edge
+    // scan + two joins + checkpoint) would be pure wasted work
+    for (d <- (levels.size - 2) to 1 by -1) {
       val (lvl, lvlRows) = levels(d)
       val succ = deltas.select(col("s").as("ws"), col("v").as("w"),
         col("sigma").as("sigma_w"), col("delta").as("delta_w"))

@@ -27,13 +27,18 @@ final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: Data
     * over k centroids — driver-side on purpose: k is small by design).
     * Stable tie order: centroid id ascending.
     */
-  def nearestClusters(q: Array[Double], nprobe: Int): Array[Int] =
+  def nearestClusters(q: Array[Double], nprobe: Int): Array[Int] = {
+    centroids.headOption.foreach { case (_, c) =>
+      require(q.length == c.length,
+        s"query dimension ${q.length} != index dimension ${c.length}")
+    }
     centroids.sortBy { case (id, c) =>
       var s = 0.0
       var i = 0
       while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
       (s, id)
     }.take(nprobe).map(_._1)
+  }
 
   /** Candidate vectors for a query: only the rows in the probed buckets.
     * On a persisted index this is a partition-pruned scan.

@@ -107,7 +107,8 @@ class FunctionsSpec extends SparkSpec {
     try {
       // empty tokens excluded: the reference fold's sequence(1, length(t))
       // yields the DESCENDING [1, 0] when length = 0 and would hash two
-      // phantom zero bytes; poly_hash('') correctly returns the seed
+      // phantom zero bytes; poly_hash('') correctly returns the seed's
+      // canonical residue mod 1e9+7 (= the seed itself for library seeds)
       val toks = Tables(spark, sfDir).documents.limit(50)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .filter(length(col("t")) >= 1)
@@ -144,6 +145,36 @@ class FunctionsSpec extends SparkSpec {
     try {
       val interpreted = docs.select(expr("poly_hash(text, 7L, 31L)")).collect()
       assert(withCodegen.sameElements(interpreted))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("poly_hash non-library seeds: canonical residue, codegen/interp agree") {
+    // the seed contract (SQL-registered function — any Long is reachable):
+    // negative and >= MOD seeds reduce to the canonical non-negative
+    // residue before the fold, identically on both execution paths
+    GraftFunctions.register(spark)
+    val docs = Tables(spark, sfDir).documents.limit(20).select(col("text"))
+    val exprs = Seq(
+      "poly_hash(text, -5L, 31L)",
+      "poly_hash(text, -1000000007L, 31L)",
+      "poly_hash(text, 9223372036854775807L, 31L)",
+      "poly_hash('', -5L, 31L)")
+    val sel = docs.select(exprs.map(e => expr(e)): _*)
+    val withCodegen = sel.collect()
+    withCodegen.foreach(r => (0 until r.length).foreach { i =>
+      val h = r.getLong(i)
+      assert(h >= 0 && h < 1000000007L, s"non-canonical residue $h")
+    })
+    // empty input returns the reduced seed: -5 mod 1e9+7 = 1000000002
+    assert(withCodegen.head.getLong(3) === 1000000002L)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(sel.collect().sameElements(withCodegen))
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
       spark.conf.unset("spark.sql.codegen.factoryMode")
