@@ -118,6 +118,23 @@ class BetweennessSpec extends SparkSpec {
     }
   }
 
+  test("degenerate graphs: empty output, no crash, on both tiers") {
+    // star out of 1: no interior nodes → every dependency is 0 but every
+    // reached node still gets a row; single edge → both endpoints' rows
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val expect = pairDependency(star, 4)
+    val (local, dist) = tiersOn(star, 4)
+    assertClose(local, expect)
+    assertClose(dist, expect)
+    assert(expect.values.forall(_ == 0.0))
+    // sources with no out-edges reach nothing: only 2 can be a source
+    // with out-degree > 0 here, and it reaches only 1
+    val sink = Seq((2L, 1L))
+    val (l2, d2) = tiersOn(sink, 2)
+    assertClose(l2, pairDependency(sink, 2))
+    assertClose(d2, l2)
+  }
+
   test("gate: forcing the distributed tier on the graded g10 subgraph changes nothing") {
     val e2 = Ubo.interactedPairs(Tables(spark, sfDir)).filter(col("cnt") >= 2)
       .select(col("src"), col("dst"))
