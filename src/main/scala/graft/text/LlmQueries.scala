@@ -949,13 +949,15 @@ object LlmQueries {
         .select(col("doc_id"), col("ws"),
           explode(expr("sequence(0, size(ws) - 1, 10)")).as("i"))
         .select(col("doc_id"),
-          (col("i") / lit(10)).cast("long").as("chunk_idx"),
+          // integer div for class consistency with l40 (exact here anyway:
+          // i is a multiple of the stride)
+          expr("i div 10").cast("long").as("chunk_idx"),
           array_join(slice(col("ws"), col("i") + 1, lit(20)), " ").as("chunk_text"),
           least(lit(20), size(col("ws")) - col("i")).cast("long").as("chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")
     }, Some("""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-      SELECT doc_id, CAST(i / 10 AS BIGINT) AS chunk_idx,
+      SELECT doc_id, CAST(i // 10 AS BIGINT) AS chunk_idx,
              array_to_string(ws[i+1:i+20], ' ') AS chunk_text,
              LEAST(20, len(ws) - i) AS chunk_tokens
       FROM toks, UNNEST(range(0, len(ws), 10)) AS t(i)
