@@ -759,7 +759,11 @@ object LlmQueries {
     // L8 — multimodal column plumbing: opaque binary payload + typed
     // metadata; "decode" is a deterministic stub (media codecs aren't in
     // this container) but the Spark-side schema/partition/batch shape is
-    // real: mapPartitions over the binary column (rows-only + ScalaTest).
+    // real: mapPartitions over the binary column. ORACLE-CHECKED (round 6):
+    // the stub fold is the library poly-hash over the payload bytes, which
+    // DuckDB reproduces with ord() on the ASCII corpus (the l33/l35/l39
+    // convention) — so the whole mapPartitions path, not just its shape,
+    // hash-matches. The codec stays an honest stub; the PLUMBING is graded.
     E("l12_multimodal", (s, d) => {
       val spark = s
       import spark.implicits._
@@ -770,17 +774,24 @@ object LlmQueries {
           // STUB decode: real pipelines would demux/decode media here; the
           // deterministic fake keeps plumbing testable offline.
           val checksum = bytes.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
-          (id, bytes.length, if (bytes.nonEmpty) bytes(0) & 0xff else -1, checksum)
+          (id, bytes.length.toLong, if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else -1L, checksum)
         })
         .toDF("doc_id", "byte_len", "first_byte", "checksum")
         .orderBy("doc_id")
-    }, None),
+    }, Some(s"""
+      SELECT doc_id, LENGTH(text) AS byte_len,
+             CAST(CASE WHEN LENGTH(text) = 0 THEN -1 ELSE ord(substr(text, 1, 1)) END AS BIGINT) AS first_byte,
+             ${polyHashSql("text", 0, 131)} AS checksum
+      FROM documents ORDER BY doc_id""")),
 
     // L8c — multimodal resize: normalize every payload to a fixed-size
     // representation (truncate / zero-pad to 128 bytes) + typed metadata —
     // the batch shape of an image-resize stage (codec STUBBED as byte ops;
     // media libs aren't in this container). Downstream trainers want
     // fixed-shape tensors; this is the Spark-side contract for that stage.
+    // ORACLE-CHECKED (round 6): the oracle folds the identical 128-byte
+    // truncate/zero-pad sequence, so the fixed-shape contract itself is
+    // hash-verified, not just row-counted.
     E("l12_resize", (s, d) => {
       val spark = s
       import spark.implicits._
@@ -793,18 +804,28 @@ object LlmQueries {
           // fixed-shape output contract is what the plumbing guarantees
           val out = java.util.Arrays.copyOf(bytes, target)
           val checksum = out.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
-          (id, bytes.length, target, bytes.length > target, checksum)
+          (id, bytes.length.toLong, target.toLong, bytes.length > target, checksum)
         })
         .toDF("doc_id", "orig_len", "resized_len", "truncated", "resized_checksum")
         .orderBy("doc_id")
-    }, None),
+    }, Some("""
+      SELECT doc_id, LENGTH(text) AS orig_len, CAST(128 AS BIGINT) AS resized_len,
+             LENGTH(text) > 128 AS truncated,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(128), i -> CASE WHEN i < LENGTH(text)
+                 THEN CAST(ord(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END)),
+               (acc, ch) -> (acc * 131 + ch) % 1000000007) AS resized_checksum
+      FROM documents ORDER BY doc_id""")),
 
     // L8b — multimodal one-to-many decode: frame sampling. Each binary
     // payload yields ≤4 evenly-spaced "frames" (row explosion inside
     // mapPartitions — the batch shape of a real video demux, with the codec
     // STUBBED as a window checksum since media libs aren't in this
     // container). At scale this is the partition-parallel decode stage
-    // feeding feature extraction.
+    // feeding feature extraction. ORACLE-CHECKED (round 6): the oracle
+    // replays the same frame-count / offset / window arithmetic and window
+    // fold, so the one-to-many row explosion is hash-verified end-to-end.
     E("l12_frame_sample", (s, d) => {
       val spark = s
       import spark.implicits._
@@ -818,12 +839,26 @@ object LlmQueries {
             val win = bytes.slice(off, math.min(off + 64, bytes.length))
             // STUB decode: real pipelines decode the frame here
             val feat = win.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
-            (id, f, off, win.length, feat)
+            (id, f.toLong, off.toLong, win.length.toLong, feat)
           }
         })
         .toDF("doc_id", "frame_idx", "byte_offset", "window_len", "frame_feature")
         .orderBy("doc_id", "frame_idx")
-    }, None),
+    }, Some("""
+      WITH d AS (SELECT doc_id, text, LENGTH(text) AS len,
+                        LEAST(4, GREATEST(1, LENGTH(text) // 64)) AS n
+                 FROM documents),
+      frames AS (SELECT doc_id, text, len, n, f, f * (len // n) AS off
+                 FROM d, UNNEST(range(n)) AS t(f)),
+      w AS (SELECT doc_id, f AS frame_idx, off AS byte_offset,
+                   LEAST(off + 64, len) - off AS window_len,
+                   substr(text, CAST(off + 1 AS INT), CAST(LEAST(off + 64, len) - off AS INT)) AS win
+            FROM frames)
+      SELECT doc_id, frame_idx, byte_offset, window_len,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(window_len), i -> CAST(ord(substr(win, CAST(i+1 AS INT), 1)) AS BIGINT))),
+               (acc, ch) -> (acc * 131 + ch) % 1000000007) AS frame_feature
+      FROM w ORDER BY doc_id, frame_idx""")),
 
     // L2d — near-dup CLUSTER dedup: the action a pipeline takes after
     // candidate generation. Near-dup similarity is not transitive, so pairs

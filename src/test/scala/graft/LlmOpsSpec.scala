@@ -87,17 +87,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(row.schema.fieldNames.toSeq === Seq("doc_id", "byte_len", "first_byte", "checksum"))
     // byte_len equals the text length (payload is the utf-8 text)
     val docs = Tables(spark, sfDir).documents
-      .select(col("doc_id"), length(col("text")).cast("int").as("n"))
-      .as[(Long, Int)].collect().toMap
-    assert(a.forall(r => docs(r.getLong(0)) === r.getInt(1)))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(a.forall(r => docs(r.getLong(0)) === r.getLong(1)))
   }
 
   test("multimodal resize yields a fixed-shape contract") {
     val rows = LlmQueries.queries("l12_resize")(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getInt(2) === 128), "every payload must land on the target shape")
+    assert(rows.forall(_.getLong(2) === 128L), "every payload must land on the target shape")
     rows.foreach { r =>
-      assert(r.getBoolean(3) === (r.getInt(1) > 128), "truncation flag must match lengths")
+      assert(r.getBoolean(3) === (r.getLong(1) > 128), "truncation flag must match lengths")
     }
   }
 
