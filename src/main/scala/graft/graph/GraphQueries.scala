@@ -42,6 +42,54 @@ object GraphQueries {
        |${UboSql.step("s1", "s2", "ubo_edges", Some(0.005))},
        |${UboSql.step("s2", "s3", "ubo_edges", Some(0.005))}""".stripMargin
 
+  /** DuckDB mirror of sampled Brandes betweenness (the g10 oracle):
+    * FULLY UNROLLED — `depth` forward BFS level CTEs, each one join +
+    * sigma-summing GROUP BY with a cumulative visited-set NOT EXISTS
+    * (exactly betweennessDistributed's anti-join), then `depth` backward
+    * dependency-accumulation CTEs (delta(v) = Σ sigma_v/sigma_w ×
+    * (1+delta_w) over BFS-DAG successors, leaves coalesced to 0). Levels
+    * past the actual eccentricity are empty — harmless — so one depth
+    * constant covers every graded sf. Every CTE is AS MATERIALIZED
+    * (DuckDB re-inlines multiply-referenced CTEs otherwise — the g21
+    * lesson). Output rounds the summed dependency on the shared
+    * floor(x·1e6+0.5) grid.
+    */
+  private def brandesSql(nSources: Int, depth: Int): String = {
+    val fwd = (1 to depth).map { k =>
+      s"""lv$k AS MATERIALIZED (
+         |  SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma
+         |  FROM lv${k - 1} p JOIN sym e ON p.v = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${k - 1} x WHERE x.s = p.s AND x.v = e.dst)
+         |  GROUP BY p.s, e.dst),
+         |vis$k AS MATERIALIZED (SELECT s, v FROM vis${k - 1} UNION ALL SELECT s, v FROM lv$k)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (depth - 1) to 1 by -1
+    val bwdSql = bwd.map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT l.s, l.v, l.sigma,
+         |         COALESCE(SUM(l.sigma / w.sigma * (1.0 + w.delta)), CAST(0.0 AS DOUBLE)) AS delta
+         |  FROM lv$k l
+         |  LEFT JOIN sym e ON l.v = e.src
+         |  LEFT JOIN d${k + 1} w ON w.s = l.s AND w.v = e.dst
+         |  GROUP BY l.s, l.v, l.sigma)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to depth).map(k => s"SELECT s, v, delta FROM d$k").mkString(" UNION ALL ")
+    s"""
+      WITH ${UboSql.interactedPairsCte},
+      e2 AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+      srcs AS MATERIALIZED (SELECT id FROM
+        (SELECT src AS id FROM sym UNION SELECT dst FROM sym) ORDER BY id LIMIT $nSources),
+      lv0 AS MATERIALIZED (SELECT id AS s, id AS v, CAST(1.0 AS DOUBLE) AS sigma FROM srcs),
+      vis0 AS MATERIALIZED (SELECT s, v FROM lv0),
+      $fwd,
+      d$depth AS MATERIALIZED (SELECT s, v, sigma, CAST(0.0 AS DOUBLE) AS delta FROM lv$depth),
+      $bwdSql,
+      allv AS ($unionAll)
+      SELECT v AS id, FLOOR(SUM(delta) * 1000000 + 0.5) / 1000000 AS betweenness
+      FROM allv WHERE v <> s GROUP BY v ORDER BY id"""
+  }
+
   /** DuckDB mirror of Algorithms.labelPropagation(e2, 3) on the strong
     * user graph: sym CTE + 3 unrolled majority-vote steps ending in
     * l3(v, label). Single-sourced for g18 (grades the labels) and g29
@@ -529,19 +577,31 @@ object GraphQueries {
       SELECT id, ROUND(pr, 6) AS ppr FROM p5 ORDER BY id"""
     })),
 
-    // G10 — sampled Brandes betweenness on the undirected strong user graph
-    // (no SQL oracle — rows-only check; BetweennessSpec verifies both tiers
-    // against an independent pair-dependency reimplementation and each
-    // other, including on this exact subgraph). betweennessSampled is
+    // G10 — sampled Brandes betweenness on the undirected strong user graph,
+    // ORACLE-CHECKED (round 6; it was the last rows-only graph op): the
+    // oracle is fully UNROLLED Brandes — 16 forward BFS level CTEs
+    // (per-(source,node) sigma path counts, cumulative visited-set
+    // anti-filter) then 16 backward dependency-accumulation CTEs — the
+    // same unrolled-iteration convention as g09/g20's power iteration and
+    // g26's peel rounds. 16 levels covers the measured per-source
+    // eccentricity at every graded sf (1 / 3 / 15 at sf0.001/0.01/0.1;
+    // BetweennessSpec guards the calibration — a deeper graph fails
+    // loudly, not silently). Sigma sums are integer-valued doubles (exact
+    // in any order); the one float-order hazard is the delta sum, rounded
+    // on the shared floor(x·1e6+0.5) grid both sides (l17/r35 convention).
+    // BetweennessSpec additionally verifies both tiers against an
+    // independent pair-dependency reimplementation. betweennessSampled is
     // GATED like scc: measured distinct-edge count picks the local collect
     // tier below 1M edges, the dataflow tier above — no ungated collect.
     E("g10_betweenness", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
       Algorithms.betweennessSampled(Traversals.symmetrize(e2), 16)
-        .select(col("id"), round(col("betweenness"), 6).as("betweenness"))
+        .select(col("id"),
+          (floor(col("betweenness") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+            .as("betweenness"))
         .orderBy("id")
-    }, None),
+    }, Some(brandesSql(16, 16))),
 
     // G17 — per-node triangle counting on the undirected strong user graph
     // (cohesion analysis: triangles = tightly-knit entity clusters, the
