@@ -112,18 +112,20 @@ object LlmQueries {
              lw > 0 AS selected
       FROM scored s JOIN documents d USING (doc_id) ORDER BY d.doc_id"""
 
-  /** Two fixed Lloyd's rounds (k = 4, seeds = 4 lowest vec_ids) over any
-    * (vec_id, embedding) frame → (vec_id, cid). Single-sourced for
-    * l26_kmeans and l32_semdedup so the clustering cannot drift between
-    * the grading query and the dedup that builds on it.
+  /** Two fixed Lloyd's rounds (seeds = the k lowest vec_ids) over any
+    * (vec_id, embedding) frame → (round-1 centroids (cid, pos, c),
+    * assignments (vec_id, cid) against those centroids). Single-sourced
+    * for l26_kmeans, l32_semdedup (k = 4), and the IVF coarse quantizer
+    * (k = 16, [[IvfIndex]]) so the clustering cannot drift between the
+    * grading queries and the operators that build on it.
     */
-  private def lloydAssign(emb: DataFrame): DataFrame = {
+  private[text] def lloydModel(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
     def byPos(df: DataFrame, idCol: String, vCol: String) = df
       .select(col(idCol), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
               col("v").cast("double").as(vCol))
     val pts = byPos(emb, "vec_id", "v")
-    val init = byPos(emb.orderBy("vec_id").limit(4)
+    val init = byPos(emb.orderBy("vec_id").limit(k)
       .withColumnRenamed("vec_id", "cid"), "cid", "c")
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
@@ -136,15 +138,19 @@ object LlmQueries {
     def update(asg: DataFrame): DataFrame =
       asg.join(pts, Seq("vec_id"))
         .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("c"))
-    assign(update(assign(init)))
+    val c1 = update(assign(init))
+    (c1, assign(c1))
   }
 
-  /** DuckDB mirror of [[lloydAssign]]: CTE chain ending in a2(vec_id, cid),
-    * parameterized by the (vec_id, embedding) source relation. */
-  private def lloydCtes(src: String): String = s"""pts AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+  private def lloydAssign(emb: DataFrame): DataFrame = lloydModel(emb, 4)._2
+
+  /** DuckDB mirror of [[lloydModel]]: CTE chain ending in a2(vec_id, cid)
+    * with c1(cid, pos, c) the round-1 centroids, parameterized by the
+    * (vec_id, embedding) source relation and k. */
+  private[text] def lloydCtes(src: String, k: Int = 4): String = s"""pts AS (SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
                    FROM $src, UNNEST(range(64)) AS t(i)),
       init AS (SELECT e.vec_id AS cid, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS c
-               FROM (SELECT * FROM $src ORDER BY vec_id LIMIT 4) e, UNNEST(range(64)) AS t(i)),
+               FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $k) e, UNNEST(range(64)) AS t(i)),
       d1 AS (SELECT p.vec_id, c.cid, SUM((p.v - c.c) * (p.v - c.c)) AS d2
              FROM pts p JOIN init c USING (pos) GROUP BY 1, 2),
       a1 AS (SELECT vec_id, cid FROM (
@@ -451,17 +457,21 @@ object LlmQueries {
                  x -> NOT list_contains(['the', 'a', 'data', 'table', 'row'], x)), ' ') AS kept_text
       FROM documents ORDER BY doc_id""")),
 
-    // L3c — ANN via IVF (inverted-file index; see [[IvfIndex]]): KMeans
-    // coarse quantizer, query probes the nearest `nprobe` centroid buckets
-    // only — the classic billion-vector layout. The INDEX BUILD is a
-    // separate artifact with save/load (assignments partitioned by bucket
-    // → nprobe = partition pruning at scale); this graded entry composes
-    // build + query because the driver contract is one DataFrame, and
-    // IvfIndexSpec proves the persisted round-trip is result-identical.
-    // Approximate → rows-only + recall test.
+    // L3c — ANN via IVF (inverted-file index; see [[IvfIndex]]): coarse
+    // quantizer + query probes the nearest `nprobe` centroid buckets only —
+    // the classic billion-vector layout. The INDEX BUILD is a separate
+    // artifact with save/load (assignments partitioned by bucket → nprobe
+    // = partition pruning at scale); this graded entry composes build +
+    // query because the driver contract is one DataFrame, and IvfIndexSpec
+    // proves the persisted round-trip is result-identical. ORACLE-CHECKED
+    // (round 6): the quantizer is the deterministic relational Lloyd's
+    // single-sourced with l26/l32, so the ENTIRE pipeline — centroids,
+    // bucket assignment, probe ranking, candidate scan, cosine top-k — is
+    // mirrored in DuckDB and hash-matched; the recall spec vs the exact
+    // brute-force twin still grades the approximation quality.
     E("l05_ann_ivf", (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val idx = IvfIndex.build(Tables(s, d).embeddings, k = 16, seed = 42L)
+      val idx = IvfIndex.build(Tables(s, d).embeddings, k = 16)
       val qArr = Tables(s, d).embeddings.filter(col("vec_id") === 0)
         .head().getSeq[Float](1).map(_.toDouble).toArray
       val q = Tables(s, d).embeddings.filter(col("vec_id") === 0)
@@ -473,7 +483,26 @@ object LlmQueries {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
-    }, None),
+    }, Some(s"""
+      WITH ${lloydCtes("embeddings", 16)},
+      qp AS (SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS qv
+             FROM embeddings, UNNEST(range(64)) AS t(i) WHERE vec_id = 0),
+      pd AS (SELECT c.cid, SUM((c.c - q.qv) * (c.c - q.qv)) AS d2
+             FROM c1 c JOIN qp q USING (pos) GROUP BY 1),
+      probes AS (SELECT cid FROM (
+                   SELECT cid, ROW_NUMBER() OVER (ORDER BY d2, cid) AS rn FROM pd)
+                 WHERE rn <= 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cand AS (SELECT e.vec_id, e.embedding, q.qv FROM embeddings e, q
+               WHERE e.vec_id <> 0
+                 AND e.vec_id IN (SELECT vec_id FROM a2 WHERE cid IN (SELECT cid FROM probes))),
+      scored AS (SELECT vec_id,
+               ${dotSql("embedding", "qv")} /
+               (SQRT(${dotSql("embedding", "embedding")}) * SQRT(${dotSql("qv", "qv")})) AS cos
+        FROM cand)
+      SELECT vec_id, ROUND(t.cos, 6) AS cos
+      FROM (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) t
+      ORDER BY t.cos DESC, vec_id""")),
 
     // L4b — embedding-cosine near-dup self-join, exact tier: all-pairs
     // cosine ≥ 0.99 over the corpus plus PLANTED duplicates (scaled copies

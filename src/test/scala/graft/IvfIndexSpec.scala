@@ -12,7 +12,7 @@ class IvfIndexSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val emb = Tables(spark, sfDir).embeddings
-  private lazy val built = IvfIndex.build(emb, k = 16, seed = 42L)
+  private lazy val built = IvfIndex.build(emb, k = 16)
   private lazy val qArr = emb.filter(col("vec_id") === 0)
     .head().getSeq[Float](1).map(_.toDouble).toArray
 
@@ -38,9 +38,9 @@ class IvfIndexSpec extends SparkSpec {
       assert(a.toSeq === b.toSeq)
     }
     val la = loaded.assigned.select("vec_id", "cluster")
-      .as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     val ba = built.assigned.select("vec_id", "cluster")
-      .as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     assert(la === ba)
   }
 
