@@ -55,6 +55,8 @@ object GraphQueries {
     * floor(x·1e6+0.5) grid.
     */
   private def brandesSql(nSources: Int, depth: Int): String = {
+    require(depth >= 2, s"brandesSql needs depth >= 2 (got $depth): " +
+      "the backward chain below d$depth would otherwise leave a dangling comma")
     val fwd = (1 to depth).map { k =>
       s"""lv$k AS MATERIALIZED (
          |  SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma

@@ -69,8 +69,11 @@ object IvfIndex {
       .groupBy(_._1).map { case (cid, rows) =>
         (cid, rows.sortBy(_._2).map(_._3))
       }.toArray.sortBy(_._1)
+    // materialize: build-once means the quantizer dataflow runs ONCE here,
+    // not lazily on every downstream action over the index
     val assigned = embeddings.join(a2, "vec_id")
       .withColumnRenamed("cid", "cluster")
+      .transform(graft.graph.Materialize.apply)
     IvfIndex(cents, assigned)
   }
 

@@ -468,7 +468,13 @@ object LlmQueries {
     // single-sourced with l26/l32, so the ENTIRE pipeline — centroids,
     // bucket assignment, probe ranking, candidate scan, cosine top-k — is
     // mirrored in DuckDB and hash-matched; the recall spec vs the exact
-    // brute-force twin still grades the approximation quality.
+    // brute-force twin still grades the approximation quality. Known
+    // hazard class (shared with l26/l32, green since round 5): the
+    // assignment argmin and the rn<=8 probe boundary gate DISCRETE choices
+    // on cross-engine double aggregates — a near-tie inside the ulp noise
+    // would flip them; unlike a value (g10's delta), an argmin can't be
+    // grid-rounded. The (d2, cid) tiebreak bounds the exposure to exact
+    // float near-ties, which the synthetic embeddings don't produce.
     E("l05_ann_ivf", (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val idx = IvfIndex.build(Tables(s, d).embeddings, k = 16)

@@ -78,6 +78,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"LSH tier missed ${exact -- lsh}")
   }
 
+  test("corpus ASCII canary: byte semantics == char semantics for every document") {
+    // the l12/l33/l35/l39 oracles mirror Spark's UTF-8 BYTE folds with
+    // DuckDB CHARACTER functions (ord/substr/LENGTH), sound only while
+    // the corpus is pure ASCII. l12_frame_sample's row COUNT also depends
+    // on it (frames = byte_len/64). This canary fails LOUDLY at every sf
+    // if a regenerated fixture ever introduces a multi-byte character,
+    // instead of letting five oracle parities go silently red.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val nonAscii = Tables(spark, s"/root/testdata/$sf").documents
+        .filter(octet_length(col("text")) =!= length(col("text")))
+        .count()
+      assert(nonAscii === 0, s"$sf has $nonAscii non-ASCII documents — byte/char oracle mirrors are unsound")
+    }
+  }
+
   test("multimodal plumbing: schema, determinism, payload round-trip") {
     val q = LlmQueries.queries("l12_multimodal")
     val a = q(spark, sfDir).collect()
