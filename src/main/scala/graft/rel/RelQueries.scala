@@ -579,14 +579,25 @@ object RelQueries {
     // R27b — approximate percentiles (KLL-style quantile sketch; the scale
     // tier of r27, as approx_count_distinct is to count-distinct): one-pass,
     // mergeable, bounded-memory — exact percentile sorts every group.
-    // Deterministic for a given accuracy but not DuckDB-mirrorable →
-    // rows-only check + bounded-error ScalaTest against the exact r27.
+    // ORACLE-CHECKED (round 6) via a VALUE-GRANULARITY argument, not sketch
+    // mirroring: l_quantity is integral 1..50, so each value spans ~1/50th
+    // of a group's rank space, while the Greenwald-Khanna error at accuracy
+    // 10000 is ±n/20000 ranks — three orders of magnitude narrower. Any
+    // rank the sketch may legally return maps to the SAME integer as the
+    // exact discrete quantile, so DuckDB's quantile_disc is a valid oracle
+    // at every graded sf. ApproxSpec guards the calibration (approx ==
+    // exact-disc in-engine); a fixture with fine-grained values would fail
+    // that spec loudly before parity could go red.
     E("r27b_approx_percentile", (s, d) => {
       Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
         expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
         expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
         .orderBy("l_returnflag")
-    }, None),
+    }, Some("""
+      SELECT l_returnflag,
+             quantile_disc(l_quantity, 0.5) AS p50_qty,
+             quantile_disc(l_quantity, 0.9) AS p90_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // R28 — SQL entry path (spark.sql over temp views) with scalar +
     // correlated-EXISTS subqueries; Catalyst decorrelates both (SURVEY §4.2).

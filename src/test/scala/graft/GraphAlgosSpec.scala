@@ -352,6 +352,29 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(a - e) <= 1.0, s"approx p50 $a vs exact $e")
   }
 
+  test("r27b calibration: sketch percentile equals the exact discrete quantile at every graded sf") {
+    // the g10/g23-style loud guard behind r27b's quantile_disc oracle: the
+    // value-granularity argument (integral 1..50 quantities vs ±n/20000
+    // rank error) must hold on the actual data — approx must EQUAL the
+    // exact discrete quantile, per group, at every sf the driver grades
+    import org.apache.spark.sql.Row
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val li = Tables(spark, s"/root/testdata/$sf").lineitem
+      val approx = li.groupBy(col("l_returnflag")).agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val groups = li.select(col("l_returnflag"), col("l_quantity"))
+        .collect().groupBy(_.getString(0))
+      groups.foreach { case (flag, rows) =>
+        val sorted = rows.map(_.getDouble(1)).sorted
+        def qdisc(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+        assert(approx(flag)._1 === qdisc(0.5), s"$sf/$flag p50 sketch drifted off the exact value")
+        assert(approx(flag)._2 === qdisc(0.9), s"$sf/$flag p90 sketch drifted off the exact value")
+      }
+    }
+  }
+
   test("approx_count_distinct is within its error bound") {
     val l = Tables(spark, sfDir).lineitem
     val row = l.agg(
