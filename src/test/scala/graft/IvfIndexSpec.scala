@@ -72,6 +72,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(exhaustive === brute)
   }
 
+  test("every vector is assigned to its nearest round-1 centroid") {
+    // the quantizer's defining invariant, checked from the outside: for
+    // each vector, d2(assigned centroid) <= d2(any centroid) — ties
+    // broken toward the lower centroid id, matching the (d2, cid) argmin
+    val cents = built.centroids
+    val rows = built.assigned.select(col("vec_id"), col("cluster"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .as[(Long, Long, Seq[Double])].collect()
+    def d2(v: Seq[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    rows.foreach { case (id, cid, v) =>
+      val own = d2(v, cents.find(_._1 == cid).get._2)
+      cents.foreach { case (other, oc) =>
+        val od = d2(v, oc)
+        assert(own < od + 1e-9 || (math.abs(own - od) <= 1e-9 && cid <= other),
+          s"vec $id assigned to $cid (d2=$own) but $other is nearer (d2=$od)")
+      }
+    }
+  }
+
   test("candidate set is monotone in nprobe") {
     val ids = (n: Int) => built.candidates(qArr, n)
       .select("vec_id").as[Long].collect().toSet

@@ -227,6 +227,17 @@ class StreamingSpec extends SparkSpec {
     assert(got === twin)
   }
 
+  test("t08 closure: each user's final running state equals their event total") {
+    // the prefix-aggregate's terminal invariant — the last update per user
+    // IS the per-user groupBy count (what a plain batch aggregation gives)
+    val t08 = graft.stream.StreamQueries.queries("t08_running_state")(spark, sfDir)
+    val last = t08.groupBy("user_id").agg(max(col("n_events")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val totals = Tables(spark, sfDir).events.groupBy("user_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(last === totals)
+  }
+
   test("T6b: transformWithState (Spark 4 API) carries state on the RocksDB store") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
