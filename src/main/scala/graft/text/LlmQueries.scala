@@ -1501,10 +1501,10 @@ object LlmQueries {
     // multimodal binary column) with the SAME 131-polynomial checksum the
     // l12 stub codecs use, group, and report duplicate groups with the
     // canonical minimum doc. The pre-decode dedup every media pipeline
-    // runs first (decoding a duplicate asset is pure waste) — and the
-    // ORACLE-CHECKED twin of the rows-only l12 family: payloads here are
-    // ASCII text bytes, so DuckDB reproduces the byte hash with ord()
-    // exactly. One hash agg; collision risk documented (131-poly mod 1e9+7
+    // runs first (decoding a duplicate asset is pure waste). Was the first
+    // oracle-checked member of the l12 family; since round 6 the l12
+    // queries themselves are hash-checked too, by the same ord() byte
+    // mirror. One hash agg; collision risk documented (131-poly mod 1e9+7
     // is the stub convention — a production asset store would use a
     // cryptographic digest, same plan shape).
     E("l35_binary_dedup", (s, d) => {
