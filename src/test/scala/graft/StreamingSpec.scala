@@ -227,6 +227,64 @@ class StreamingSpec extends SparkSpec {
     assert(got === twin)
   }
 
+  test("T4 boundary: a window whose end EQUALS the watermark is dropped (inclusive rule)") {
+    // pins the <= in t12_late_drop's model: e2 (t=130) advances the
+    // watermark to 120 for subsequent batches; e4 (t=70, window [60,120),
+    // end 120 == wm 120) must be DROPPED; e3 (end 60 < 120) likewise
+    val wmts = (min: Int) => new Timestamp(3600000L * 24 + min * 60000L)
+    val evs = Seq(Ev(1, wmts(5), 1, "a", 0), Ev(2, wmts(130), 1, "a", 0),
+      Ev(3, wmts(55), 1, "a", 0), Ev(4, wmts(70), 1, "a", 0))
+    val source = MemoryStream[Ev](spark)
+    val q = EventOps.tumblingCounts(source.toDF())
+      .writeStream.format("memory").queryName("t4boundary")
+      .outputMode(OutputMode.Update()).start()
+    evs.foreach { e => source.addData(e); q.processAllAvailable() }
+    q.stop()
+    val wins = spark.table("t4boundary")
+      .groupBy("win_start").agg(max(col("cnt")).as("cnt"))
+      .as[(Timestamp, Long)].collect()
+      .map { case (w, c) => (w.getTime - 3600000L * 24) / 60000 -> c }.toMap
+    assert(wins === Map(0L -> 1L, 120L -> 1L),
+      s"expected only e1 and e2 to survive (end==wm must drop), got $wins")
+  }
+
+  test("t12 batch twin: the watermarked aggregation keeps exactly the late=false rows") {
+    // the oracle anchor under T4: feed the first 200 events of t12's
+    // deterministic arrival order one per microbatch into the REAL
+    // watermarked tumbling aggregation; its final counts must equal the
+    // batch counts over the rows t12 marks late = false. A 200-arrival
+    // prefix is model-consistent (running max over a prefix is the prefix
+    // of the running max).
+    val t = Tables(spark, sfDir)
+    val arrival = t.events
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .withColumn("arr_us", unix_micros(col("ts")) +
+        ((col("event_id") * lit(2654435761L)) % lit(2147483648L)) % lit(1800000000L))
+      .orderBy("arr_us", "event_id").limit(200)
+      .as[(Long, Timestamp, Long, String, Double, Long)].collect()
+    val evs = arrival.map { case (id, ets, u, et, v, _) => Ev(id, ets, u, et, v) }
+    val ids = evs.map(e => java.lang.Long.valueOf(e.event_id)).toSeq
+    val t12 = graft.stream.StreamQueries.queries("t12_late_drop")(spark, sfDir)
+      .filter(col("event_id").isin(ids: _*))
+    assert(t12.filter(col("late")).count() > 0, "prefix has no late events — anchor would be vacuous")
+    val expected = t12.filter(!col("late"))
+      .join(t.events.select(col("event_id"), col("event_type")), "event_id")
+      .groupBy("win_start_s", "event_type").agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val source = MemoryStream[Ev](spark)
+    val q = EventOps.tumblingCounts(source.toDF())
+      .writeStream.format("memory").queryName("t12anchor")
+      .outputMode(OutputMode.Update()).start()
+    evs.foreach { e => source.addData(e); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("t12anchor")
+      .groupBy(unix_timestamp(col("win_start")).as("w"), col("event_type"))
+      .agg(max(col("cnt")).as("cnt"))
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected)
+  }
+
   test("t08 closure: each user's final running state equals their event total") {
     // the prefix-aggregate's terminal invariant — the last update per user
     // IS the per-user groupBy count (what a plain batch aggregation gives)
