@@ -69,6 +69,29 @@ class OrderedLagSpec extends SparkSpec {
     assert(viaOp === viaWindow)
   }
 
+  test("withRunningMax equals the global-window strictly-prior max") {
+    val rnd = new scala.util.Random(23)
+    // values collide and DECREASE across long stretches so the seeded
+    // prefix max genuinely crosses partition boundaries
+    val df = (1 to 2000).map(i => (rnd.nextInt(200).toLong, i.toLong, rnd.nextInt(500).toLong))
+      .toDF("k", "seq", "v").repartition(13)
+    val viaOp = OrderedLag.withRunningMax(df, Seq("k", "seq"), "v", "pm", numPartitions = 7)
+      .select(col("k"), col("seq"), col("v"), col("pm"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val viaWindow = df
+      .withColumn("pm", max(col("v")).over(Window.orderBy(col("k"), col("seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(viaOp === viaWindow)
+  }
+
+  test("withRunningMax handles a partition count exceeding the row count") {
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L)).toDF("seq", "v")
+    val got = OrderedLag.withRunningMax(df, Seq("seq"), "v", "pm", numPartitions = 16)
+      .select(col("seq"), col("pm")).as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some(5L), 3L -> Some(5L)))
+  }
+
   test("withLag1 handles a partition count exceeding the row count") {
     val df = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v")
     val got = OrderedLag.withLag1(df, Seq("k"), Seq("v"), numPartitions = 16)
