@@ -57,6 +57,10 @@ object OrderedLag {
     * combine, then a seeded partition-parallel scan. Null for the first
     * row of the whole order. This is the event-time WATERMARK recurrence
     * (max prior event time), which is what t12_late_drop grades.
+    *
+    * Null handling matches the window form it replaces: null values never
+    * become the running max (SQL `max` skips nulls), and a row whose value
+    * is null still SEES the max of the prior non-null rows.
     */
   def withRunningMax(df: DataFrame, sortCols: Seq[String], valueCol: String,
                      outCol: String, numPartitions: Int = 0): DataFrame = {
@@ -73,7 +77,11 @@ object OrderedLag {
       // job 1: per-partition max (non-empty partitions only)
       val maxes: Map[Int, Long] = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
         var m = Long.MinValue; var any = false
-        it.foreach { r => any = true; val v = r.getLong(vIdx); if (v > m) m = v }
+        it.foreach { r =>
+          if (!r.isNullAt(vIdx)) {
+            any = true; val v = r.getLong(vIdx); if (v > m) m = v
+          }
+        }
         if (any) Iterator((i, m)) else Iterator.empty
       }.collect().toMap
       // seed for partition i = max over all prior partitions (None if none)
@@ -89,8 +97,10 @@ object OrderedLag {
         var m: Option[Long] = bSeeds.value.get(i)
         it.map { r =>
           val out = Row.fromSeq(r.toSeq :+ m.map(Long.box).orNull)
-          val v = r.getLong(vIdx)
-          if (m.forall(v > _)) m = Some(v)
+          if (!r.isNullAt(vIdx)) {
+            val v = r.getLong(vIdx)
+            if (m.forall(v > _)) m = Some(v)
+          }
           out
         }
       }

@@ -148,7 +148,10 @@ object StreamQueries {
       val ev = Tables(s, d).events
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
         .withColumn("arr_us", col("ts_us") +
-          ((col("event_id") * lit(2654435761L)) % lit(2147483648L)) % lit(1800000000L))
+          // reduce BEFORE multiplying: max product 2^31 * 2654435761 ≈ 5.7e18
+          // < 2^63, so the hash never wraps (Spark wraps silently where
+          // DuckDB raises — the g30/r30 cross-engine overflow class)
+          (((col("event_id") % lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)) % lit(1800000000L))
       graft.rel.OrderedLag.withRunningMax(ev, Seq("arr_us", "event_id"), "ts_us", "prior_max_us")
         .select(col("event_id"),
           (expr("ts_us div 3600000000") * 3600L).as("win_start_s"),
@@ -158,7 +161,7 @@ object StreamQueries {
         .orderBy("event_id")
     }, Some("""
       WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
-                        epoch_us(ts) + ((event_id * 2654435761) % 2147483648) % 1800000000 AS arr_us
+                        epoch_us(ts) + (((event_id % 2147483648) * 2654435761) % 2147483648) % 1800000000 AS arr_us
                  FROM events),
       m AS (SELECT event_id, ts_us,
                    MAX(ts_us) OVER (ORDER BY arr_us, event_id

@@ -94,6 +94,12 @@ object IvfIndex {
       .select(col("cluster"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    IvfIndex(cents, spark.read.parquet(s"$dir/assigned"))
+    // partition-column inference types `cluster` as INT (the built index
+    // carries LongType); cast it back so built and loaded indexes are
+    // schema-identical instead of relying on implicit encoder upcasts.
+    // Position is already right — the build's join appends cluster last,
+    // matching where inference puts the partition column.
+    IvfIndex(cents, spark.read.parquet(s"$dir/assigned")
+      .withColumn("cluster", col("cluster").cast("long")))
   }
 }

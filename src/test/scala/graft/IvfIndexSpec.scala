@@ -42,6 +42,11 @@ class IvfIndexSpec extends SparkSpec {
     val ba = built.assigned.select("vec_id", "cluster")
       .as[(Long, Long)].collect().toMap
     assert(la === ba)
+    // built and loaded must agree on names, types, AND order (nullability may
+    // legitimately widen across a parquet round-trip) — partition-column
+    // inference would otherwise hand back cluster as INT
+    assert(loaded.assigned.schema.map(f => (f.name, f.dataType)) ===
+           built.assigned.schema.map(f => (f.name, f.dataType)))
   }
 
   test("query from the persisted index equals the graded l05_ann_ivf result") {

@@ -85,6 +85,22 @@ class OrderedLagSpec extends SparkSpec {
     assert(viaOp === viaWindow)
   }
 
+  test("withRunningMax skips nulls like the window max it replaces") {
+    // nulls never become the running max, and a null-valued row still SEES
+    // the prior non-null max — exactly max OVER (... 1 PRECEDING) semantics
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(3L)), (4L, None), (5L, Some(9L)))
+      .toDF("seq", "v")
+    val viaOp = OrderedLag.withRunningMax(df, Seq("seq"), "v", "pm", numPartitions = 3)
+      .select(col("seq"), col("pm")).as[(Long, Option[Long])].collect().toMap
+    val viaWindow = df
+      .withColumn("pm", max(col("v")).over(Window.orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("seq"), col("pm")).as[(Long, Option[Long])].collect().toMap
+    assert(viaOp === viaWindow)
+    assert(viaOp === Map(1L -> None, 2L -> Some(5L), 3L -> Some(5L),
+                         4L -> Some(5L), 5L -> Some(5L)))
+  }
+
   test("withRunningMax handles a partition count exceeding the row count") {
     val df = Seq((1L, 5L), (2L, 3L), (3L, 9L)).toDF("seq", "v")
     val got = OrderedLag.withRunningMax(df, Seq("seq"), "v", "pm", numPartitions = 16)

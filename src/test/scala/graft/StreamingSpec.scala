@@ -260,7 +260,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .withColumn("arr_us", unix_micros(col("ts")) +
-        ((col("event_id") * lit(2654435761L)) % lit(2147483648L)) % lit(1800000000L))
+        (((col("event_id") % lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L)) % lit(1800000000L))
       .orderBy("arr_us", "event_id").limit(200)
       .as[(Long, Timestamp, Long, String, Double, Long)].collect()
     val evs = arrival.map { case (id, ets, u, et, v, _) => Ev(id, ets, u, et, v) }
