@@ -460,7 +460,9 @@ object GraphQueries {
     E("g07_cc_users", (s, d) => {
       val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
         .select(col("src"), col("dst"))
-      Algorithms.connectedComponents(e2).orderBy("id")
+      // gated like g07_cc_full: union-find drill-down under 4M edges,
+      // GraphX above (the strong user graph is far under the gate)
+      Algorithms.cc(e2).orderBy("id")
     }, Some(s"""
       WITH RECURSIVE ${UboSql.interactedPairsCte},
       e AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
@@ -489,6 +491,11 @@ object GraphQueries {
       // GraphX over the Catalyst min-label twin: measured 5.3 s vs 8.9 s at
       // sf0.1 pre-contraction — vertex-program iteration wins once the
       // convergence loop dominates; the DF twin stays in the library.
+      // Tier gate (round 7): Algorithms.cc streams the contracted graph
+      // (1.3M distinct edges at sf0.1) through driver union-find — two
+      // jobs instead of GraphX's hundreds of Pregel micro-jobs, which made
+      // this query the host-contention lightning rod; GraphX remains the
+      // path above the 4M-edge gate.
       val custOrder = t.orders.select(
         (lit(GraphBuilder.CustomerBase) + col("o_custkey")).as("cust"),
         (lit(GraphBuilder.OrderBase) + col("o_orderkey")).as("order"))
@@ -500,7 +507,7 @@ object GraphQueries {
       val rest = GraphBuilder.edges(t)
         .filter(!col("rel_type").isin("PLACED", "CONTAINS"))
         .select(col("src"), col("dst"))
-      val comp = Algorithms.connectedComponents(custPart.unionByName(rest))
+      val comp = Algorithms.cc(custPart.unionByName(rest))
         .transform(Materialize.apply)
       val orderComp = custOrder
         .join(comp.withColumnRenamed("id", "cust"), "cust")

@@ -82,6 +82,35 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("ccUnionFind matches GraphX CC, boundaries and self-loops included") {
+    // the drill-down tier under Algorithms.cc's gate: identical labels to
+    // the distributed tier on multigraph edges, self-loops, and chains
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (7L, 7L), (5L, 3L))
+      .toDF("src", "dst")
+    val uf = Algorithms.ccUnionFind(e).as[(Long, Long)].collect().toMap
+    val gx = Algorithms.connectedComponents(e).as[(Long, Long)].collect().toMap
+    assert(uf === gx)
+    // random multi-partition graph: decreasing ids force real path
+    // compression (unions always re-root at the smaller id)
+    val rnd = new scala.util.Random(7)
+    val er = (1 to 3000).map(_ => (rnd.nextInt(400).toLong + 1, rnd.nextInt(400).toLong + 1))
+      .toDF("src", "dst").repartition(11)
+    val ufr = Algorithms.ccUnionFind(er).as[(Long, Long)].collect().toMap
+    val gxr = Algorithms.connectedComponents(er).as[(Long, Long)].collect().toMap
+    assert(ufr === gxr)
+  }
+
+  test("cc gate: both tiers agree on the graded strong user graph") {
+    // same posture as BetweennessSpec's cross-tier case: force the
+    // distributed tier (gate = 0) on the graph the drill-down tier grades
+    // and assert identical labelings
+    val t = Tables(spark, sfDir)
+    val e2 = graft.graph.Ubo.interactedPairs(t).filter(col("cnt") >= 2).select("src", "dst")
+    val local = Algorithms.cc(e2).as[(Long, Long)].collect().toMap
+    val dist = Algorithms.cc(e2, localMaxEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(local === dist)
+  }
+
   test("connectedComponentsDF matches GraphX CC (Catalyst-native twin)") {
     val e = Seq((1L, 2L), (3L, 4L), (4L, 5L), (7L, 8L), (8L, 3L)).toDF("src", "dst")
     val gx = Algorithms.connectedComponents(e).as[(Long, Long)].collect().toMap
