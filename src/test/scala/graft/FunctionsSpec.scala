@@ -47,11 +47,13 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("SimHash aggregator equals the 16-parallel-aggregates expression form") {
+    GraftFunctions.register(spark)
     val viaAgg = {
       val sim = udaf(graft.functions.SimHashAggregator)
       Tables(spark, sfDir).documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
+        // same token hash l04 uses (poly_hash since round 7)
+        .withColumn("h", expr("poly_hash(tok, 0L, 131L)"))
         .groupBy("doc_id").agg(sim(col("h")).as("simhash"))
         .as[(Long, Long)].collect().toMap
     }

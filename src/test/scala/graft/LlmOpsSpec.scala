@@ -49,14 +49,16 @@ class LlmOpsSpec extends SparkSpec {
   test("simhash near-dup banding is lossless for hamming <= 3 (pigeonhole)") {
     val got = LlmQueries.queries("l04b_simhash_neardup")(spark, sfDir)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    // brute-force ground truth from the same 64-bit fingerprints
+    // brute-force ground truth from the same 60-bit poly_hash fingerprints
+    graft.functions.GraftFunctions.register(spark)
     val tok = Tables(spark, sfDir).documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h",
+        expr("poly_hash(tok, 0L, 131L) * 1073741824L + poly_hash(tok, 0L, 137L)"))
+    val bitSums = (0 until 60).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b") }
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fpc = (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    val fpc = (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     val fps = agg.select(col("doc_id"), fpc.as("fp")).as[(Long, Long)].collect()
     val brute = (for {
