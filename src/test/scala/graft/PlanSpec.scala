@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Plan-shape regression tests: the properties PLANS.md documents, enforced.
   * A future change that silently drops a pushdown, un-broadcasts a dim, or
@@ -63,6 +64,55 @@ class PlanSpec extends SparkSpec {
     val projLine = p.linesIterator.find(_.contains("cosine_sim")).get
     assert("""\*\(\d+\)""".r.findFirstIn(projLine).isDefined,
       s"cosine_sim projection not codegen'd: $projLine")
+  }
+
+  test("kHop supernode shape: AQE skew-splits the frontier join (saltedJoin is the fallback)") {
+    // SCALE.md's supernode claim, pinned: when a BFS frontier concentrates
+    // on one hub key (the "entity with 10^4 edges" case), the frontier ⋈
+    // edges shuffle join must come out of AQE with its hot partition SPLIT —
+    // nodeName carries "skew=true". The negative control below proves this
+    // assertion actually detects the config (it fails when skew handling is
+    // off), and rel/Skew.saltedJoin (graded as r36) remains the explicit
+    // fallback for hubs so hot that even split partitions bottleneck.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // test-scale thresholds: the detector's defaults (256 MB) are sized
+      // for production shuffles, not a unit-test corpus
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      // force the shuffle-join path: a broadcast join has no partitions to skew
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def hubJoinPlan(): String = {
+        // frontier: 99% of rows sit on hub key 0; edges: 2 neighbors/key
+        val frontier = spark.range(150000).select(
+          when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("src"),
+          col("id").as("walk"))
+        val edges = spark.range(2000).select(
+          (col("id") % 1000).as("src"), (col("id") + 7).as("dst"))
+        // aggregate over walk so column pruning can't strip the payload —
+        // a key-only hub partition compresses below any skew threshold
+        val agg = frontier.join(edges, "src").groupBy("dst")
+          .agg(org.apache.spark.sql.functions.sum("walk").as("w"))
+        agg.collect() // finalizes THIS QueryExecution's adaptive plan
+        agg.queryExecution.executedPlan.toString
+      }
+      val p = hubJoinPlan()
+      assert(p.contains("isFinalPlan=true"), "plan did not finalize")
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the hub join skewed:\n$p")
+      // negative control: with the skew-join rule off the marker must vanish
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      assert(!hubJoinPlan().contains("skew=true"),
+        "control failed: skew marker present with skewJoin disabled — assertion is vacuous")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("r07b: custom as-of exec gets exchanges and sorts from EnsureRequirements") {
