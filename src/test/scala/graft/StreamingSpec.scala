@@ -132,6 +132,43 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L)), s"only the within-hour same-user pair should emit, got $got")
   }
 
+  test("T9 state bound: interval-join state is evicted as the watermark advances") {
+    // the one stateful op that had no explicit state-size assertion: the
+    // symmetric hash join must EVICT rows once the watermark proves they can
+    // no longer pair (left: wm > ts + 1h; right: wm > ts), so state stays
+    // bounded by the join window — not by the length of the stream. Feed 8
+    // well-separated event-time batches and assert the state-store row count
+    // plateaus at ~a window's worth while the cumulative feed keeps growing.
+    val left = MemoryStream[Ev](spark)
+    val right = MemoryStream[Ev](spark)
+    val out = EventOps.followUps(left.toDF(), right.toDF())
+    val q = out.writeStream.format("memory").queryName("t9state")
+      .outputMode(OutputMode.Append()).start()
+    val perBatch = 50
+    val nBatches = 8
+    for (k <- 0 until nBatches) {
+      val base = k * 120 // minutes between batches ≫ interval (1h) + delay (10m)
+      left.addData((0 until perBatch).map(i =>
+        Ev(k * 1000L + i, ts(base + i % 10), i % 5, "a", 0)): _*)
+      right.addData((0 until perBatch).map(i =>
+        Ev(k * 1000L + 500 + i, ts(base + i % 10), i % 5, "a", 0)): _*)
+      q.processAllAvailable()
+    }
+    val stateTotals = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal).filter(_ > 0)
+    q.stop()
+    assert(stateTotals.nonEmpty, "no state-operator progress recorded")
+    val totalFed = 2L * perBatch * nBatches
+    // each side holds at most the in-flight batch plus the one the watermark
+    // hasn't cleared yet — 3 batches' worth both sides is generous headroom,
+    // and far under the full feed a leak would approach
+    assert(stateTotals.max <= 3L * 2 * perBatch,
+      s"state exceeded the window bound: max ${stateTotals.max} rows of $totalFed fed")
+    assert(stateTotals.max < totalFed / 2,
+      s"state grew with the stream, not the window: ${stateTotals.max} of $totalFed")
+  }
+
   test("T9b: outer interval join emits the unmatched row only after the watermark proves no match") {
     val left = MemoryStream[Ev](spark)
     val right = MemoryStream[Ev](spark)
