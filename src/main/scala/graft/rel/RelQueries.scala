@@ -588,16 +588,51 @@ object RelQueries {
     // at every graded sf. ApproxSpec guards the calibration (approx ==
     // exact-disc in-engine); a fixture with fine-grained values would fail
     // that spec loudly before parity could go red.
+    // Round 7: the sketch-vs-exact RELATIVE ERROR is an output column, so
+    // the bound is self-evident in the graded rows (0.0 everywhere on this
+    // data), not only in the calibration spec. The exact discrete quantile
+    // is computed relationally (row_number at rank ceil(q·n) — the
+    // quantile_disc convention) and mirrored with the same CTE in DuckDB;
+    // it is the bound-evidence companion, while the sketch stays the scale
+    // path (the exact form sorts every group).
     E("r27b_approx_percentile", (s, d) => {
-      Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
+      val li = Tables(s, d).lineitem.select(col("l_returnflag"), col("l_quantity"))
+      val ranked = li
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("l_quantity")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val exact = ranked.groupBy("l_returnflag").agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("l_quantity"))).as("e50"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")), col("l_quantity"))).as("e90"))
+      val ap = li.groupBy(col("l_returnflag")).agg(
         expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
         expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
+      ap.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+          round(abs(col("p50_qty") - col("e50")) / col("e50"), 9).as("rel_err_p50"),
+          round(abs(col("p90_qty") - col("e90")) / col("e90"), 9).as("rel_err_p90"))
         .orderBy("l_returnflag")
     }, Some("""
-      SELECT l_returnflag,
-             quantile_disc(l_quantity, 0.5) AS p50_qty,
-             quantile_disc(l_quantity, 0.9) AS p90_qty
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      WITH ranked AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      exact AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = CEIL(0.5 * n) THEN l_quantity END) AS e50,
+               MAX(CASE WHEN rn = CEIL(0.9 * n) THEN l_quantity END) AS e90
+        FROM ranked GROUP BY 1),
+      ap AS (
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.5) AS p50_qty,
+               quantile_disc(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY 1)
+      SELECT a.l_returnflag, p50_qty, p90_qty,
+             ROUND(ABS(p50_qty - e50) / e50, 9) AS rel_err_p50,
+             ROUND(ABS(p90_qty - e90) / e90, 9) AS rel_err_p90
+      FROM ap a JOIN exact e ON e.l_returnflag = a.l_returnflag
+      ORDER BY a.l_returnflag""")),
 
     // R28 — SQL entry path (spark.sql over temp views) with scalar +
     // correlated-EXISTS subqueries; Catalyst decorrelates both (SURVEY §4.2).

@@ -401,6 +401,15 @@ class ApproxSpec extends SparkSpec {
         assert(approx(flag)._1 === qdisc(0.5), s"$sf/$flag p50 sketch drifted off the exact value")
         assert(approx(flag)._2 === qdisc(0.9), s"$sf/$flag p90 sketch drifted off the exact value")
       }
+      // the GRADED output now carries the bound as rel_err columns — read
+      // them from the query itself, not a re-derivation
+      val errs = graft.SparkEntry.queries("r27b_approx_percentile")(spark, s"/root/testdata/$sf")
+        .select("rel_err_p50", "rel_err_p90").collect()
+      assert(errs.nonEmpty)
+      errs.foreach { r =>
+        assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 0.0,
+          s"$sf: graded rel_err columns must witness sketch == exact, got $r")
+      }
     }
   }
 
