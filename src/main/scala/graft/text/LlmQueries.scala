@@ -468,14 +468,20 @@ object LlmQueries {
         .withColumn("v", array_to_vector(col("embedding")))
       val brp = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
         .setBucketLength(1.0).setNumHashTables(4).setSeed(42)
-      val model = brp.fit(emb)
-      val key = org.apache.spark.ml.linalg.Vectors.dense(
-        Tables(s, d).embeddings.filter(col("vec_id") === 0)
-          .head().getSeq[Float](1).map(_.toDouble).toArray)
-      model.approxNearestNeighbors(emb, key, 21).toDF()
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), round(col("distCol"), 6).as("l2_dist"))
-        .orderBy("l2_dist", "vec_id")
+      // no query vector (slice filtered to zero rows) → empty result, not a
+      // dead stage; keyRows non-empty also implies emb non-empty, so fit()
+      // (which probes the first vector for its dimension) stays safe
+      val keyRows = Tables(s, d).embeddings.filter(col("vec_id") === 0).head(1)
+      if (keyRows.isEmpty)
+        emb.select(col("vec_id"), lit(0.0).as("l2_dist")).limit(0)
+      else {
+        val key = org.apache.spark.ml.linalg.Vectors.dense(
+          keyRows(0).getSeq[Float](1).map(_.toDouble).toArray)
+        brp.fit(emb).approxNearestNeighbors(emb, key, 21).toDF()
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), round(col("distCol"), 6).as("l2_dist"))
+          .orderBy("l2_dist", "vec_id")
+      }
     }, None),
 
     // L3c — cosine top-k via the NATIVE codegen'd Catalyst expression
@@ -547,18 +553,24 @@ object LlmQueries {
     // float near-ties, which the synthetic embeddings don't produce.
     E("l05_ann_ivf", (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val idx = IvfIndex.build(Tables(s, d).embeddings, k = 16)
-      val qArr = Tables(s, d).embeddings.filter(col("vec_id") === 0)
-        .head().getSeq[Float](1).map(_.toDouble).toArray
-      val q = Tables(s, d).embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      idx.candidates(qArr, nprobe = 8)
-        .crossJoin(broadcast(q))
-        .withColumn("cos", expr("cosine_sim(embedding, qv)"))
-        .filter(col("vec_id") =!= 0)
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(20)
-        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      // no query vector (slice filtered to zero rows) → empty result, not a
+      // dead stage (IvfIndex.build itself degrades to an empty index)
+      val keyRows = Tables(s, d).embeddings.filter(col("vec_id") === 0).head(1)
+      if (keyRows.isEmpty)
+        Tables(s, d).embeddings.select(col("vec_id"), lit(0.0).as("cos")).limit(0)
+      else {
+        val idx = IvfIndex.build(Tables(s, d).embeddings, k = 16)
+        val qArr = keyRows(0).getSeq[Float](1).map(_.toDouble).toArray
+        val q = Tables(s, d).embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        idx.candidates(qArr, nprobe = 8)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+          .filter(col("vec_id") =!= 0)
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(20)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      }
     }, Some(s"""
       WITH ${lloydCtes("embeddings", 16)},
       qp AS (SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS qv
@@ -639,7 +651,14 @@ object LlmQueries {
         .withColumn("v", array_to_vector(col("unit")))
       val brp = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
         .setBucketLength(0.5).setNumHashTables(6).setSeed(42)
-      brp.fit(all).approxSimilarityJoin(all, all, 0.2, "dist")
+      // Spark-ML's fit() dies on a zero-row dataset (it probes the first
+      // vector for the dimension). An upstream filter that matches nothing
+      // must degrade to an empty result, not kill the stage — the ≤1000-row
+      // probe is already bounded by the vec_id predicate above.
+      if (all.take(1).isEmpty)
+        all.select(col("vec_id").as("va"), col("vec_id").as("vb"),
+                   lit(0.0).as("cos"))
+      else brp.fit(all).approxSimilarityJoin(all, all, 0.2, "dist")
         .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
                 round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
         .filter(col("va") < col("vb") && col("cos") >= 0.99)
@@ -1795,7 +1814,62 @@ object LlmQueries {
              CAST(cum_before // 512 AS BIGINT) AS seq_id,
              CAST(cum_before % 512 AS BIGINT) AS seq_offset,
              (cum_before % 512) + n_tokens > 512 AS straddles
-      FROM c ORDER BY doc_id"""))
+      FROM c ORDER BY doc_id""")),
+
+    // L41 — per-source token budgeting, UniMax one-round (Chung et al.
+    // 2023, "UniMax: Fairer and More Effective Language Sampling"): every
+    // source gets an EQUAL share of the corpus token budget, capped by what
+    // the source actually has — the mixture step between curation and
+    // packing that stops a dominant source from flooding the training mix.
+    // Docs fill their source's budget greedily in multiplicative-hash order
+    // (l24's reproducible-sample convention — a seeded shuffle without an
+    // RNG). Budgets, prefix sums, and the cutoff are all exact BIGINT, so
+    // both engines agree bit-for-bit. Scale posture: the budget table is
+    // one row per source and broadcasts; the ordered prefix is one window
+    // keyed by source — the verifiable twin of the at-scale per-source
+    // RATE filter (l24's bucket form), which needs no ordered prefix at
+    // all once budgets are converted to sampling rates.
+    E("l41_unimax_budget", (s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          // doc_id reduced mod 1e9+7 BEFORE the Knuth multiply: max product
+          // ~2.7e18 < 2^63 (the t12/g30 overflow-divergence class)
+          (((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+            % lit(1000000007L)).as("rank_key"))
+      val budgets = docs.groupBy("source")
+        .agg(sum(col("n_tokens")).as("avail_toks"))
+        .crossJoin(broadcast(docs.agg(
+          countDistinct(col("source")).as("n_src"))))
+        .select(col("source"),
+          least(col("avail_toks"), expr("20000L div n_src")).as("budget_toks"))
+      val w = Window.partitionBy("source").orderBy("rank_key", "doc_id")
+      docs.withColumn("cum_toks",
+          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(budgets), Seq("source"))
+        .filter(col("cum_toks") <= col("budget_toks"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_toks"), col("budget_toks"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rank_key
+                 FROM documents),
+      b AS (SELECT source,
+                   LEAST(SUM(n_tokens),
+                         20000 // (SELECT COUNT(DISTINCT source) FROM t)) AS budget_toks
+            FROM t GROUP BY source),
+      r AS (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY rank_key, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+            FROM t)
+      SELECT r.doc_id, r.source, r.n_tokens,
+             CAST(r.cum_toks AS BIGINT) AS cum_toks,
+             CAST(b.budget_toks AS BIGINT) AS budget_toks
+      FROM r JOIN b USING (source)
+      WHERE r.cum_toks <= b.budget_toks
+      ORDER BY doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -316,4 +316,38 @@ class LlmOpsSpec extends SparkSpec {
       assert(math.abs(got(src) - slope) < 1e-6, s"source $src: ${got(src)} vs $slope")
     }
   }
+
+  test("unimax budget: selection respects the per-source cap and is greedily maximal") {
+    val sel = LlmQueries.queries("l41_unimax_budget")(spark, sfDir)
+      .select("doc_id", "source", "n_tokens", "cum_toks", "budget_toks")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(sel.nonEmpty, "budget of 20000/n_src tokens must select something")
+    // (a) the cap holds: selected tokens per source never exceed the budget
+    sel.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = rows.head._5
+      val used = rows.map(_._3).sum
+      assert(used <= budget, s"$src: selected $used tokens > budget $budget")
+      assert(rows.map(_._4).max === used,
+        s"$src: max cum_toks must equal the selected token sum")
+    }
+    // (b) maximality: re-derive the hash order driver-side; the first doc
+    // PAST each source's cutoff must overflow the budget (nothing skippable
+    // was skipped — the selection is exactly the greedy prefix)
+    val all = LlmQueries.queries("l10_token_count")(spark, sfDir)
+      .select("doc_id", "n_ws_tokens").as[(Long, Long)].collect().toMap
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val selectedIds = sel.map(_._1).toSet
+    sel.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = rows.head._5
+      val used = rows.map(_._3).sum
+      def rank(id: Long) = ((id % 1000000007L) * 2654435761L) % 1000000007L
+      val next = srcOf.collect { case (id, s2) if s2 == src && !selectedIds(id) => id }
+        .toSeq.sortBy(id => (rank(id), id)).headOption
+      next.foreach { id =>
+        assert(used + all(id) > budget,
+          s"$src: doc $id (rank-next, ${all(id)} toks) would still fit under $budget")
+      }
+    }
+  }
 }
