@@ -1,8 +1,6 @@
 package graft.text
 
 import graft.Tables
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    fan-out, fine at test sf) and MinHashLSH banding (the 100 TB path:
   *    candidate pairs only via band-bucket join, no all-pairs).
   *  - similarity: brute-force cosine is the correctness baseline (broadcast
-  *    query vector — no shuffle); BucketedRandomProjectionLSH is the scale
-  *    path (bucketed candidate retrieval).
+  *    query vector — no shuffle); deterministic (k=2, L=6) random-projection
+  *    LSH is the scale path (bucketed candidate retrieval, oracle-mirrored
+  *    hyperplane constants), with IVF as the indexed tier.
   *  - all float folds are ordered left-folds (zip_with/aggregate), mirrored
   *    by DuckDB list_reduce over range() — bit-identical, then rounded.
   *
@@ -38,6 +37,41 @@ object LlmQueries {
   // DuckDB mirror of the same fold.
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  // Ordered left-fold squared-L2 distance (same accumulation-order contract
+  // as dot/dotSql: both engines fold positions 0..63 left-to-right, so the
+  // doubles are bit-equal before rounding).
+  private def l2sq(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  private def l2sqSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)))), (acc, v) -> acc + v)"
+
+  /** Deterministic random-projection hyperplanes for the LSH ANN tiers
+    * (l05_ann_lsh, l14_neardup_lsh). Components are splitmix64 of the flat
+    * (plane, dim) index folded onto the exact 1/1024 grid, so every value
+    * is a dyadic rational whose shortest decimal representation round-trips
+    * bit-identically through the DuckDB oracle's literal parser. The planes
+    * are operator PARAMETERS (like l13's stopword list or IVF's k=16), so
+    * both engines receive the same constants and the whole LSH pipeline —
+    * bucketing, candidate join, exact rerank — is oracle-checkable; Spark-ML
+    * BucketedRandomProjectionLSH (replaced in round 7) drew its hyperplanes
+    * from an opaque RNG no second engine could mirror.
+    */
+  private def smix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private[text] def hplane(t: Int): IndexedSeq[Double] =
+    (0 until 64).map(i => ((smix(t * 64L + i) & 2047L) - 1024L) / 1024.0)
+  private def hplaneSql(t: Int): String =
+    "[" + hplane(t).mkString(", ") + "]"
+  /** DuckDB VALUES clause: T tables, each an AND-pair of projections. */
+  private def hpCteSql(base: Int, tables: Int): String =
+    (0 until tables).map { t =>
+      s"(${t}, ${hplaneSql(base + 2 * t)}, ${hplaneSql(base + 2 * t + 1)})"
+    }.mkString("(SELECT * FROM (VALUES ", ", ", ") AS h(t, ra, rb))")
 
   /** DuckDB mirror of graft.functions.PolyHash — the ONE oracle-side
     * definition of the library's polynomial byte-hash convention
@@ -461,28 +495,57 @@ object LlmQueries {
       FROM (SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) t
       ORDER BY t.cos DESC, vec_id""")),
 
-    // L3b — ANN via random-projection LSH (the scale path; approximate →
-    // rows-only + recall ScalaTest against the brute-force baseline).
+    // L3b — ANN via deterministic random-projection LSH (the classic (k, L)
+    // scheme: k=2 concatenated quantized projections per table — AND — over
+    // 6 tables — OR), ORACLE-CHECKED since round 7: the hyperplanes are
+    // deterministic splitmix64 constants (see [[hplane]]) embedded in both
+    // engines, so bucketing, the candidate bucket-join, and the exact
+    // L2 rerank all hash-match DuckDB. The AnnSpec recall check vs the
+    // brute-force baseline still grades approximation quality on top.
+    // Scale shape: buckets are a broadcast-joinable (t, ba, bb) key — at
+    // 100 TB the query's 6 bucket ids broadcast to every executor and the
+    // scan prunes to colliding rows only; no all-pairs, no fit() pass.
+    // (The synthetic corpus is near-isotropic — LSH's worst case — so
+    // candidate fractions run 41-65% here; clustered real embeddings
+    // collapse far harder onto shared buckets.)
     E("l05_ann_lsh", (s, d) => {
+      import s.implicits._
+      val bl = 0.75 // bucket length: dyadic, exact in both engines
+      val hp = (0 until 6).map(t => (t, hplane(2 * t), hplane(2 * t + 1)))
+        .toDF("t", "ra", "rb")
       val emb = Tables(s, d).embeddings
-        .withColumn("v", array_to_vector(col("embedding")))
-      val brp = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
-        .setBucketLength(1.0).setNumHashTables(4).setSeed(42)
-      // no query vector (slice filtered to zero rows) → empty result, not a
-      // dead stage; keyRows non-empty also implies emb non-empty, so fit()
-      // (which probes the first vector for its dimension) stays safe
-      val keyRows = Tables(s, d).embeddings.filter(col("vec_id") === 0).head(1)
-      if (keyRows.isEmpty)
-        emb.select(col("vec_id"), lit(0.0).as("l2_dist")).limit(0)
-      else {
-        val key = org.apache.spark.ml.linalg.Vectors.dense(
-          keyRows(0).getSeq[Float](1).map(_.toDouble).toArray)
-        brp.fit(emb).approxNearestNeighbors(emb, key, 21).toDF()
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), round(col("distCol"), 6).as("l2_dist"))
-          .orderBy("l2_dist", "vec_id")
-      }
-    }, None),
+      val bk = emb.crossJoin(broadcast(hp))
+        .select(col("vec_id"), col("t"),
+          floor(dot("embedding", "ra") / lit(bl)).cast("long").as("ba"),
+          floor(dot("embedding", "rb") / lit(bl)).cast("long").as("bb"))
+      val qb = bk.filter(col("vec_id") === 0).select("t", "ba", "bb")
+      val cand = bk.filter(col("vec_id") =!= 0)
+        .join(broadcast(qb), Seq("t", "ba", "bb"))
+        .select("vec_id").distinct()
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.join(cand, "vec_id").crossJoin(broadcast(q))
+        .withColumn("l2_dist", sqrt(l2sq("embedding", "qv")))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("l2_dist"), 6).as("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+    }, Some(s"""
+      WITH hp AS ${hpCteSql(0, 6)},
+      bk AS (SELECT vec_id, t,
+                    CAST(FLOOR(${dotSql("embedding", "ra")} / 0.75) AS BIGINT) AS ba,
+                    CAST(FLOOR(${dotSql("embedding", "rb")} / 0.75) AS BIGINT) AS bb
+             FROM embeddings CROSS JOIN hp),
+      qb AS (SELECT t, ba, bb FROM bk WHERE vec_id = 0),
+      cand AS (SELECT DISTINCT b.vec_id FROM bk b JOIN qb USING (t, ba, bb)
+               WHERE b.vec_id <> 0),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (SELECT e.vec_id,
+                        SQRT(${l2sqSql("e.embedding", "qv")}) AS l2_dist
+                 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+      SELECT vec_id, ROUND(t.l2_dist, 6) AS l2_dist
+      FROM (SELECT vec_id, l2_dist FROM scored
+            ORDER BY l2_dist, vec_id LIMIT 20) t
+      ORDER BY t.l2_dist, vec_id""")),
 
     // L3c — cosine top-k via the NATIVE codegen'd Catalyst expression
     // (graft.functions.CosineSimilarity): same accumulation order as the
@@ -632,12 +695,21 @@ object LlmQueries {
       ORDER BY va, vb""")),
 
     // L4c — embedding-cosine near-dup, LSH scale tier: normalize to unit
-    // vectors (where euclidean² = 2 − 2·cosine, so a distance threshold IS
-    // a cosine threshold), bucket with random-hyperplane projections, and
-    // approxSimilarityJoin compares only bucket-colliding candidates — the
-    // self-join analogue of l05_ann_lsh. Approximate → rows-only check +
-    // recall ScalaTest against the exact tier's planted pairs.
+    // vectors (where euclidean² = 2 − 2·cosine, so a projection-bucket
+    // collision IS a cosine-proximity signal), bucket with the same
+    // deterministic (k=2, L=6) hyperplane scheme as l05_ann_lsh (plane ids
+    // 100+ — an independent plane family), self-join on bucket collision,
+    // then EXACT cosine rerank of candidate pairs only. ORACLE-CHECKED
+    // since round 7 (was Spark-ML approxSimilarityJoin, rows-only): the
+    // rerank reuses the exact tier's fold, so surviving pairs carry
+    // bit-identical cosines in both engines. Recall spec (planted pairs ⊆
+    // LSH output) retained on top. No all-pairs anywhere: the bucket join
+    // only pairs rows whose 2-projection cell matches in ≥1 of 6 tables.
     E("l14_neardup_lsh", (s, d) => {
+      import s.implicits._
+      val bl = 0.5 // bucket length on UNIT vectors: dyadic, exact
+      val hp = (0 until 6).map(t => (t, hplane(100 + 2 * t), hplane(100 + 2 * t + 1)))
+        .toDF("t", "ra", "rb")
       val emb = Tables(s, d).embeddings
         .filter(col("vec_id") < 1000)
         .select(col("vec_id"),
@@ -647,23 +719,47 @@ object LlmQueries {
             .select((col("vec_id") + 1000000L).as("vec_id"),
                     expr("transform(emb, v -> v * 0.999)").as("emb")))
         .withColumn("nrm", sqrt(dot("emb", "emb")))
+      val bk = all
         .withColumn("unit", expr("transform(emb, v -> v / nrm)"))
-        .withColumn("v", array_to_vector(col("unit")))
-      val brp = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
-        .setBucketLength(0.5).setNumHashTables(6).setSeed(42)
-      // Spark-ML's fit() dies on a zero-row dataset (it probes the first
-      // vector for the dimension). An upstream filter that matches nothing
-      // must degrade to an empty result, not kill the stage — the ≤1000-row
-      // probe is already bounded by the vec_id predicate above.
-      if (all.take(1).isEmpty)
-        all.select(col("vec_id").as("va"), col("vec_id").as("vb"),
-                   lit(0.0).as("cos"))
-      else brp.fit(all).approxSimilarityJoin(all, all, 0.2, "dist")
-        .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
-                round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
-        .filter(col("va") < col("vb") && col("cos") >= 0.99)
+        .crossJoin(broadcast(hp))
+        .select(col("vec_id"), col("t"),
+          floor(dot("unit", "ra") / lit(bl)).cast("long").as("ba"),
+          floor(dot("unit", "rb") / lit(bl)).cast("long").as("bb"))
+      val cpairs = bk.select(col("vec_id").as("va"), col("t"), col("ba"), col("bb"))
+        .join(bk.select(col("vec_id").as("vb"), col("t"), col("ba"), col("bb")),
+              Seq("t", "ba", "bb"))
+        .filter(col("va") < col("vb"))
+        .select("va", "vb").distinct()
+      val an = all.select(col("vec_id").as("va"), col("emb").as("ea"), col("nrm").as("na"))
+      val bn = all.select(col("vec_id").as("vb"), col("emb").as("eb"), col("nrm").as("nb"))
+      cpairs.join(an, "va").join(bn, "vb")
+        .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.99)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
         .orderBy("va", "vb")
-    }, None),
+    }, Some(s"""
+      WITH hp AS ${hpCteSql(100, 6)},
+      e0 AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+             FROM embeddings WHERE vec_id < 1000),
+      all_e AS (SELECT vec_id, emb FROM e0
+                UNION ALL
+                SELECT vec_id + 1000000, list_transform(emb, v -> v * 0.999)
+                FROM e0 WHERE vec_id < 20),
+      en AS (SELECT vec_id, emb, SQRT(${dotSql("emb", "emb")}) AS nrm FROM all_e),
+      un AS (SELECT vec_id, list_transform(emb, v -> v / nrm) AS unit FROM en),
+      bk AS (SELECT vec_id, t,
+                    CAST(FLOOR(${dotSql("unit", "ra")} / 0.5) AS BIGINT) AS ba,
+                    CAST(FLOOR(${dotSql("unit", "rb")} / 0.5) AS BIGINT) AS bb
+             FROM un CROSS JOIN hp),
+      cp AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+             FROM bk a JOIN bk b ON a.t = b.t AND a.ba = b.ba AND a.bb = b.bb
+             WHERE a.vec_id < b.vec_id),
+      scored AS (SELECT cp.va, cp.vb,
+                        ${dotSql("x.emb", "y.emb")} / (x.nrm * y.nrm) AS cos
+                 FROM cp JOIN en x ON x.vec_id = cp.va
+                         JOIN en y ON y.vec_id = cp.vb)
+      SELECT va, vb, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.99
+      ORDER BY va, vb""")),
 
     // L6 — TF-IDF term statistics (explode → tf, df, ln(N/df)).
     E("l06_tfidf", (s, d) => {
