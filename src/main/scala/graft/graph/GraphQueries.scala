@@ -1210,6 +1210,77 @@ object GraphQueries {
                (acc, v) -> acc + v), 6) AS decayed_degree
       FROM aged GROUP BY src ORDER BY id""")),
 
+    // G33 — Newman modularity (Newman & Girvan 2004) of the g18
+    // label-propagation communities: Q = Σ_c [ in_c/2m − (vol_c/2m)² ]
+    // over the symmetrized strong user graph (2m = |sym|, in_c = directed
+    // intra-community edges, vol_c = degree volume). The companion to
+    // g29's conductance — conductance grades each community's boundary,
+    // modularity grades the PARTITION as a whole, the standard accept/
+    // reject score before acting on any community structure. Communities
+    // single-sourced with g18/g29 (Algorithms.labelPropagation / lpCtes),
+    // so the partition cannot drift between its quality metrics. All
+    // per-community terms are integer counts; the one double expression
+    // per row is the same operation sequence in both engines, and the
+    // global Q is an ordered fold over communities (l36/g31/g32
+    // convention) emitted as a community = -1 total row — no collect, one
+    // labeled-edge join + two aggs regardless of graph size.
+    E("g33_modularity", (s, d) => {
+      val e2 = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = Traversals.symmetrize(e2).distinct().transform(Materialize.apply)
+      val lab = Algorithms.labelPropagation(e2, 3).transform(Materialize.apply)
+      val labeled = sym
+        .join(lab.select(col("id").as("src"), col("community").as("la")), "src")
+        .join(lab.select(col("id").as("dst"), col("community").as("lb")), "dst")
+      val m2df = sym.agg(count(lit(1)).as("m2"))
+      val per = labeled.groupBy(col("la").as("community")).agg(
+        count(lit(1)).as("vol"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("internal"))
+      val sizes = lab.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      val rows = per.join(sizes, "community").crossJoin(broadcast(m2df))
+        .withColumn("dq",
+          col("internal").cast("double") / col("m2").cast("double")
+            - (col("vol").cast("double") / col("m2").cast("double"))
+              * (col("vol").cast("double") / col("m2").cast("double")))
+      val total = rows.agg(
+          sum(col("n_nodes")).as("n_nodes"),
+          sum(col("vol")).as("vol"),
+          sum(col("internal")).as("internal"),
+          expr("aggregate(sort_array(collect_list(struct(community, dq AS t))), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.t)").as("dq"))
+        .select(lit(-1L).as("community"), col("n_nodes"), col("vol"),
+          col("internal"), col("dq"))
+      rows.select(col("community"), col("n_nodes"), col("vol"),
+          col("internal"), round(col("dq"), 6).as("dq"))
+        .unionByName(total.select(col("community"), col("n_nodes"), col("vol"),
+          col("internal"), round(col("dq"), 6).as("dq")))
+        .orderBy("community")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      $lpCtes,
+      labeled AS (SELECT a.label AS la, b.label AS lb
+                  FROM sym s JOIN l3 a ON a.v = s.src JOIN l3 b ON b.v = s.dst),
+      m2 AS (SELECT COUNT(*) AS m2 FROM sym),
+      per AS (SELECT la AS community, COUNT(*) AS vol,
+                     CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS internal
+              FROM labeled GROUP BY 1),
+      sizes AS (SELECT label AS community, COUNT(*) AS n_nodes FROM l3 GROUP BY 1),
+      rows_ AS (SELECT p.community, s.n_nodes, p.vol, p.internal,
+                       CAST(p.internal AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+                       - (CAST(p.vol AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+                         * (CAST(p.vol AS DOUBLE) / CAST(m2.m2 AS DOUBLE)) AS dq
+                FROM per p JOIN sizes s USING (community) CROSS JOIN m2),
+      total AS (SELECT CAST(-1 AS BIGINT) AS community,
+                       CAST(SUM(n_nodes) AS BIGINT) AS n_nodes,
+                       CAST(SUM(vol) AS BIGINT) AS vol,
+                       CAST(SUM(internal) AS BIGINT) AS internal,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(dq ORDER BY community)), (a, v) -> a + v) AS dq
+                FROM rows_)
+      SELECT community, n_nodes, vol, internal, ROUND(dq, 6) AS dq FROM rows_
+      UNION ALL
+      SELECT community, n_nodes, vol, internal, ROUND(dq, 6) AS dq FROM total
+      ORDER BY community""")),
+
     // G12 — temporal snapshot (time-slider, README.md:17): graph as of
     // 1997-01-01. The validity predicate pushes down to the edge scan.
     E("g12_snapshot", (s, d) => {

@@ -1965,7 +1965,55 @@ object LlmQueries {
              CAST(b.budget_toks AS BIGINT) AS budget_toks
       FROM r JOIN b USING (source)
       WHERE r.cum_toks <= b.budget_toks
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // L42 — temperature-rebalanced source sampling (the mT5/multilingual
+    // convention, Xue et al. 2021 §3.2; T=2): per-source selection quotas
+    // ∝ n_s^(1/T) — big sources are downweighted sublinearly instead of
+    // capped (l41 UniMax) or rate-thinned (l24), the third standard
+    // mixture strategy a curation pipeline needs. T is fixed at 2 so the
+    // reweighting is sqrt(n_s) — sqrt is IEEE-754 correctly rounded in
+    // both engines, unlike libm pow (the g31 rationale). The normalizer
+    // Σ sqrt(n_s) is an ordered fold over sources (l36 convention); docs
+    // fill their quota in the l41/l24 multiplicative-hash order, so the
+    // whole selection is deterministic and oracle-checked. Scale posture:
+    // quotas are one broadcast row per source; the only per-doc work is
+    // the same rank window l41 already pays.
+    E("l42_temperature_mix", (s, d) => {
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          (((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+            % lit(1000000007L)).as("rank_key"))
+      val n = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val z = n.agg(
+        expr("aggregate(sort_array(collect_list(struct(source, sqrt(n_src) AS w))), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.w)").as("z"))
+      val quota = n.crossJoin(broadcast(z))
+        .select(col("source"), col("n_src"),
+          floor(sqrt(col("n_src")) / col("z") * lit(200.0)).cast("long").as("quota"))
+      val w = Window.partitionBy("source").orderBy("rank_key", "doc_id")
+      docs.withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("n_src"), col("quota"), col("rk"))
+        .orderBy("source", "rk")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+                        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rank_key
+                 FROM documents),
+      n AS (SELECT source, COUNT(*) AS n_src FROM t GROUP BY 1),
+      z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(SQRT(n_src) ORDER BY source)), (a, v) -> a + v) AS z
+            FROM n),
+      quota AS (SELECT source, n_src,
+                       CAST(FLOOR(SQRT(n_src) / z * 200.0) AS BIGINT) AS quota
+                FROM n CROSS JOIN z),
+      r AS (SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY rank_key, doc_id) AS rk
+            FROM t)
+      SELECT r.doc_id, r.source, q.n_src, q.quota, CAST(r.rk AS BIGINT) AS rk
+      FROM r JOIN quota q USING (source)
+      WHERE r.rk <= q.quota
+      ORDER BY source, rk"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -525,4 +525,35 @@ class KTrussSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(walks.toSeq === again.toSeq, "walks must be deterministic")
   }
+
+  test("modularity matches a driver-side recompute over the g18 partition") {
+    val rows = GraphQueries.queries("g33_modularity")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val (totalRows, perRows) = rows.partition(_._1 == -1L)
+    assert(totalRows.length === 1, "exactly one community = -1 total row")
+    assert(perRows.nonEmpty)
+    // recompute from the same single-sourced communities + sym edges
+    val t = Tables(spark, sfDir)
+    val e2 = Ubo.interactedPairs(t).filter(col("cnt") >= 2)
+      .select("src", "dst")
+    val sym = Traversals.symmetrize(e2).distinct()
+      .as[(Long, Long)].collect()
+    val lab = Algorithms.labelPropagation(e2, 3)
+      .as[(Long, Long)].collect().toMap
+    val m2 = sym.length.toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val byC = sym.groupBy(e => lab(e._1))
+    perRows.foreach { case (c, nNodes, vol, internal, dq) =>
+      val es = byC(c)
+      assert(vol === es.length.toLong, s"community $c volume")
+      assert(internal === es.count(e => lab(e._2) == c).toLong, s"community $c internal")
+      assert(nNodes === lab.count(_._2 == c).toLong, s"community $c size")
+      assert(dq === r6(internal / m2 - (vol / m2) * (vol / m2)), s"community $c dq")
+    }
+    // the total row folds the per-community terms; Q bounded by definition
+    val q = totalRows.head._5
+    assert(math.abs(q - perRows.map(r => r._4 / m2 - (r._3 / m2) * (r._3 / m2)).sum) < 2e-6)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    assert(totalRows.head._3 === sym.length.toLong, "total volume = |sym|")
+  }
 }

@@ -350,4 +350,36 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("temperature mix: sqrt quotas, hash-prefix selection, sublinear rebalance") {
+    val sel = LlmQueries.queries("l42_temperature_mix")(spark, sfDir)
+      .select("doc_id", "source", "n_src", "quota", "rk")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(sel.nonEmpty)
+    val bySrc = Tables(spark, sfDir).documents
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val counts = bySrc.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // quotas re-derived: floor(sqrt(n_s) / Σ sqrt * 200)
+    val z = counts.keys.toSeq.sorted.map(s => math.sqrt(counts(s).toDouble)).sum
+    sel.groupBy(_._2).foreach { case (src, rows) =>
+      val quota = rows.head._4
+      assert(quota === math.floor(math.sqrt(counts(src).toDouble) / z * 200.0).toLong,
+        s"$src quota")
+      assert(rows.length.toLong === math.min(quota, counts(src)),
+        s"$src must fill its quota (or exhaust the source)")
+      // selection is exactly the multiplicative-hash prefix
+      def rank(id: Long) = ((id % 1000000007L) * 2654435761L) % 1000000007L
+      val expect = bySrc.collect { case (id, s2) if s2 == src => id }
+        .sortBy(id => (rank(id), id)).take(rows.length).toSet
+      assert(rows.map(_._1).toSet === expect, s"$src prefix")
+    }
+    // sublinear: a bigger source never gets a LOWER per-doc selection rate
+    // inverted — shares flatten toward uniform relative to raw counts
+    val quotas = sel.groupBy(_._2).map { case (s, r) => s -> r.head._4 }
+    val (big, small) = (counts.maxBy(_._2), counts.minBy(_._2))
+    if (big._2 > small._2 * 4)
+      assert(quotas(big._1).toDouble / quotas(small._1) <
+             big._2.toDouble / small._2,
+        "sqrt rebalance must compress the big/small quota ratio below the count ratio")
+  }
 }
