@@ -202,6 +202,64 @@ object GraphQueries {
         WHERE r.depth < 3)
       SELECT id, MIN(depth) AS depth FROM reach GROUP BY id ORDER BY id""")),
 
+    // G34 — time-RESPECTING reachability (temporal-network paths, Holme &
+    // Saramäki 2012; Kempe/Kleinberg/Kumar 2002): earliest arrival within
+    // 3 hops over the DATED edges, where each successive edge must fire no
+    // earlier than the path's arrival so far (valid_from monotone — the
+    // way influence/funds/information actually propagate). The temporal
+    // complement of g02_khop_asof: a SNAPSHOT asks "what is connected as
+    // of T"; this asks "what could the seed set have REACHED through
+    // time-ordered steps" — a snapshot overstates reach whenever a path
+    // uses an edge that predates the hop before it. Earliest-arrival
+    // dominance (expanding from the min arrival admits a superset of
+    // continuations) makes per-node min state sufficient, so each of the
+    // 3 unrolled rounds is one join + one min-agg — the SSSP relaxation
+    // shape, state one (node, timestamp) row, no path enumeration.
+    E("g34_temporal_reach", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      val dated = g.edges.filter(col("valid_from").isNotNull)
+        .select(col("src"), col("dst"), col("valid_from"))
+        .transform(Materialize.apply)
+      var ea = g.edgesOf("LOCATED_IN")
+        .filter(col("dst") === GraphBuilder.NationBase)
+        .select(col("src").as("id"))
+        .withColumn("arrival", lit("1990-01-01 00:00:00").cast("timestamp_ntz"))
+      for (_ <- 1 to 3) {
+        val nxt = dated
+          .join(ea.select(col("id").as("src"), col("arrival")), "src")
+          .filter(col("valid_from") >= col("arrival"))
+          .groupBy(col("dst").as("id")).agg(min(col("valid_from")).as("arrival"))
+        ea = ea.unionByName(nxt)
+          .groupBy("id").agg(min(col("arrival")).as("arrival"))
+      }
+      ea.select(col("id"), col("arrival").as("earliest_arrival"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH $edgesCte,
+      dated AS MATERIALIZED (SELECT src, dst, valid_from FROM graph_edges
+                             WHERE valid_from IS NOT NULL),
+      ea0 AS (SELECT src AS id, TIMESTAMP '1990-01-01 00:00:00' AS arrival
+              FROM graph_edges WHERE rel_type = 'LOCATED_IN' AND dst = 2000000000),
+      ea1 AS (SELECT id, MIN(arrival) AS arrival FROM (
+                SELECT id, arrival FROM ea0
+                UNION ALL
+                SELECT e.dst AS id, e.valid_from AS arrival
+                FROM dated e JOIN ea0 p ON e.src = p.id AND e.valid_from >= p.arrival
+              ) GROUP BY id),
+      ea2 AS (SELECT id, MIN(arrival) AS arrival FROM (
+                SELECT id, arrival FROM ea1
+                UNION ALL
+                SELECT e.dst AS id, e.valid_from AS arrival
+                FROM dated e JOIN ea1 p ON e.src = p.id AND e.valid_from >= p.arrival
+              ) GROUP BY id),
+      ea3 AS (SELECT id, MIN(arrival) AS arrival FROM (
+                SELECT id, arrival FROM ea2
+                UNION ALL
+                SELECT e.dst AS id, e.valid_from AS arrival
+                FROM dated e JOIN ea2 p ON e.src = p.id AND e.valid_from >= p.arrival
+              ) GROUP BY id)
+      SELECT id, arrival AS earliest_arrival FROM ea3 ORDER BY id""")),
+
     // G8 — degree centrality (NetworkX "centrality", README.md:28)
     E("g08_degree", (s, d) => {
       val e = GraphBuilder.edges(Tables(s, d))
