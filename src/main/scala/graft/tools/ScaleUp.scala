@@ -38,8 +38,17 @@ object ScaleUp {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
     plan.foreach { case (t, keys) =>
-      val df = if (keys.isEmpty) spark.read.parquet(s"$src/$t.parquet")
-               else shifted(t, keys)
+      val df0 = if (keys.isEmpty) spark.read.parquet(s"$src/$t.parquet")
+                else shifted(t, keys)
+      // events.ts arrives as epoch-nanos LONG (nanosAsLong session flag, see
+      // Tables.events). Write it back as a µs TIMESTAMP — lossless (the data
+      // is µs-precision) and type-faithful for BOTH engines: a raw-long copy
+      // breaks every DuckDB oracle that unions ts into a TIMESTAMP column
+      // (edgesCte valid_from), while Tables.events adapts to either type.
+      val df = if (t == "events" &&
+                   df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df0
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"scaleup: $t -> ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
