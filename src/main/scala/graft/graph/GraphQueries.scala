@@ -1331,8 +1331,11 @@ object GraphQueries {
                        CAST(SUM(n_nodes) AS BIGINT) AS n_nodes,
                        CAST(SUM(vol) AS BIGINT) AS vol,
                        CAST(SUM(internal) AS BIGINT) AS internal,
-                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                         list(dq ORDER BY community)), (a, v) -> a + v) AS dq
+                       -- COALESCE: DuckDB list() over zero rows is NULL,
+                       -- Spark's fold over an empty collect_list is 0.0
+                       COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(dq ORDER BY community)), (a, v) -> a + v),
+                         CAST(0.0 AS DOUBLE)) AS dq
                 FROM rows_)
       SELECT community, n_nodes, vol, internal, ROUND(dq, 6) AS dq FROM rows_
       UNION ALL
