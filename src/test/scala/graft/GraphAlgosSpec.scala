@@ -583,4 +583,34 @@ class KTrussSpec extends SparkSpec {
     // strictly after the first hop — assert the constraint actually bit
     assert(got.values.exists(_ != sentinel), "some node reached via dated hops")
   }
+
+  test("temporal relay motifs match a driver-side window count") {
+    val got = GraphQueries.queries("g35_temporal_motif")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.nonEmpty)
+    val edges = graft.graph.GraphBuilder(Tables(spark, sfDir))
+      .edgesOf("INTERACTED")
+      .select("src", "dst", "valid_from")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    // Instant comparison: the data is µs-precision, Timestamp.getTime is
+    // ms-truncated — a ms-grid recompute could misjudge the window edge
+    def inWindow(t1: java.sql.Timestamp, t2: java.sql.Timestamp): Boolean = {
+      val (i1, i2) = (t1.toInstant, t2.toInstant)
+      !i2.isBefore(i1) && !i2.isAfter(i1.plusSeconds(3600))
+    }
+    val expect = (for {
+      (u, v, t1) <- edges; (v2, w, t2) <- edges
+      if v2 == v && u != w && inWindow(t1, t2)
+    } yield (v, u, w)).groupBy(_._1).map { case (v, ms) =>
+      v -> (ms.length.toLong, ms.map(m => (m._2, m._3)).distinct.length.toLong)
+    }
+    assert(got === expect)
+    // the window constraint must exclude something: relays without the
+    // 1h bound would be strictly more numerous
+    val unbounded = (for {
+      (u, v, t1) <- edges; (v2, w, t2) <- edges
+      if v2 == v && u != w && !t2.toInstant.isBefore(t1.toInstant)
+    } yield v).length
+    assert(unbounded > expect.values.map(_._1).sum, "Δ-window must prune")
+  }
 }
