@@ -576,16 +576,24 @@ object LlmQueries {
     // MLlib StopWordsRemover preserves token order).
     E("l13_stopwords", (s, d) => {
       val stop = Array("the", "a", "data", "table", "row")
+      // split(NULL) is NULL, and StopWordsRemover's UDF NPEs on a null
+      // array — feed it a coalesced empty array, then restore NULL on the
+      // output columns so rows survive with the mirror's NULL propagation.
       val words = Tables(s, d).documents
         .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("w_safe",
+          coalesce(col("words"), expr("CAST(array() AS ARRAY<STRING>)")))
       new org.apache.spark.ml.feature.StopWordsRemover()
-        .setInputCol("words").setOutputCol("kept")
+        .setInputCol("w_safe").setOutputCol("kept")
         .setStopWords(stop).setCaseSensitive(true)
         .transform(words)
         .select(col("doc_id"),
-          size(col("words")).cast("long").as("n_raw"),
-          size(col("kept")).cast("long").as("n_kept"),
-          concat_ws(" ", col("kept")).as("kept_text"))
+          when(col("words").isNull, lit(null))
+            .otherwise(size(col("words"))).cast("long").as("n_raw"),
+          when(col("words").isNull, lit(null))
+            .otherwise(size(col("kept"))).cast("long").as("n_kept"),
+          when(col("words").isNull, lit(null))
+            .otherwise(concat_ws(" ", col("kept"))).as("kept_text"))
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,
@@ -993,8 +1001,15 @@ object LlmQueries {
         .mapPartitions(_.map { case (id, bytes) =>
           // STUB decode: real pipelines would demux/decode media here; the
           // deterministic fake keeps plumbing testable offline.
-          val checksum = bytes.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
-          (id, bytes.length.toLong, if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else -1L, checksum)
+          // Null payload (asset never fetched) → null metadata row, the
+          // exact shape the SQL mirror produces for NULL text.
+          if (bytes == null)
+            (id, None: Option[Long], None: Option[Long], None: Option[Long])
+          else {
+            val checksum = bytes.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
+            (id, Some(bytes.length.toLong),
+              Some(if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else -1L), Some(checksum))
+          }
         })
         .toDF("doc_id", "byte_len", "first_byte", "checksum")
         .orderBy("doc_id")
@@ -1021,10 +1036,17 @@ object LlmQueries {
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
           // STUB resize: a real pipeline decodes + resamples here; the
-          // fixed-shape output contract is what the plumbing guarantees
-          val out = java.util.Arrays.copyOf(bytes, target)
-          val checksum = out.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
-          (id, bytes.length.toLong, target.toLong, bytes.length > target, checksum)
+          // fixed-shape output contract is what the plumbing guarantees.
+          // Null payload → the mirror's shape for NULL text: unknown
+          // orig_len/truncated, checksum 0 (the fold over 128 pad zeros).
+          if (bytes == null)
+            (id, None: Option[Long], target.toLong, None: Option[Boolean], 0L)
+          else {
+            val out = java.util.Arrays.copyOf(bytes, target)
+            val checksum = out.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
+            (id, Some(bytes.length.toLong), target.toLong,
+              Some(bytes.length > target), checksum)
+          }
         })
         .toDF("doc_id", "orig_len", "resized_len", "truncated", "resized_checksum")
         .orderBy("doc_id")
@@ -1053,6 +1075,11 @@ object LlmQueries {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, bytes) =>
+          // Null payload → no frames (the mirror's UNNEST(range(NULL))
+          // yields zero rows): a missing asset contributes nothing to the
+          // one-to-many decode, it doesn't kill the stage.
+          if (bytes == null) Iterator.empty
+          else {
           val n = math.min(4, math.max(1, bytes.length / 64))
           (0 until n).iterator.map { f =>
             val off = f * (bytes.length / n)
@@ -1060,6 +1087,7 @@ object LlmQueries {
             // STUB decode: real pipelines decode the frame here
             val feat = win.foldLeft(0L)((a, x) => (a * 131 + (x & 0xff)) % 1000000007)
             (id, f.toLong, off.toLong, win.length.toLong, feat)
+          }
           }
         })
         .toDF("doc_id", "frame_idx", "byte_offset", "window_len", "frame_feature")
