@@ -988,7 +988,50 @@ object RelQueries {
                   FROM ud)
       SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
       FROM contrib c CROSS JOIN mx WHERE c.day <= mx.mx
-      GROUP BY c.day ORDER BY c.day"""))
+      GROUP BY c.day ORDER BY c.day""")),
+
+    // R41 — robust outlier gate via median absolute deviation (Hampel /
+    // modified z-score family): per event_type, med = median(value),
+    // MAD = median(|value − med|), outliers = rows with |value − med| >
+    // 3·MAD. The robust complement to r29's moment statistics — mean/
+    // stddev gates move with the very outliers they hunt, the median pair
+    // does not. Exact percentile ↔ quantile_cont per the r27 convention
+    // (identical linear interpolation both engines); two small broadcast
+    // joins (one row per type) carry med/MAD back to the rows; nulls
+    // filtered up front (value is an OPTIONAL payload column — see
+    // NullInputSpec). At 100 TB exact per-group medians sort each group:
+    // the scale tier swaps in r27b's sketch quantiles, same dataflow.
+    E("r41_mad_outliers", (s, d) => {
+      val e = Tables(s, d).events
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 6).as("med"),
+          round(min(col("mad")), 6).as("mad"),
+          sum(when(col("absdev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+      dev AS (SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS absdev
+              FROM e JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+      SELECT d.event_type, COUNT(*) AS n,
+             ROUND(MIN(d.med), 6) AS med,
+             ROUND(MIN(mad.mad), 6) AS mad,
+             CAST(SUM(CASE WHEN d.absdev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dev d JOIN mad USING (event_type)
+      GROUP BY 1 ORDER BY event_type"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -421,6 +421,40 @@ class ApproxSpec extends SparkSpec {
     val (a, e) = (row.getLong(0), row.getLong(1))
     assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e")
   }
+
+  test("MAD outlier gate matches a driver-side robust recompute and is non-vacuous") {
+    val got = graft.rel.RelQueries.queries("r41_mad_outliers")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    // linear-interpolated quantile at rank (n-1)*q — the percentile /
+    // quantile_cont convention both engines share (r27 precedent)
+    def qcont(sorted: Array[Double], q: Double): Double = {
+      val pos = (sorted.length - 1) * q
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      val g = pos - lo
+      sorted(lo) * (1 - g) + sorted(hi) * g
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = Tables(spark, sfDir).events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).foreach { case (et, vs) =>
+      val xs = vs.map(_._2)
+      val med = qcont(xs.sorted, 0.5)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = qcont(devs.sorted, 0.5)
+      val outliers = devs.count(_ > 3.0 * mad).toLong
+      val (gn, gmed, gmad, gout) = got(et)
+      assert(gn === xs.length.toLong, s"$et n")
+      assert(math.abs(gmed - r6(med)) < 2e-6, s"$et median")
+      assert(math.abs(gmad - r6(mad)) < 2e-6, s"$et MAD")
+      assert(gout === outliers, s"$et outlier count")
+    }
+    // the gate must bite on real data (a threshold nothing crosses is noise)
+    assert(got.values.exists(_._4 > 0), "no group has any 3-MAD outlier")
+  }
 }
 
 class KTrussSpec extends SparkSpec {
