@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   * BFS traversal, UBO propagation, GraphX (SCC/CC/PageRank), the flagship
   * self-join, LSH dedup, exact Jaccard, native cosine top-k, and streaming
   * batch twins.
+  *
+  * Contention handling (BASELINE.md re-measure protocol, hardened round 8 —
+  * three of seven round grades were load-distorted despite min-of-N):
+  *   1. PRE-FLIGHT QUIET WAIT: before the timed section (and again before an
+  *      escalation pass) Bench spin-waits — bounded by
+  *      SPARK_GRAFT_LOAD_WAIT_MS, default 10 min total — for the host's
+  *      EXTERNAL cpu usage (total busy jiffies minus this JVM's own, from
+  *      /proc/stat and /proc/self/stat) to drop under ~2 cores. External
+  *      usage rather than loadavg because our own 32-thread passes dominate
+  *      the 1-minute loadavg for minutes after they finish; the external
+  *      probe is self-exclusive so it stays valid between passes.
+  *   2. SELF-ADJUDICATING JSON: every bench JSON carries "host_load"
+  *      (loadavg before/after), "external_cpu" (cores of non-self busy cpu
+  *      around the timed section), "contended" (true iff the quiet-wait
+  *      budget expired), and "quiet_medians" — the pinned quiet-host
+  *      MicroBench medians below — so a contended grade can be adjudicated
+  *      from the artifact alone, per query, without a re-run.
+  *   3. ESCALATION: if the min-of-two total (succeeded queries only, scaled
+  *      against the quiet-median profile) or any single query breaches its
+  *      per-query band, Bench takes a third pass over the still-succeeding
+  *      queries and reports min-of-three. A real regression stays slow on
+  *      the third pass; a contended window usually clears.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -28,9 +50,39 @@ object Bench {
     */
   val escalateThresholdSec = 45.0
 
+  /** Per-query quiet-host MicroBench medians: 5 reps after warmup, sf0.1,
+    * local[32], external load < 2 cores (measured 2026-08-13, round 8; re-pin
+    * whenever a headline query's plan changes). These are the adjudication
+    * reference emitted into the bench JSON: a recorded number far above its
+    * quiet median on a run flagged contended is load, not regression.
+    */
+  val quietMediansSec: Map[String, Double] = Map(
+    "r01_projection" -> 1.36, "r06_range_join" -> 1.51,
+    "r09_agg" -> 1.14, "r13_window_rank" -> 0.68,
+    "g02_khop" -> 3.34, "g03_ubo_exposure" -> 4.10,
+    "g03_ubo_cyclic" -> 2.80, "g06_scc" -> 0.49,
+    "g07_cc_full" -> 2.82, "g09_pagerank" -> 1.37,
+    "g11_conflict_shared_part" -> 2.75, "l02_minhash_lsh" -> 3.66,
+    "l03_ngram_jaccard" -> 1.80, "l05_cosine_topk_native" -> 0.17,
+    "t01_tumbling_window" -> 0.28, "t03_session_window" -> 0.47)
+
+  /** A succeeded query whose min-of-N exceeds bandFactor × its quiet median
+    * is a per-query band violation → escalate to a third pass. 3× clears
+    * honest round-over-round drift (observed quiet drift is ≤1.3×) while
+    * catching the 4–5× per-query spikes contention produces (BASELINE.md
+    * round-4 anomaly: g09 5×, l03 4.2×).
+    */
+  val bandFactor = 3.0
+
+  /** External busy cpu (cores) below which the host counts as quiet. The
+    * contended grades carried 3–10 external cores; honest background noise
+    * (driver bookkeeping, page cache flushes) stays well under 2.
+    */
+  val quietExternalCores = 2.0
+
   /** 1-minute load average from /proc/loadavg (-1 if unreadable — NaN is not
-    * valid JSON) — emitted into the bench JSON so a contended grade run is
-    * self-evident from the artifact instead of needing a post-hoc re-measure.
+    * valid JSON) — kept in the JSON alongside the external-cpu probe because
+    * it is the number an operator checks first on the host.
     */
   private def loadAvg1m(): Double =
     try {
@@ -39,10 +91,57 @@ object Bench {
       if (java.lang.Double.isFinite(v)) v else -1.0
     } catch { case _: Throwable => -1.0 }
 
+  /** (total busy jiffies across all cpus, this process's utime+stime jiffies).
+    * run/fork := true means this JVM IS the whole Spark local[*] runtime, so
+    * self covers every executor thread. USER_HZ is 100 on Linux.
+    */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val statSrc = scala.io.Source.fromFile("/proc/stat")
+      val cols = try statSrc.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally statSrc.close()
+      val busy = cols.sum - cols(3) - (if (cols.length > 4) cols(4) else 0L) // - idle - iowait
+      val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+      val raw = try selfSrc.mkString finally selfSrc.close()
+      // comm (field 2) can contain spaces/parens — split after the LAST ')'
+      val rest = raw.substring(raw.lastIndexOf(')') + 2).split(" ")
+      Some((busy, rest(11).toLong + rest(12).toLong)) // utime, stime
+    } catch { case _: Throwable => None }
+
+  /** Cores of busy cpu NOT attributable to this JVM, sampled over windowMs. */
+  private def externalBusyCores(windowMs: Long): Double =
+    (cpuJiffies(), { Thread.sleep(windowMs); cpuJiffies() }) match {
+      case (Some((b0, s0)), Some((b1, s1))) =>
+        math.max(0.0, ((b1 - b0) - (s1 - s0)) * 10.0 / windowMs) // jiffy=10ms
+      case _ => -1.0
+    }
+
+  /** Spin-wait (re-sampling every ~3 s of probe window + 5 s sleep) until the
+    * host's external cpu drops under quietExternalCores or the shared budget
+    * deadline passes. Returns true iff quiet on exit. Unreadable /proc (probe
+    * -1) counts as quiet — there is nothing to adjudicate against.
+    */
+  private def awaitQuietHost(deadlineNanos: Long): Boolean = {
+    var ext = externalBusyCores(3000)
+    while (ext >= quietExternalCores && System.nanoTime() < deadlineNanos) {
+      Thread.sleep(5000)
+      ext = externalBusyCores(3000)
+    }
+    ext < quietExternalCores
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val waitBudgetMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MS", "600000").toLong
+    val deadline = System.nanoTime() + waitBudgetMs * 1000000L
+    var contended = false
+    // Pre-flight quiet wait BEFORE the session + warmup (their cpu is ours
+    // and is excluded by the probe anyway, but waiting first means the
+    // timed section starts as early as possible after the host clears).
+    if (!awaitQuietHost(deadline)) contended = true
     val loadBefore = loadAvg1m()
+    val extBefore = externalBusyCores(2000)
     val spark = GraftSession.local(cpus)
     // Warmup: absorb session/codegen/reader startup outside the timings.
     // Running the headline set once at the smallest sf JIT-compiles the
@@ -80,28 +179,54 @@ object Bench {
     val twoRuns = headline.map { name =>
       name -> Seq(once(name), once(name)).flatten
     }
-    // Escalation: a min-of-two total beyond the quiet-host band means the
-    // whole window was likely contended — take one more pass over the full
-    // set and report per-query min-of-three (BASELINE.md re-measure
-    // protocol). A genuinely regressed query stays slow on the third pass.
+    // Escalation triggers (BASELINE.md re-measure protocol):
+    //  (a) total band — min-of-two over SUCCEEDED queries only, against the
+    //      threshold scaled by the succeeded queries' share of the quiet
+    //      profile (an all-green run uses the full 45 s; a run where slow
+    //      queries errored out can't sneak under on a shrunken total);
+    //  (b) per-query band — any succeeded query at > bandFactor × its quiet
+    //      median (catches a single contention-spiked query on an otherwise
+    //      fast total).
     val provisional = twoRuns.collect { case (_, rs) if rs.nonEmpty => rs.min }.sum
-    val passes = if (provisional > escalateThresholdSec) 3 else 2
-    val results = (if (passes == 3)
-      twoRuns.map { case (name, rs) => name -> (rs ++ once(name)) }
+    val quietTotal = quietMediansSec.values.sum
+    val succeededQuiet = twoRuns.collect {
+      case (n, rs) if rs.nonEmpty => quietMediansSec.getOrElse(n, 0.0)
+    }.sum
+    val scaledThreshold = escalateThresholdSec * (if (quietTotal > 0) succeededQuiet / quietTotal else 1.0)
+    val bandViolation = twoRuns.exists { case (n, rs) =>
+      rs.nonEmpty && quietMediansSec.get(n).exists(q => rs.min > bandFactor * q)
+    }
+    val escalate = provisional > scaledThreshold || bandViolation
+    if (escalate && !awaitQuietHost(deadline)) contended = true
+    // Third pass only over queries that have succeeded at least once — a
+    // query that failed both runs stays failed (re-running it wastes a
+    // pass and can't produce a timing anyway).
+    val results = (if (escalate)
+      twoRuns.map { case (name, rs) =>
+        name -> (if (rs.nonEmpty) rs ++ once(name) else rs)
+      }
     else twoRuns).map { case (name, rs) =>
       // -1 sentinel when ALL runs fail, excluded from total: a partial
       // time-to-failure would skew the baseline-comparable metric
       // (low == fast == wrong)
       name -> (if (rs.isEmpty) -1.0 else rs.min)
     }
+    val passes = if (escalate) 3 else 2
     val loadAfter = loadAvg1m()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    val extAfter = externalBusyCores(2000)
+    def jmap(m: Iterable[(String, Any)]): String = m.map {
+      case (k, v: String) => "\"" + k + "\":\"" + v + "\""
+      case (k, v) => "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val qs = jmap(results)
+    val errs = jmap(errors)
+    val quiet = jmap(headline.map(n => n -> quietMediansSec.getOrElse(n, -1.0)))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val load = s"""{"before":$loadBefore,"after":$loadAfter,"cpus":${Runtime.getRuntime.availableProcessors}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"host_load":$load,"sf":"$sfDir"}""")
+    val ext = s"""{"before":$extBefore,"after":$extAfter}"""
+    // quiet_medians are sf0.1-referenced (the graded sf) — adjudicate
+    // against them only when this run's sfDir is sf0.1
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"host_load":$load,"external_cpu":$ext,"contended":$contended,"quiet_medians":$quiet,"quiet_medians_sf":"sf0.1","sf":"$sfDir"}""")
     spark.stop()
   }
 }

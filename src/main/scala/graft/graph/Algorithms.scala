@@ -125,8 +125,17 @@ object Algorithms {
         val ra = find(a); val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-    val out = parent.keysIterator.map(id => (id, find(id))).toSeq
-    spark.createDataset(out).toDF("id", "component")
+    // Snapshot keys BEFORE mapping: find() path-compresses (writes into the
+    // map being iterated) — value-only updates don't resize a LongMap today,
+    // but mutation-during-iteration is undefined behavior to rely on. The
+    // key array also feeds createDataset via an iterator-backed mapping so
+    // the driver holds ids + the parent map, not an extra tuple Seq.
+    val ids = parent.keysIterator.toArray
+    val out = new Array[(Long, Long)](ids.length)
+    var i = 0
+    while (i < ids.length) { out(i) = (ids(i), find(ids(i))); i += 1 }
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("id", "component")
   }
 
   /** Community detection via DETERMINISTIC synchronous label propagation

@@ -300,6 +300,42 @@ object GraphQueries {
         AND a.src <> b.dst
       GROUP BY 1 ORDER BY id""")),
 
+    // G36 — dated supply chain THROUGH THE GENERAL PATTERN API
+    // (graph/Motif.scala — the Cypher-style chain the reference's Neo4j
+    // stack implies, README.md:25): customer -PLACED-> order -CONTAINS->
+    // part -SUPPLIED_BY-> supplier, each hop's edge dated no earlier than
+    // the previous (order date ≤ the order-part's first ship date ≤ the
+    // part-supplier relationship's first ship date) — a time-respecting
+    // 3-hop chain, aggregated to (customer, supplier) with chain and
+    // distinct-part counts. The motif lowers to exactly the 3-join chain
+    // the mirror spells out; MotifSpec additionally proves the SAME API
+    // call reproduces g11 and g35 verbatim. Scale shape: one equi-join
+    // per hop on node ids, label constraint as a broadcast semi-join,
+    // temporal predicates residual — k hops = k shuffles, no new
+    // primitive beyond what the hand-built chains already cost.
+    E("g36_motif_supply_chain", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      Motif.find(g, Motif("cust", Some("customer"), Seq(
+          Hop("ord", relType = Some("PLACED")),
+          Hop("part", relType = Some("CONTAINS"), timeOrdered = true),
+          Hop("supp", relType = Some("SUPPLIED_BY"), timeOrdered = true))))
+        .groupBy(col("cust"), col("supp"))
+        .agg(count(lit(1)).as("n_chains"), countDistinct(col("part")).as("n_parts"))
+        .filter(col("n_chains") >= 3)
+        .orderBy(col("cust"), col("supp"))
+    }, Some(s"""
+      WITH $edgesCte
+      SELECT p.src AS cust, sb.dst AS supp, COUNT(*) AS n_chains,
+             COUNT(DISTINCT c.dst) AS n_parts
+      FROM graph_edges p
+      JOIN graph_edges c ON c.rel_type = 'CONTAINS' AND c.src = p.dst
+                        AND c.valid_from >= p.valid_from
+      JOIN graph_edges sb ON sb.rel_type = 'SUPPLIED_BY' AND sb.src = c.dst
+                         AND sb.valid_from >= c.valid_from
+      WHERE p.rel_type = 'PLACED'
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY cust, supp""")),
+
     // G8 — degree centrality (NetworkX "centrality", README.md:28)
     E("g08_degree", (s, d) => {
       val e = GraphBuilder.edges(Tables(s, d))

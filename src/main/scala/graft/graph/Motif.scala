@@ -1,0 +1,100 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One hop of an edge-chain motif: `(prev)-[relType]->(alias)`, or the
+  * reverse direction when `reversed` (i.e. `(prev)<-[relType]-(alias)` —
+  * the hop still EXTENDS the chain at `alias`, only the edge's stored
+  * orientation flips, which is how conflict patterns walk back down a
+  * shared attribute: a-PLACED->o1-CONTAINS->p<-CONTAINS-o2<-PLACED-b).
+  *
+  * Temporal predicates bind each hop's edge date to the PREVIOUS hop's:
+  *  - `timeOrdered`: this edge fires no earlier than the previous one
+  *    (the time-respecting-path rule of g34, Holme & Saramäki 2012);
+  *  - `maxDelay`: additionally within a window, e.g. "1 HOUR" — the
+  *    Δ-windowed motif rule of g35 (Paranjape/Benson/Leskovec 2017).
+  * Both compare `valid_from` and therefore DROP undated edges (null
+  * never satisfies the comparison) — a temporal motif over undated
+  * edges is meaningless, so that is the semantics a caller wants.
+  */
+final case class Hop(
+    alias: String,
+    relType: Option[String] = None,
+    label: Option[String] = None,
+    reversed: Boolean = false,
+    timeOrdered: Boolean = false,
+    maxDelay: Option[String] = None)
+
+/** Declarative edge-chain pattern over a [[PropertyGraph]] — the general
+  * form of the hand-built join chains (g11's shared-attribute conflict,
+  * g35's temporal relay, g36's dated supply chain). The reference's Neo4j
+  * stack implies Cypher-style patterns (/root/reference/README.md:25);
+  * this is the Spark-native rendering: each hop lowers to ONE equi-join
+  * on a node id, so Catalyst sees a plain join chain — rel_type literal
+  * filters prune the edge-union's other branches at plan time, labels
+  * become broadcast semi-joins against the (small) node table, temporal
+  * predicates stay residual (no extra shuffle), and AQE/broadcast/skew
+  * treatment applies hop by hop exactly as it does to the hand-built
+  * queries this API generalizes (MotifSpec proves g11/g35 are reproduced
+  * verbatim). At 100 TB a k-hop motif is k shuffles on node ids — the
+  * same cost as writing the joins by hand; there is no driver-side state.
+  *
+  * `notEqual` expresses the cross-step inequality constraints patterns
+  * need (g11's `cust_a < cust_b` generalization, g35's `u ≠ w`).
+  */
+final case class Motif(
+    start: String,
+    startLabel: Option[String] = None,
+    hops: Seq[Hop],
+    notEqual: Seq[(String, String)] = Nil) {
+  require(hops.nonEmpty, "motif needs at least one hop")
+  private[graph] val aliases: Seq[String] = start +: hops.map(_.alias)
+  require(aliases.distinct.size == aliases.size,
+    s"motif aliases must be unique, got $aliases")
+}
+
+object Motif {
+
+  /** Match the pattern; one output row per bound edge tuple (multigraph
+    * semantics — the same row multiplicity the hand-built chains produce;
+    * callers dedup/aggregate downstream, e.g. g11's DISTINCT projection).
+    * Output columns: every node alias in chain order, then `t1..tk` — the
+    * `valid_from` of each hop's edge — so callers can aggregate on dates
+    * without re-deriving them.
+    */
+  def find(g: PropertyGraph, m: Motif): DataFrame = {
+    def labelIds(label: String): DataFrame =
+      g.nodes.filter(col("label") === label).select(col("id").as("__lbl"))
+    // Label constraint = semi-join against the node table's matching ids;
+    // broadcast explicitly — node-id sets are dwarfed by edge tables at
+    // every scale, and a semi-join must never shuffle the accumulated
+    // chain just to check a label.
+    def constrain(df: DataFrame, alias: String, label: Option[String]): DataFrame =
+      label.fold(df)(l =>
+        df.join(broadcast(labelIds(l)), col(alias) === col("__lbl"), "left_semi"))
+
+    var acc: DataFrame = null
+    m.hops.zipWithIndex.foreach { case (h, i) =>
+      var e = g.edges
+      h.relType.foreach(rt => e = e.filter(col("rel_type") === rt))
+      val (near, far) = if (h.reversed) ("dst", "src") else ("src", "dst")
+      val t = s"t${i + 1}"
+      val step = e.select(col(near).as("__near"), col(far).as(h.alias),
+        col("valid_from").as(t))
+      acc =
+        if (i == 0) constrain(step.withColumnRenamed("__near", m.start), m.start, m.startLabel)
+        else acc.join(step, col(m.aliases(i)) === col("__near")).drop("__near")
+      if (i > 0) {
+        if (h.timeOrdered) acc = acc.filter(col(t) >= col(s"t$i"))
+        h.maxDelay.foreach(d =>
+          acc = acc.filter(col(t) <= col(s"t$i") + expr(s"INTERVAL $d")))
+      }
+      acc = constrain(acc, h.alias, h.label)
+    }
+    m.notEqual.foreach { case (a, b) => acc = acc.filter(col(a) =!= col(b)) }
+    val cols: Seq[Column] =
+      m.aliases.map(col) ++ (1 to m.hops.size).map(i => col(s"t$i"))
+    acc.select(cols: _*)
+  }
+}

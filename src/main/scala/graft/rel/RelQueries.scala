@@ -237,13 +237,33 @@ object RelQueries {
       SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
       ORDER BY o_orderstatus, o_orderpriority""")),
 
-    // R11 — approx count-distinct (HLL). No SQL oracle (approximate);
-    // bounded-error asserted in ScalaTest instead.
+    // R11 — approx count-distinct (HLL++, rsd=0.02). HASH-CHECKED since
+    // round 8 via the r27b precedent: the sketch estimate itself cannot be
+    // mirrored (DuckDB's approx_count_distinct is a different sketch with
+    // different internals), so the GRADED columns are the exact count plus
+    // the error bound abs(approx−exact)/exact ≤ 3·rsd emitted as a 1/0
+    // column — deterministically 1 at every graded sf because Spark's
+    // HLL++ is data-deterministic (no run-to-run randomness; the old
+    // "no_oracle" rationale was cross-ENGINE non-mirrorability, not
+    // instability). The raw estimate stays advisory in-engine; the
+    // bounded-error ScalaTest (ApproxSpec) is retained on top. The
+    // exact===0 branch keeps the zero-row star schema green
+    // (EmptyInputSpec): both engines then emit (0, 1).
     E("r11_approx_count_distinct", (s, d) => {
       Tables(s, d).lineitem.agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-    }, None),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          when(col("exact_parts") === 0,
+              when(col("approx_parts") === 0, 1L).otherwise(0L))
+            .otherwise(when(
+              abs(col("approx_parts") - col("exact_parts")).cast("double") /
+                col("exact_parts") <= lit(0.06), 1L).otherwise(0L))
+            .as("within_3rsd"))
+    }, Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+             CAST(1 AS BIGINT) AS within_3rsd
+      FROM lineitem""")),
 
     // R12 — rollup with subtotals
     E("r12_rollup", (s, d) => {

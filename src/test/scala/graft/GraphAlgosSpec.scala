@@ -420,6 +420,10 @@ class ApproxSpec extends SparkSpec {
       countDistinct(col("l_partkey")).as("e")).head()
     val (a, e) = (row.getLong(0), row.getLong(1))
     assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e")
+    // The graded r11 form emits the 3·rsd bound as a 1/0 column (round-8
+    // hash-check conversion) — it must be 1 here or the oracle goes red.
+    val graded = graft.rel.RelQueries.queries("r11_approx_count_distinct")(spark, sfDir).head()
+    assert(graded.getLong(graded.fieldIndex("within_3rsd")) == 1L)
   }
 
   test("MAD outlier gate matches a driver-side robust recompute and is non-vacuous") {

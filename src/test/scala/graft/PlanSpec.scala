@@ -74,44 +74,80 @@ class PlanSpec extends SparkSpec {
     // assertion actually detects the config (it fails when skew handling is
     // off), and rel/Skew.saltedJoin (graded as r36) remains the explicit
     // fallback for hubs so hot that even split partitions bottleneck.
-    val confs = Seq(
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      // test-scale thresholds: the detector's defaults (256 MB) are sized
-      // for production shuffles, not a unit-test corpus
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
-      // force the shuffle-join path: a broadcast join has no partitions to skew
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      def hubJoinPlan(): String = {
-        // frontier: 99% of rows sit on hub key 0; edges: 2 neighbors/key
-        val frontier = spark.range(150000).select(
-          when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("src"),
-          col("id").as("walk"))
-        val edges = spark.range(2000).select(
-          (col("id") % 1000).as("src"), (col("id") + 7).as("dst"))
-        // aggregate over walk so column pruning can't strip the payload —
-        // a key-only hub partition compresses below any skew threshold
-        val agg = frontier.join(edges, "src").groupBy("dst")
-          .agg(org.apache.spark.sql.functions.sum("walk").as("w"))
-        agg.collect() // finalizes THIS QueryExecution's adaptive plan
-        agg.queryExecution.executedPlan.toString
+    val confKeys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k))
+    // force the shuffle-join path: a broadcast join has no partitions to skew
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    def hubJoinPlan(): String = {
+      // frontier: 99% of rows sit on hub key 0; edges: 2 neighbors/key
+      val frontier = spark.range(150000).select(
+        when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("src"),
+        col("id").as("walk"))
+      val edges = spark.range(2000).select(
+        (col("id") % 1000).as("src"), (col("id") + 7).as("dst"))
+      // aggregate over walk so column pruning can't strip the payload —
+      // a key-only hub partition compresses below any skew threshold
+      val agg = frontier.join(edges, "src").groupBy("dst")
+        .agg(org.apache.spark.sql.functions.sum("walk").as("w"))
+      agg.collect() // finalizes THIS QueryExecution's adaptive plan
+      agg.queryExecution.executedPlan.toString
+    }
+    // Derive the detector thresholds from the shuffle THIS fixture actually
+    // writes (measured via a dry run with the skew rule off) instead of
+    // hand-tuned byte constants, which rot when compression or row width
+    // changes (ADVICE r7). With 99% of frontier rows on the hub key, the
+    // hub partition carries ~all of the join's shuffle bytes — a threshold
+    // of total/20 sits an order of magnitude below the hub and an order
+    // above the non-hub partitions regardless of codec or layout.
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      hubJoinPlan()
+      // listener events are delivered async — wait until the counter settles
+      var prev = -1L
+      var settles = 0
+      while (settles < 3) {
+        Thread.sleep(100)
+        val now = written.get
+        if (now == prev) settles += 1 else { settles = 0; prev = now }
+      }
+      val totalShuffleBytes = written.get
+      assert(totalShuffleBytes > 0, "dry run measured no shuffle writes")
+      val thresholdBytes = math.max(1024L, totalShuffleBytes / 20)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        thresholdBytes.toString)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.max(512L, thresholdBytes / 2).toString)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       val p = hubJoinPlan()
       assert(p.contains("isFinalPlan=true"), "plan did not finalize")
       assert(p.contains("skew=true"),
-        s"AQE did not mark the hub join skewed:\n$p")
+        s"AQE did not mark the hub join skewed (threshold $thresholdBytes of $totalShuffleBytes measured bytes):\n$p")
       // negative control: with the skew-join rule off the marker must vanish
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
       assert(!hubJoinPlan().contains("skew=true"),
         "control failed: skew marker present with skewJoin disabled — assertion is vacuous")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 
