@@ -14,19 +14,7 @@ import org.apache.spark.sql.functions._
 final case class Tables(spark: SparkSession, dir: String) {
   def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
   def region: DataFrame = t("region")
-  // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type for.
-  // Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench),
-  // making ts a LONG of epoch-nanos; convert to a µs TimestampType here — the
-  // data is µs-precision (verified), so `div 1000` is lossless. Integer `div`,
-  // not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range.
-  def events: DataFrame = {
-    val raw = t("events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  def events: DataFrame = Tables.normalizeEventsTs(t("events"))
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
@@ -38,6 +26,30 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** events.ts normalization — the driver's fixture encoding has varied by
+    * round, so adapt on the OBSERVED type rather than assuming one:
+    *  - parquet TIMESTAMP(NANOS): Spark has no native ns type; sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong=true (see GraftSession), making
+    *    ts a LONG of epoch-nanos → convert to µs TimestampType. The data is
+    *    µs-precision (verified), so `div 1000` is lossless. Integer `div`,
+    *    not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ → cast to TimestampType. The session TZ is pinned UTC,
+    *    so the cast reinterprets the same physical micros (no wall-clock
+    *    shift), matching what the DuckDB oracle reads from the same file.
+    *  - TimestampType already: pass through.
+    * Every consumer of the events feed (batch loads, streaming schemas,
+    * rehearsal fixture copies) must funnel ts through here.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Exact-decimal view of a 2-decimal money/percentage double column.
     * The driver's data has ≤2 decimal places on every money column
     * (verified empirically), so this cast is lossless and makes

@@ -93,15 +93,13 @@ object ScaleUp {
         if (keys.isEmpty) spark.read.parquet(s"$src/$t.parquet")
         else if (t == "documents") shifted(t, keys, perturbDocs)
         else shifted(t, keys)
-      // events.ts arrives as epoch-nanos LONG (nanosAsLong session flag, see
-      // Tables.events). Write it back as a µs TIMESTAMP — lossless (the data
-      // is µs-precision) and type-faithful for BOTH engines: a raw-long copy
+      // events.ts encoding varies by fixture round (ns-as-LONG under the
+      // nanosAsLong session flag, µs NTZ since round 8). Normalize through
+      // the shared adapter and write a µs TIMESTAMP — lossless (the data is
+      // µs-precision) and type-faithful for BOTH engines: a raw-long copy
       // breaks every DuckDB oracle that unions ts into a TIMESTAMP column
-      // (edgesCte valid_from), while Tables.events adapts to either type.
-      val df = if (t == "events" &&
-                   df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df0
+      // (edgesCte valid_from), while Tables.events adapts to any of the three.
+      val df = if (t == "events") graft.Tables.normalizeEventsTs(df0) else df0
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"scaleup: $t -> ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }

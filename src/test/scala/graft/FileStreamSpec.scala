@@ -13,10 +13,11 @@ class FileStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-stream-src")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("batch0.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    // ts is TIMESTAMP(NANOS) → LongType under nanosAsLong; convert like Tables.events
+    // ts encoding varies by fixture round (ns-as-LONG vs µs NTZ) — normalize
+    // through the same adapter the batch path uses
     val schema = Tables(spark, sfDir).t("events").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     val q = stream.writeStream.format("memory").queryName("filesrc")
       .outputMode("complete").start()
