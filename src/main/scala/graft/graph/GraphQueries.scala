@@ -336,6 +336,39 @@ object GraphQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY cust, supp""")),
 
+    // G37 — VARIABLE-LENGTH pattern hop through the same API (Cypher
+    // `-[:INTERACTED*1..2]->`, the reference's Neo4j stack again,
+    // README.md:25): time-respecting influence reach — users reachable
+    // in 1 to 2 INTERACTED edges where each consecutive edge fires
+    // within [0, 1 hour] of the previous (g34's time-respecting rule as
+    // a PATTERN ELEMENT; intermediates anonymous, walk semantics). Per
+    // source: walk count and distinct reached users. The var-hop lowers
+    // to the fixed chain UNION ALL its 2-edge extension — exactly what
+    // the mirror spells out — so at 100 TB it costs hi equi-joins on
+    // node ids, never a recursive operator. MotifSpec proves the var-hop
+    // equals the union of the fixed 1-hop and 2-hop motifs row for row.
+    E("g37_motif_var_reach", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      Motif.find(g, Motif("u", None, Seq(
+          Hop("w", relType = Some("INTERACTED"), timeOrdered = true,
+              maxDelay = Some("1 HOUR"), repeat = Some((1, 2)))),
+        notEqual = Seq(("u", "w"))))
+        .groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("n_walks"), countDistinct(col("w")).as("n_reached"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH $edgesCte,
+      e AS (SELECT src, dst, valid_from AS ts FROM graph_edges
+            WHERE rel_type = 'INTERACTED'),
+      walks AS (
+        SELECT src AS u, dst AS w FROM e
+        UNION ALL
+        SELECT a.src, b.dst FROM e a JOIN e b ON b.src = a.dst
+        WHERE b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+      SELECT u AS id, COUNT(*) AS n_walks, COUNT(DISTINCT w) AS n_reached
+      FROM walks WHERE u <> w
+      GROUP BY 1 ORDER BY id""")),
+
     // G8 — degree centrality (NetworkX "centrality", README.md:28)
     E("g08_degree", (s, d) => {
       val e = GraphBuilder.edges(Tables(s, d))

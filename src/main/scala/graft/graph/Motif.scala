@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   * Both compare `valid_from` and therefore DROP undated edges (null
   * never satisfies the comparison) — a temporal motif over undated
   * edges is meaningless, so that is the semantics a caller wants.
+  *
+  * `repeat = Some((lo, hi))` makes this a VARIABLE-LENGTH hop (Cypher
+  * `-[:T*lo..hi]->`, 1 ≤ lo ≤ hi): the pattern matches lo to hi
+  * consecutive edges, every one filtered by this hop's `relType` and
+  * walked in this hop's direction, with INTERMEDIATE nodes anonymous —
+  * only the terminal node binds `alias` (and `label`, if given).
+  * `timeOrdered`/`maxDelay` then chain through EVERY consecutive edge
+  * pair inside the repetition (and bind its first edge to the previous
+  * hop, exactly like a fixed hop), so a repeated hop is a bounded
+  * time-respecting reachability step (g34's rule as a pattern element).
+  * The hop's output time column is its LAST edge's `valid_from`. WALK
+  * semantics: intermediates may revisit nodes (no trail guard) — the
+  * same multiplicity a hand-unrolled join chain produces; `hi` bounds
+  * the expansion, so state stays hi × one join chain, never recursive.
   */
 final case class Hop(
     alias: String,
@@ -24,7 +38,12 @@ final case class Hop(
     label: Option[String] = None,
     reversed: Boolean = false,
     timeOrdered: Boolean = false,
-    maxDelay: Option[String] = None)
+    maxDelay: Option[String] = None,
+    repeat: Option[(Int, Int)] = None) {
+  repeat.foreach { case (lo, hi) =>
+    require(1 <= lo && lo <= hi, s"repeat bounds must satisfy 1 <= lo <= hi, got ($lo, $hi)")
+  }
+}
 
 /** Declarative edge-chain pattern over a [[PropertyGraph]] — the general
   * form of the hand-built join chains (g11's shared-attribute conflict,
@@ -80,15 +99,50 @@ object Motif {
       h.relType.foreach(rt => e = e.filter(col("rel_type") === rt))
       val (near, far) = if (h.reversed) ("dst", "src") else ("src", "dst")
       val t = s"t${i + 1}"
-      val step = e.select(col(near).as("__near"), col(far).as(h.alias),
-        col("valid_from").as(t))
-      acc =
-        if (i == 0) constrain(step.withColumnRenamed("__near", m.start), m.start, m.startLabel)
-        else acc.join(step, col(m.aliases(i)) === col("__near")).drop("__near")
-      if (i > 0) {
-        if (h.timeOrdered) acc = acc.filter(col(t) >= col(s"t$i"))
-        h.maxDelay.foreach(d =>
-          acc = acc.filter(col(t) <= col(s"t$i") + expr(s"INTERVAL $d")))
+      // one edge step with fresh column names (suffix keeps repeated
+      // self-joins of the same edge frame unambiguous)
+      def step(sfx: String): DataFrame = e.select(
+        col(near).as(s"__n$sfx"), col(far).as(s"__f$sfx"),
+        col("valid_from").as(s"__t$sfx"))
+      // bind the FIRST edge of this hop onto the chain (or start it),
+      // applying the previous-hop temporal predicates
+      def first(): DataFrame = {
+        var df =
+          if (i == 0) constrain(step("0").withColumnRenamed("__n0", m.start), m.start, m.startLabel)
+          else acc.join(step("0"), col(m.aliases(i)) === col("__n0")).drop("__n0")
+        if (i > 0) {
+          if (h.timeOrdered) df = df.filter(col("__t0") >= col(s"t$i"))
+          h.maxDelay.foreach(d =>
+            df = df.filter(col("__t0") <= col(s"t$i") + expr(s"INTERVAL $d")))
+        }
+        df
+      }
+      def emit(df: DataFrame): DataFrame = df
+        .withColumnRenamed("__f0", h.alias).withColumnRenamed("__t0", t)
+      acc = h.repeat match {
+        case None => emit(first())
+        case Some((lo, hi)) =>
+          // bounded variable-length expansion: extend edge by edge, the
+          // walk head riding in (__f0, __t0); union the levels in
+          // [lo, hi]. Each level is ONE more equi-join on node ids — the
+          // kHop join shape, unrolled (hi is a small pattern constant, so
+          // no checkpoint/recursion machinery is warranted here).
+          var cur = first()
+          var out = if (lo <= 1) emit(cur) else null
+          for (lvl <- 2 to hi) {
+            var nxt = cur.join(step(lvl.toString), col("__f0") === col(s"__n$lvl"))
+            if (h.timeOrdered) nxt = nxt.filter(col(s"__t$lvl") >= col("__t0"))
+            h.maxDelay.foreach(d =>
+              nxt = nxt.filter(col(s"__t$lvl") <= col("__t0") + expr(s"INTERVAL $d")))
+            cur = nxt.drop("__f0", "__t0", s"__n$lvl")
+              .withColumnRenamed(s"__f$lvl", "__f0")
+              .withColumnRenamed(s"__t$lvl", "__t0")
+            if (lvl >= lo) {
+              val lvlOut = emit(cur)
+              out = if (out == null) lvlOut else out.unionByName(lvlOut)
+            }
+          }
+          out
       }
       acc = constrain(acc, h.alias, h.label)
     }

@@ -12,21 +12,25 @@ import org.apache.spark.sql.functions._
   * Output goes OUTSIDE /root/testdata (that tree is read-only).
   *
   * ORGANIC document growth (round 8, VERDICT r7 #4): copies k ≥ 1 of the
-  * documents table get a deterministic content-keyed token jitter — ~30%
-  * of token OCCURRENCES (selected by a hash of the token text and k) are
-  * suffixed with "_k" — so cross-copy pairs stop being near-duplicates
-  * (a changed token kills the 3 shingles through it; expected shingle
-  * survival ≈ 0.7³ ≈ 0.34 → cross-copy Jaccard ≈ 0.2, far under every
-  * graded near-dup threshold) while WITHIN-copy similarity is preserved
-  * EXACTLY: the map token→token' is injective and content-keyed, so two
-  * docs in the same copy share a token/shingle after the map iff they
-  * shared it before. Result: near-dup pair counts scale ~k (the organic
-  * density, copied k times) instead of the old verbatim-copy fixture's
-  * quadratic k·(k−1)/2 planted pairs that dominated the sf0.8/1.6
-  * rehearsal numbers. n_chars is recomputed (source invariant n_chars =
-  * LENGTH(text), verified on the driver fixtures). xxhash64 keys the
-  * jitter: this is tool-side DATA GENERATION — both engines then read the
-  * same parquet, so no SQL-mirrorability constraint applies.
+  * documents table get a deterministic content-keyed token jitter — ~70%
+  * of token VOCABULARY (selected by a hash of the token text and k; all
+  * occurrences of a selected token move together) is suffixed with "_k" —
+  * so cross-copy pairs stop being near-duplicates (a changed token kills
+  * the 3 shingles through it; expected shingle survival ≈ 0.3³ ≈ 0.03 →
+  * cross-copy Jaccard ≈ 0.014, far under the graded 0.2 thresholds)
+  * while WITHIN-copy similarity is preserved EXACTLY: the map
+  * token→token' is injective and content-keyed, so two docs in the same
+  * copy share a token/shingle after the map iff they shared it before.
+  * The rate is MEASURED, not modeled: at the original 30% rate the
+  * cross-copy Jaccard model (0.7³ → J ≈ 0.21) sat exactly at the 0.2
+  * graded threshold, and repeated-token correlation pushed the realized
+  * median to 0.28 — 7,209 of 8,233 sf0.4 l03 pairs were cross-copy
+  * boundary noise (pair-count split measured in SCALE.md's round-8
+  * entry). n_chars is recomputed (source
+  * invariant n_chars = LENGTH(text), verified on the driver fixtures).
+  * xxhash64 keys the jitter: this is tool-side DATA GENERATION — both
+  * engines then read the same parquet, so no SQL-mirrorability
+  * constraint applies.
   *
   * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies>
   */
@@ -34,11 +38,11 @@ object ScaleUp {
   private val Shift = 10000000L // > every key range at sf0.1, ≪ 1e9 node-id base gap
   private val MaxCopies = (1000000000L / Shift - 1).toInt
 
-  /** ~30% of token occurrences perturbed, keyed on (token text, copy). */
+  /** ~70% of token vocabulary perturbed, keyed on (token text, copy). */
   private def jitterText(textCol: Column, k: Int): Column =
     array_join(
       transform(split(textCol, " "),
-        t => when(pmod(xxhash64(t, lit(k)), lit(10L)) < 3,
+        t => when(pmod(xxhash64(t, lit(k)), lit(10L)) < 7,
                concat(t, lit("_"), lit(k))).otherwise(t)),
       " ")
 

@@ -59,6 +59,37 @@ class MotifSpec extends SparkSpec {
     assert(unconstrained > 0 && redundant == unconstrained && wrong == 0)
   }
 
+  test("variable-length hop equals the union of its fixed-length unrollings") {
+    // *1..2 must produce EXACTLY the 1-hop rows plus the 2-hop rows with
+    // the intermediate projected away (t = last edge's date) — same
+    // temporal chaining, same multiplicity.
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("u", "w").agg(count(lit(1)).as("n"), max("t1").as("mx"))
+      .orderBy("u", "w").collect()
+    val varHop = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED"), timeOrdered = true,
+          maxDelay = Some("1 HOUR"), repeat = Some((1, 2))))))
+    val one = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED")))))
+    val two = Motif.find(g, Motif("u", None, Seq(
+        Hop("mid", relType = Some("INTERACTED")),
+        Hop("w", relType = Some("INTERACTED"),
+            timeOrdered = true, maxDelay = Some("1 HOUR")))))
+      .select(col("u"), col("w"), col("t2").as("t1"))
+    val unrolled = one.select("u", "w", "t1").unionByName(two)
+    assert(agg(varHop).nonEmpty && agg(varHop).sameElements(agg(unrolled)))
+  }
+
+  test("variable-length lower bound: *2..2 drops the single-edge matches") {
+    val exact2 = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED"), repeat = Some((2, 2))))))
+    val upTo2 = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED"), repeat = Some((1, 2))))))
+    val one = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED")))))
+    assert(exact2.count() > 0 && exact2.count() === upTo2.count() - one.count())
+  }
+
   test("temporal predicates drop undated edges (null valid_from never satisfies)") {
     // LOCATED_IN → PART_OF is a real undated 2-chain (customer→nation→region)…
     val undatedChain = Motif("c", None, Seq(
