@@ -20,6 +20,13 @@ object GraftSession {
     // tier, which userTransitions only selects under its size threshold)
     // would otherwise drown the bench JSON line
     s.sparkContext.setLogLevel("ERROR")
+    // Optional reliable-checkpoint mode: when set, Materialize upgrades
+    // every iterative-loop lineage cut from localCheckpoint (executor
+    // blocks, lost with the executor) to fault-tolerant dir-based
+    // checkpoints — the mode a 1000-executor deployment runs with its
+    // checkpoint dir on HDFS/S3. Local rehearsals point it at a tmp dir
+    // to measure the storage-tier cost (SCALE.md round 8).
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach(s.sparkContext.setCheckpointDir)
     s
   }
 }
