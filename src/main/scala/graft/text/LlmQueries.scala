@@ -284,6 +284,79 @@ object LlmQueries {
       |          FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |          WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.2)""".stripMargin
 
+  /** MinHash-LSH near-dup pairs, parameterized by band WIDTH (`bandRows`
+    * minhashes per band, 12/bandRows bands): the banded candidate join +
+    * exact-Jaccard rerank shared by l02 (r=1, recall-first) and l02b
+    * (r=2, precision-first — the scale knob; see the l02b entry).
+    * Single-sourced with its SQL mirror [[minhashNearDupPairsSql]].
+    */
+  private def minhashNearDupPairs(s: SparkSession, d: String, bandRows: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val nBands = minhashMults.size / bandRows
+    val ws = Tables(s, d).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tg = ws.select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+      .distinct()
+      .transform(graft.graph.Materialize.apply) // reused: sketch + sizes + rerank
+    val mins = minhashMults.zipWithIndex.map { case (m, h) =>
+      min(expr(s"poly_hash(g, 0L, ${m}L)")).as(s"mh$h") }
+    val sketch = tg.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = Seq("h") ++ (0 until bandRows).map(r => s"mh_r$r")
+    val stackExpr = (0 until nBands).map(b =>
+      (Seq(s"$b") ++ (0 until bandRows).map(r => s"mh${b * bandRows + r}")).mkString(", ")).mkString(", ")
+    val buckets = sketch.select(col("doc_id"),
+      expr(s"stack($nBands, $stackExpr)").as(bandCols))
+    val cand = buckets.select(col("doc_id").as("a") +: bandCols.map(col): _*)
+      .join(buckets.select(col("doc_id").as("b") +: bandCols.map(col): _*), bandCols)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tg.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(tg.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard_dist",
+        round(lit(1.0) - col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard_dist") <= 0.8)
+      .select(col("a"), col("b"), col("jaccard_dist"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of [[minhashNearDupPairs]] at the same band width. */
+  private def minhashNearDupPairsSql(bandRows: Int): String = {
+    val nBands = minhashMults.size / bandRows
+    val mhCols = (0 until bandRows).map(r => s"mh_r$r")
+    val bktSelects = (0 until nBands).map(b =>
+      s"SELECT doc_id, $b AS h, " +
+        (0 until bandRows).map(r => s"mh${b * bandRows + r} AS ${mhCols(r)}").mkString(", ") +
+        " FROM sketch").mkString(" UNION ALL ")
+    val bandEq = (Seq("h") ++ mhCols).map(c => s"ba.$c = bb.$c").mkString(" AND ")
+    s"""
+      WITH $trigramBaseSql,
+      sketch AS (SELECT doc_id, ${minhashMults.zipWithIndex.map { case (m, h) =>
+        s"MIN(${polyHashSql("g", 0L, m)}) AS mh$h" }.mkString(", ")}
+                 FROM tg GROUP BY doc_id),
+      bkt AS ($bktSelects),
+      cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+               FROM bkt ba JOIN bkt bb ON $bandEq
+               WHERE ba.doc_id < bb.doc_id),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
+      inter AS (SELECT c.a, c.b, COUNT(*) AS i
+                FROM cand c JOIN tg ta ON ta.doc_id = c.a
+                            JOIN tg tb ON tb.doc_id = c.b AND tb.g = ta.g
+                GROUP BY 1, 2)
+      SELECT i.a, i.b,
+             ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard_dist
+      FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+      WHERE ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) <= 0.8
+      ORDER BY a, b"""
+  }
+
   private val entries: Seq[E] = Seq(
 
     // L1 — exact dedup: canonical (min) doc per distinct text + copy count.
@@ -330,59 +403,24 @@ object LlmQueries {
     // the polynomial fold exactly, so the WHOLE pipeline (sketch → bands →
     // bucket join → rerank) now grades in CORRECTNESS instead of a
     // recall-only spec (the l33/l35/l39 precedent).
-    E("l02_minhash_lsh", (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val nHashes = minhashMults.size
-      val ws = Tables(s, d).documents
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      val tg = ws.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
-        .distinct()
-        .transform(graft.graph.Materialize.apply) // reused: sketch + sizes + rerank
-      val mins = minhashMults.zipWithIndex.map { case (m, h) =>
-        min(expr(s"poly_hash(g, 0L, ${m}L)")).as(s"mh$h") }
-      val sketch = tg.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val stackExpr = (0 until nHashes).map(h => s"$h, mh$h").mkString(", ")
-      val buckets = sketch.select(col("doc_id"),
-        expr(s"stack($nHashes, $stackExpr)").as(Seq("h", "mh")))
-      val cand = buckets.select(col("doc_id").as("a"), col("h"), col("mh"))
-        .join(buckets.select(col("doc_id").as("b"), col("h"), col("mh")), Seq("h", "mh"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(tg.select(col("doc_id").as("a"), col("g")), Seq("a"))
-        .join(tg.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-        .withColumn("jaccard_dist",
-          round(lit(1.0) - col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-        .filter(col("jaccard_dist") <= 0.8)
-        .select(col("a"), col("b"), col("jaccard_dist"))
-        .orderBy("a", "b")
-    }, Some(s"""
-      WITH $trigramBaseSql,
-      sketch AS (SELECT doc_id, ${minhashMults.zipWithIndex.map { case (m, h) =>
-        s"MIN(${polyHashSql("g", 0L, m)}) AS mh$h" }.mkString(", ")}
-                 FROM tg GROUP BY doc_id),
-      bkt AS (${minhashMults.indices.map(h =>
-        s"SELECT doc_id, $h AS h, mh$h AS mh FROM sketch").mkString(" UNION ALL ")}),
-      cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
-               FROM bkt ba JOIN bkt bb ON ba.h = bb.h AND ba.mh = bb.mh
-               WHERE ba.doc_id < bb.doc_id),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY 1),
-      inter AS (SELECT c.a, c.b, COUNT(*) AS i
-                FROM cand c JOIN tg ta ON ta.doc_id = c.a
-                            JOIN tg tb ON tb.doc_id = c.b AND tb.g = ta.g
-                GROUP BY 1, 2)
-      SELECT i.a, i.b,
-             ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard_dist
-      FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
-      WHERE ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) <= 0.8
-      ORDER BY a, b""")),
+    E("l02_minhash_lsh", (s, d) => minhashNearDupPairs(s, d, bandRows = 1),
+      Some(minhashNearDupPairsSql(bandRows = 1))),
+
+    // L2e — the SAME pipeline with r=2 band rows (6 bands × 2 minhashes):
+    // the banding parameter SCALE.md names as the knob to turn at larger
+    // corpora. A band collides only when BOTH its minhashes agree, so the
+    // false-positive candidate rate drops from ≈J per band to ≈J² — at
+    // sf3.2 measured candidate volume falls 134× (4.37M → 32.5k pairs,
+    // SCALE.md round 8) — traded against recall at the low-J boundary
+    // (P[found | J] =
+    // 1-(1-J²)^6 vs 1-(1-J)^12; at the graded J=0.2 boundary 0.22 vs
+    // 0.93, converging to 1 for true near-dups: 0.9995 at J=0.8).
+    // Candidates(r=2) ⊆ candidates(r=1) by construction (both minhashes
+    // equal ⇒ each equal alone), so this grades the documented
+    // precision-recall tradeoff, not a different operator; LlmOpsSpec
+    // asserts the subset relation and that high-J pairs survive.
+    E("l02b_minhash_lsh_r2", (s, d) => minhashNearDupPairs(s, d, bandRows = 2),
+      Some(minhashNearDupPairsSql(bandRows = 2))),
 
     // L2b — exact 3-gram Jaccard near-dup join (oracle-able ground truth for
     // the LSH path; inverted-index join, NOT an all-pairs cross join).

@@ -47,6 +47,17 @@ object L02Profile {
         .join(buckets.select(col("doc_id").as("b"), col("h"), col("mh")), Seq("h", "mh"))
         .filter(col("a") < col("b"))
         .select(col("a"), col("b")).distinct())
+    // r=2 banding comparison (l02b): candidate volume at 6 bands × 2 rows
+    val stack2 = (0 until nHashes / 2).map(b =>
+      s"$b, mh${2 * b}, mh${2 * b + 1}").mkString(", ")
+    val buckets2 = sketch.select(col("doc_id"),
+      expr(s"stack(${nHashes / 2}, $stack2)").as(Seq("h", "m1", "m2")))
+    stage("r=2 cand join+distinct")(
+      buckets2.select(col("doc_id").as("a"), col("h"), col("m1"), col("m2"))
+        .join(buckets2.select(col("doc_id").as("b"), col("h"), col("m1"), col("m2")),
+          Seq("h", "m1", "m2"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct())
     val sz = stage("sizes")(tg.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val inter = stage("rerank intersection")(cand
       .join(tg.select(col("doc_id").as("a"), col("g")), Seq("a"))

@@ -15,6 +15,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
   }
 
+  test("r=2 banding: results subset of r=1, high-jaccard pairs all survive") {
+    // both minhashes of a band equal ⇒ each equal alone, so the r=2
+    // candidate set (hence result set) is contained in r=1's; and at
+    // J ≥ 0.5 the analytic miss rate (1-J²)^6 ≤ 1.8% — on this fixture's
+    // deterministic hashes every such pair must in fact survive.
+    val r1 = LlmQueries.queries("l02_minhash_lsh")(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val r2 = LlmQueries.queries("l02b_minhash_lsh_r2")(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(r2.nonEmpty && r2.subsetOf(r1), s"r=2 not a subset: ${r2 -- r1}")
+    val high = LlmQueries.queries("l02_minhash_lsh")(spark, sfDir)
+      .filter(col("jaccard_dist") <= 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(high.nonEmpty && high.subsetOf(r2), s"r=2 dropped high-J pairs: ${high -- r2}")
+  }
+
   test("simhash: identical docs collide, near-dups are hamming-close") {
     val fp = LlmQueries.queries("l04_simhash")(spark, sfDir)
       .as[(Long, Long)].collect().toMap
