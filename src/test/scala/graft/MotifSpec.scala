@@ -80,6 +80,24 @@ class MotifSpec extends SparkSpec {
     assert(agg(varHop).nonEmpty && agg(varHop).sameElements(agg(unrolled)))
   }
 
+  test("variable-length hop respects direction: reversed *1..2 equals reversed unrolling") {
+    // every edge inside the repetition must walk the hop's direction —
+    // a reversed var-hop is the union of the reversed 1- and 2-chains
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("u", "w").agg(count(lit(1)).as("n"))
+      .orderBy("u", "w").collect()
+    val varRev = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED"), reversed = true, repeat = Some((1, 2))))))
+    val one = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED"), reversed = true))))
+    val two = Motif.find(g, Motif("u", None, Seq(
+        Hop("mid", relType = Some("INTERACTED"), reversed = true),
+        Hop("w", relType = Some("INTERACTED"), reversed = true))))
+      .select(col("u"), col("w"))
+    val unrolled = one.select("u", "w").unionByName(two)
+    assert(agg(varRev).nonEmpty && agg(varRev).sameElements(agg(unrolled)))
+  }
+
   test("variable-length lower bound: *2..2 drops the single-edge matches") {
     val exact2 = Motif.find(g, Motif("u", None, Seq(
       Hop("w", relType = Some("INTERACTED"), repeat = Some((2, 2))))))
