@@ -380,6 +380,28 @@ object Algorithms {
       .map { case (id, dist) => (id, dist) }.toDF("id", "dist")
   }
 
+  /** Bounded max-product reachability from `source` via Pregel: vertex attr
+    * carries the best walk product so far (source starts at 1.0, others at
+    * 0.0), messages relax `srcAttr × weight`, `maxIterations` bounds the
+    * walk length — one superstep extends walks by one edge, so k iterations
+    * cover exactly the ≤ k-hop walks. The GraphX cross-check for
+    * [[Ubo.strongestChain]]'s DP values (GraphAlgosSpec): both take the max
+    * over the same walk set and both accumulate each walk's product
+    * prefix-first, so the doubles match bitwise, not just approximately.
+    */
+  def maxProductGraphX(edges: DataFrame, source: Long, maxIters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = toGraph(edges).mapVertices((id, _) => if (id == source) 1.0 else 0.0)
+    g.pregel(0.0, maxIterations = maxIters)(
+        (_, p, msg) => math.max(p, msg),
+        t => if (t.srcAttr * t.attr > t.dstAttr) Iterator((t.dstId, t.srcAttr * t.attr))
+             else Iterator.empty,
+        (a, b) => math.max(a, b))
+      .vertices.filter { case (id, p) => p > 0.0 && id != source }
+      .map { case (id, p) => (id, p) }.toDF("id", "best_share")
+  }
+
   /** Bounded Bellman-Ford: shortest weighted distance from `source` using
     * ≤ rounds edges (DataFrame twin of [[ssspGraphX]]; each round is one
     * relaxation join + min-agg, mirrored by an unrolled CTE).

@@ -369,6 +369,43 @@ object GraphQueries {
       FROM walks WHERE u <> w
       GROUP BY 1 ORDER BY id""")),
 
+    // G38 — TRAIL-SEMANTICS variable-length hop (VERDICT r8 #1): the same
+    // time-respecting reach as g37 but one hop deeper (1..3) and with
+    // Cypher-style uniqueness ON (`unique = true` — node-trail: entry,
+    // intermediates, terminal pairwise distinct). On this cyclic user
+    // graph walks overcount reach (a 3-walk may bounce a->b->a->c); the
+    // trail guard prunes revisits level by level, which is also the SCALE
+    // story: on cyclic graphs the guard SHRINKS each level's frontier
+    // where walk semantics multiplies it. The mirror spells out exactly
+    // the unrolled pairwise-<> guard joins the array-accumulator lowers
+    // to; MotifSpec additionally proves walk vs trail counts differ on a
+    // cyclic fixture and that trail matches the hand-unrolled guard join.
+    E("g38_motif_trail_reach", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      Motif.find(g, Motif("u", None, Seq(
+          Hop("w", relType = Some("INTERACTED"), timeOrdered = true,
+              maxDelay = Some("1 HOUR"), repeat = Some((1, 3)), unique = true))))
+        .groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("n_trails"), countDistinct(col("w")).as("n_reached"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH $edgesCte,
+      e AS (SELECT src, dst, valid_from AS ts FROM graph_edges
+            WHERE rel_type = 'INTERACTED'),
+      t1 AS (SELECT src AS u, dst AS w, ts FROM e WHERE dst <> src),
+      t2 AS (SELECT a.u, b.dst AS w, b.ts, a.w AS v1
+             FROM t1 a JOIN e b ON b.src = a.w
+             WHERE b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+               AND b.dst <> a.u AND b.dst <> a.w),
+      t3 AS (SELECT a.u, c.dst AS w
+             FROM t2 a JOIN e c ON c.src = a.w
+             WHERE c.ts >= a.ts AND c.ts <= a.ts + INTERVAL 1 HOUR
+               AND c.dst <> a.u AND c.dst <> a.v1 AND c.dst <> a.w),
+      trails AS (SELECT u, w FROM t1 UNION ALL SELECT u, w FROM t2
+                 UNION ALL SELECT u, w FROM t3)
+      SELECT u AS id, COUNT(*) AS n_trails, COUNT(DISTINCT w) AS n_reached
+      FROM trails GROUP BY 1 ORDER BY id""")),
+
     // G8 — degree centrality (NetworkX "centrality", README.md:28)
     E("g08_degree", (s, d) => {
       val e = GraphBuilder.edges(Tables(s, d))
@@ -478,6 +515,47 @@ object GraphQueries {
       SELECT owner, entity, ROUND(share, 6) AS share6
       FROM s4 WHERE ROUND(share, 6) >= 0.001
       ORDER BY owner, entity""")),
+
+    // G39 — STRONGEST ownership chain (VERDICT r8 #2; README.md:11,13 —
+    // showing *the* chain behind a UBO figure): per (owner, target) the
+    // max-product path ≤ 4 hops over the same cyclic out-normalized user
+    // graph as g03_ubo_cyclic, with the argmax chain reconstructed as a
+    // '->'-joined id string and its hop count. g03 answers "how much does
+    // X control Y" (sum over paths); g39 answers "through WHICH chain"
+    // (argmax path) — the Viterbi twin of the same unrolled propagation,
+    // state capped at |owners| × |nodes| by the per-step argmax prune
+    // (Ubo.strongestChain). Same bounded-owner drill-down contract; the
+    // ranked tie order (share DESC, chain ASC) is mirrored exactly, so
+    // the chain column hash-checks, not just the share. The filter on the
+    // ROUNDED strength keeps the boundary deterministic in both engines.
+    E("g39_strongest_chain", (s, d) => {
+      val e = Ubo.interactedWeighted(Tables(s, d))
+      val owners = e.filter(col("src") < GraphBuilder.UserBase + 100L)
+        .select(col("src").as("owner"))
+      Ubo.strongestChain(e, owners, maxHops = 4)
+        .select(col("owner"), col("entity").as("target"),
+                round(col("share"), 6).as("strength"), col("chain"), col("hops"))
+        .filter(col("strength") >= 0.000001)
+        .orderBy("owner", "target")
+    }, Some(s"""
+      WITH ${UboSql.interactedWeightedCte},
+      c0 AS (SELECT DISTINCT src AS owner, src AS entity, CAST(1.0 AS DOUBLE) AS share,
+                    CAST(src AS VARCHAR) AS chain
+             FROM ie_edges WHERE src < 7000000100),
+      ${UboSql.chainStep("c0", "c1", "ie_edges")},
+      ${UboSql.chainStep("c1", "c2", "ie_edges")},
+      ${UboSql.chainStep("c2", "c3", "ie_edges")},
+      ${UboSql.chainStep("c3", "c4", "ie_edges")},
+      allc AS (SELECT owner, entity, share, chain, 1 AS hops FROM c1
+               UNION ALL SELECT owner, entity, share, chain, 2 FROM c2
+               UNION ALL SELECT owner, entity, share, chain, 3 FROM c3
+               UNION ALL SELECT owner, entity, share, chain, 4 FROM c4),
+      best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY owner, entity
+                                            ORDER BY share DESC, chain) AS rn
+               FROM allc)
+      SELECT owner, entity AS target, ROUND(share, 6) AS strength, chain, hops
+      FROM best WHERE rn = 1 AND ROUND(share, 6) >= 0.000001
+      ORDER BY owner, target""")),
 
     // G5 — simple-path enumeration ≤3 hops from customer #1 (the ownership
     // chains behind a UBO figure), with cycle guard.

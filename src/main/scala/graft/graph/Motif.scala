@@ -27,10 +27,34 @@ import org.apache.spark.sql.functions._
   * pair inside the repetition (and bind its first edge to the previous
   * hop, exactly like a fixed hop), so a repeated hop is a bounded
   * time-respecting reachability step (g34's rule as a pattern element).
-  * The hop's output time column is its LAST edge's `valid_from`. WALK
-  * semantics: intermediates may revisit nodes (no trail guard) — the
-  * same multiplicity a hand-unrolled join chain produces; `hi` bounds
-  * the expansion, so state stays hi × one join chain, never recursive.
+  * The hop's output time column is its LAST edge's `valid_from`. Default
+  * is WALK semantics: intermediates may revisit nodes (no trail guard) —
+  * the same multiplicity a hand-unrolled join chain produces; `hi`
+  * bounds the expansion, so state stays hi × one join chain, never
+  * recursive.
+  *
+  * `unique = true` (repeated hops only) switches the repetition to
+  * NODE-TRAIL semantics: the hop's entry node, every intermediate, and
+  * the terminal are pairwise distinct — the simple-path guard
+  * [[Traversals.simplePaths]] uses (path-accumulator + `array_contains`),
+  * carried as an array column through the unrolled levels. This is the
+  * Spark rendering of Cypher's uniqueness on `-[:T*lo..hi]->` (Neo4j
+  * default is relationship-uniqueness; on the cyclic ownership graphs
+  * the reference targets — README.md:15 "circular ownership" — walks
+  * overcount reach, and node-trail is the stricter, chain-shaped
+  * semantics a compliance query wants: no entity appears twice in one
+  * chain). Uniqueness is LOCAL to the repeated hop — constraints against
+  * OTHER aliases in the pattern stay `notEqual`'s job. MotifSpec proves
+  * walk vs trail counts differ on a deliberately cyclic fixture and that
+  * trail matches a hand-unrolled pairwise-guard join.
+  *
+  * `undirected = true` matches the edge in EITHER stored orientation
+  * (Cypher `(a)-[r]-(b)`): the hop lowers over the two-orientation union
+  * of the edge frame — plan-wise one extra union branch feeding the same
+  * single equi-join, so the hop still costs one shuffle on node ids.
+  * Mutually exclusive with `reversed` (an undirected hop has no
+  * direction to flip). MotifSpec proves it equals the union of the
+  * forward and reversed patterns.
   */
 final case class Hop(
     alias: String,
@@ -39,10 +63,17 @@ final case class Hop(
     reversed: Boolean = false,
     timeOrdered: Boolean = false,
     maxDelay: Option[String] = None,
-    repeat: Option[(Int, Int)] = None) {
+    repeat: Option[(Int, Int)] = None,
+    unique: Boolean = false,
+    undirected: Boolean = false) {
   repeat.foreach { case (lo, hi) =>
     require(1 <= lo && lo <= hi, s"repeat bounds must satisfy 1 <= lo <= hi, got ($lo, $hi)")
   }
+  require(!unique || repeat.isDefined,
+    "unique (trail semantics) applies to variable-length hops; " +
+      "for fixed hops express node constraints with Motif.notEqual")
+  require(!(reversed && undirected),
+    "reversed and undirected are mutually exclusive — an undirected hop matches both orientations")
 }
 
 /** Declarative edge-chain pattern over a [[PropertyGraph]] — the general
@@ -100,10 +131,18 @@ object Motif {
       val (near, far) = if (h.reversed) ("dst", "src") else ("src", "dst")
       val t = s"t${i + 1}"
       // one edge step with fresh column names (suffix keeps repeated
-      // self-joins of the same edge frame unambiguous)
-      def step(sfx: String): DataFrame = e.select(
-        col(near).as(s"__n$sfx"), col(far).as(s"__f$sfx"),
-        col("valid_from").as(s"__t$sfx"))
+      // self-joins of the same edge frame unambiguous); an undirected hop
+      // unions the two orientations BEFORE the join, so it stays one
+      // equi-join (Catalyst pushes the rel_type filter into both branches)
+      def step(sfx: String): DataFrame = {
+        val fwd = e.select(
+          col(near).as(s"__n$sfx"), col(far).as(s"__f$sfx"),
+          col("valid_from").as(s"__t$sfx"))
+        if (!h.undirected) fwd
+        else fwd.unionByName(e.select(
+          col(far).as(s"__n$sfx"), col(near).as(s"__f$sfx"),
+          col("valid_from").as(s"__t$sfx")))
+      }
       // bind the FIRST edge of this hop onto the chain (or start it),
       // applying the previous-hop temporal predicates
       def first(): DataFrame = {
@@ -119,6 +158,7 @@ object Motif {
       }
       def emit(df: DataFrame): DataFrame = df
         .withColumnRenamed("__f0", h.alias).withColumnRenamed("__t0", t)
+        .drop("__vis")
       acc = h.repeat match {
         case None => emit(first())
         case Some((lo, hi)) =>
@@ -127,13 +167,26 @@ object Motif {
           // [lo, hi]. Each level is ONE more equi-join on node ids — the
           // kHop join shape, unrolled (hi is a small pattern constant, so
           // no checkpoint/recursion machinery is warranted here).
+          // Trail mode (`unique`) additionally rides the visited-node set
+          // in an array column (__vis) and guards each extension with
+          // array_contains — Traversals.simplePaths' accumulator, scoped
+          // to this hop. The array holds ≤ hi+1 longs, so the state cost
+          // is a constant-width column, and on cyclic graphs the guard
+          // SHRINKS every level (revisiting walks are pruned instead of
+          // multiplied).
           var cur = first()
+          if (h.unique) cur = cur
+            .filter(col(m.aliases(i)) =!= col("__f0"))
+            .withColumn("__vis", array(col(m.aliases(i)), col("__f0")))
           var out = if (lo <= 1) emit(cur) else null
           for (lvl <- 2 to hi) {
             var nxt = cur.join(step(lvl.toString), col("__f0") === col(s"__n$lvl"))
             if (h.timeOrdered) nxt = nxt.filter(col(s"__t$lvl") >= col("__t0"))
             h.maxDelay.foreach(d =>
               nxt = nxt.filter(col(s"__t$lvl") <= col("__t0") + expr(s"INTERVAL $d")))
+            if (h.unique) nxt = nxt
+              .filter(!array_contains(col("__vis"), col(s"__f$lvl")))
+              .withColumn("__vis", array_append(col("__vis"), col(s"__f$lvl")))
             cur = nxt.drop("__f0", "__t0", s"__n$lvl")
               .withColumnRenamed(s"__f$lvl", "__f0")
               .withColumnRenamed(s"__t$lvl", "__t0")

@@ -111,6 +111,56 @@ object Ubo {
     own
   }
 
+  /** Strongest-ownership-chain DP (reference README.md:11,13 — showing THE
+    * chain behind a UBO figure): per (owner, target), the maximum-product
+    * path of ≤ maxHops edges, with the chain itself reconstructed as a
+    * '->'-joined id string (g05's path convention). A compliance user asks
+    * "through which chain does X control Y?" — [[propagate]] answers with
+    * the SUM over all paths; this answers with the argmax path.
+    *
+    * Viterbi-style bounded dynamic program over unrolled steps: frontier i
+    * holds, per (owner, entity), the best EXACTLY-i-hop path (share +
+    * chain), pruned to one row per cell by (share DESC, chain ASC). The
+    * per-step prune loses nothing: every extension multiplies by the same
+    * edge weight, so the best prefix stays best (max-product optimal
+    * substructure — the min-plus/−log-weight DP without the log round
+    * trip; weights ≤ 1 so products only shrink), and equal-hop chains to
+    * the same node never string-prefix each other (same component count),
+    * so the ASC tie order is extension-invariant. Walk semantics: with
+    * weights ≤ 1, any walk revisiting a node is dominated by the simple
+    * path it contains, so the DP's argmax VALUE equals the simple-path
+    * argmax; GraphAlgosSpec cross-checks the values against a GraphX
+    * Pregel max-product run ([[Algorithms.maxProductGraphX]]).
+    *
+    * Scale posture: state is capped at |owners| × |nodes| rows per step BY
+    * CONSTRUCTION (the rn=1 prune), each step one equi-join on the entity
+    * key plus one (owner, entity)-partitioned window — the bounded-owner
+    * drill-down contract of [[propagate]]'s cyclic form, with a ≤
+    * maxHops+1-id string column riding along. Mirrored step-for-step by
+    * [[UboSql.chainStep]].
+    */
+  def strongestChain(edges: DataFrame, owners: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight")).transform(Materialize.apply)
+    val w = Window.partitionBy(col("owner"), col("entity"))
+      .orderBy(col("share").desc, col("chain"))
+    var frontier = owners.select(col("owner")).distinct()
+      .select(col("owner"), col("owner").as("entity"), lit(1.0).as("share"),
+              col("owner").cast("string").as("chain"))
+    var best: DataFrame = null
+    for (i <- 1 to maxHops) {
+      frontier = frontier.join(e, col("entity") === col("src"))
+        .select(col("owner"), col("dst").as("entity"),
+                (col("share") * col("weight")).as("share"),
+                concat(col("chain"), lit("->"), col("dst").cast("string")).as("chain"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .transform(Materialize.apply) // reused: level output + next join
+      val lvl = frontier.withColumn("hops", lit(i))
+      best = if (best == null) lvl else best.unionByName(lvl)
+    }
+    best.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** One propagation step. Exchanges the join output on the GROUP keys
     * before aggregating: the step's group keys (owner, dst) differ from
     * its join key (entity = src), so map-side partial aggregation over the
@@ -173,4 +223,19 @@ object UboSql {
        |  SELECT p.owner, e.dst AS entity, SUM(p.share * e.weight) AS share
        |  FROM $prev p JOIN $edges e ON e.src = p.entity GROUP BY 1, 2$having)""".stripMargin
   }
+
+  /** One unrolled [[Ubo.strongestChain]] DP step: extend every frontier
+    * cell by one edge, keep the (share DESC, chain ASC) argmax per
+    * (owner, entity). The window sits in an outer subquery so both engines
+    * rank the SAME computed (share, chain) values.
+    */
+  def chainStep(prev: String, cur: String, edges: String): String =
+    s"""$cur AS (
+       |  SELECT owner, entity, share, chain FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY owner, entity
+       |                                 ORDER BY share DESC, chain) AS rn
+       |    FROM (SELECT p.owner, e.dst AS entity, p.share * e.weight AS share,
+       |                 p.chain || '->' || CAST(e.dst AS VARCHAR) AS chain
+       |          FROM $prev p JOIN $edges e ON e.src = p.entity))
+       |  WHERE rn = 1)""".stripMargin
 }

@@ -291,6 +291,9 @@ object LlmQueries {
     * Single-sourced with its SQL mirror [[minhashNearDupPairsSql]].
     */
   private def minhashNearDupPairs(s: SparkSession, d: String, bandRows: Int): DataFrame = {
+    require(minhashMults.size % bandRows == 0,
+      s"bandRows=$bandRows must divide the ${minhashMults.size}-hash sketch; " +
+        "a non-divisor would silently drop trailing minhashes from the banding")
     graft.functions.GraftFunctions.register(s)
     val nBands = minhashMults.size / bandRows
     val ws = Tables(s, d).documents
@@ -329,6 +332,8 @@ object LlmQueries {
 
   /** DuckDB mirror of [[minhashNearDupPairs]] at the same band width. */
   private def minhashNearDupPairsSql(bandRows: Int): String = {
+    require(minhashMults.size % bandRows == 0,
+      s"bandRows=$bandRows must divide the ${minhashMults.size}-hash sketch (see minhashNearDupPairs)")
     val nBands = minhashMults.size / bandRows
     val mhCols = (0 until bandRows).map(r => s"mh_r$r")
     val bktSelects = (0 until nBands).map(b =>

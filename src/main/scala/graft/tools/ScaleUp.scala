@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * while WITHIN-copy similarity is preserved EXACTLY: the map
   * token→token' is injective and content-keyed, so two docs in the same
   * copy share a token/shingle after the map iff they shared it before.
+  * Injectivity PRECONDITION (ADVICE r8): no source token may itself end
+  * in "_<copy index>" — an unselected "foo_1" would collide with
+  * selected "foo" mapped to "foo_1", creating spurious within-copy
+  * overlap. The driver vocabulary contains no underscores at all
+  * (measured: 0 of ~60 distinct tokens at every sf), and main() now
+  * ENFORCES the precondition with one aggregate over the source corpus
+  * instead of assuming it, so a future fixture change fails loudly here
+  * rather than silently corrupting the scale-evidence series.
   * The rate is MEASURED, not modeled: at the original 30% rate the
   * cross-copy Jaccard model (0.7³ → J ≈ 0.21) sat exactly at the 0.2
   * graded threshold, and repeated-token correlation pushed the realized
@@ -64,6 +72,21 @@ object ScaleUp {
       sys.exit(2)
     }
     val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    // Enforce the jitter-injectivity precondition (scaladoc above): a source
+    // token ending in "_<k>" for any copy index k in range would alias a
+    // jittered token. One cheap aggregate over the corpus; underscore-free
+    // tokens can never collide with "<tok>_<k>".
+    val clashing = spark.read.parquet(s"$src/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").rlike(s"_([1-9]|[1-9][0-9])$$"))
+      .filter(expr(s"CAST(regexp_extract(tok, '_([0-9]+)$$', 1) AS INT) < $copies"))
+      .limit(1).count()
+    if (clashing > 0) {
+      System.err.println("source vocabulary violates the jitter-injectivity " +
+        s"precondition: a token ends in '_<k>' for a copy index k < $copies; " +
+        "pick a different suffix separator before generating this fixture")
+      sys.exit(2)
+    }
     def shifted(table: String, keyCols: Seq[String],
                 perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame = {
       val base = spark.read.parquet(s"$src/$table.parquet")

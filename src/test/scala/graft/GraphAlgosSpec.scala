@@ -67,6 +67,41 @@ class AlgorithmsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("strongestChain picks the argmax path and breaks product ties by chain order") {
+    // direct 1->2 (0.3) loses to 1->3 (0.8) -> 2 (0.9) = 0.72: the DP must
+    // return the 2-hop chain. And an EXACT product tie (1->4 direct 0.4 vs
+    // 1->3->4 = 0.8*0.5, exact in binary: ×0.5 is an exponent shift) must
+    // resolve by chain ASC — "1->3->4" < "1->4" ('3' < '4' at index 3), so
+    // the 2-hop chain wins the tie, NOT the shorter one: the contract is
+    // string order, not hop count.
+    val e = Seq((1L, 2L, 0.3), (1L, 3L, 0.8), (3L, 2L, 0.9),
+                (1L, 4L, 0.4), (3L, 4L, 0.5))
+      .toDF("src", "dst", "weight")
+    val got = Ubo.strongestChain(e, Seq(1L).toDF("owner"), maxHops = 3)
+      .as[(Long, Long, Double, String, Int)].collect()
+      .map(r => r._2 -> ((r._3 * 1e9).round / 1e9, r._4, r._5)).toMap
+    assert(got(2L) === ((0.72, "1->3->2", 2)))
+    assert(got(3L) === ((0.8, "1->3", 1)))
+    assert(got(4L) === ((0.4, "1->3->4", 2)), "tie must break by chain string order")
+  }
+
+  test("strongestChain values match a GraphX Pregel max-product run") {
+    // same walk set, same prefix-first product accumulation → the max per
+    // target matches BITWISE, not approximately (Ubo.strongestChain doc).
+    val t = Tables(spark, sfDir)
+    val e = Ubo.interactedWeighted(t)
+    val src = e.select(min(col("src"))).as[Long].head()
+    val dp = Ubo.strongestChain(e, Seq(src).toDF("owner"), maxHops = 4)
+      .filter(col("entity") =!= col("owner"))
+      .select(col("entity"), col("share")).as[(Long, Double)].collect().toMap
+    val px = Algorithms.maxProductGraphX(e, src, maxIters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(dp.nonEmpty && dp.keySet === px.keySet)
+    dp.foreach { case (id, s) =>
+      assert(s === px(id), s"share mismatch at $id: dp=$s pregel=${px(id)}")
+    }
+  }
+
   test("aggregateMessages in-weight stats match the DataFrame groupBy twin") {
     val t = Tables(spark, sfDir)
     val e = graft.graph.Ubo.suppliedByEdges(t)

@@ -108,6 +108,69 @@ class MotifSpec extends SparkSpec {
     assert(exact2.count() > 0 && exact2.count() === upTo2.count() - one.count())
   }
 
+  test("trail semantics: walk and trail counts differ on a cyclic fixture, trail matches hand count") {
+    // two-node cycle a<->b (dated so temporal chaining is unconstrained):
+    // *1..3 WALKS from the pair are 6 (a→b, b→a, a→b→a, b→a→b, a→b→a→b,
+    // b→a→b→a); TRAILS are just the 2 single edges — every deeper level
+    // revisits a node. The exact counts are hand-derivable, so this is the
+    // one case where the semantics gap is provable by inspection.
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val edges = Seq((1L, 2L, "T", 1.0, ts), (2L, 1L, "T", 1.0, ts))
+      .toDF("src", "dst", "rel_type", "weight", "valid_from")
+      .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
+    val nodes = Seq((1L, "n", "a"), (2L, "n", "b")).toDF("id", "label", "name")
+    val cyc = graph.PropertyGraph(nodes, edges)
+    def m(unique: Boolean) = Motif.find(cyc, Motif("u", None, Seq(
+      Hop("w", relType = Some("T"), repeat = Some((1, 3)), unique = unique))))
+    assert(m(unique = false).count() == 6 && m(unique = true).count() == 2)
+  }
+
+  test("trail *1..3 equals the hand-unrolled pairwise-guard join chain") {
+    // on the real cyclic INTERACTED graph: the array-accumulator guard must
+    // produce exactly the union of the 1/2/3-hop fixed chains with every
+    // pairwise <> constraint spelled out via notEqual — the join a reviewer
+    // would write by hand (and the shape the g38 oracle SQL mirrors).
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("u", "w").agg(count(lit(1)).as("n"))
+      .orderBy("u", "w").collect()
+    def hop(alias: String, chained: Boolean) =
+      Hop(alias, relType = Some("INTERACTED"),
+          timeOrdered = chained, maxDelay = if (chained) Some("1 HOUR") else None)
+    val trail = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("INTERACTED"), timeOrdered = true,
+          maxDelay = Some("1 HOUR"), repeat = Some((1, 3)), unique = true))))
+    val one = Motif.find(g, Motif("u", None,
+        Seq(hop("w", chained = false)), notEqual = Seq(("u", "w"))))
+      .select("u", "w")
+    val two = Motif.find(g, Motif("u", None,
+        Seq(hop("v1", chained = false), hop("w", chained = true)),
+        notEqual = Seq(("u", "v1"), ("u", "w"), ("v1", "w"))))
+      .select("u", "w")
+    val three = Motif.find(g, Motif("u", None,
+        Seq(hop("v1", chained = false), hop("v2", chained = true), hop("w", chained = true)),
+        notEqual = Seq(("u", "v1"), ("u", "v2"), ("u", "w"),
+                       ("v1", "v2"), ("v1", "w"), ("v2", "w"))))
+      .select("u", "w")
+    val unrolled = one.unionByName(two).unionByName(three)
+    val t = agg(trail.select("u", "w"))
+    assert(t.nonEmpty && t.sameElements(agg(unrolled)))
+  }
+
+  test("undirected hop equals the union of forward and reversed patterns") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("u", "w").agg(count(lit(1)).as("n"))
+      .orderBy("u", "w").collect()
+    val both = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("PLACED"), undirected = true))))
+    val fwd = Motif.find(g, Motif("u", None, Seq(Hop("w", relType = Some("PLACED")))))
+    val rev = Motif.find(g, Motif("u", None, Seq(
+      Hop("w", relType = Some("PLACED"), reversed = true))))
+    val b = agg(both.select("u", "w"))
+    assert(b.nonEmpty &&
+      b.sameElements(agg(fwd.select("u", "w").unionByName(rev.select("u", "w")))))
+  }
+
   test("temporal predicates drop undated edges (null valid_from never satisfies)") {
     // LOCATED_IN → PART_OF is a real undated 2-chain (customer→nation→region)…
     val undatedChain = Motif("c", None, Seq(

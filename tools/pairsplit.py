@@ -8,6 +8,8 @@ ScaleUp's copy index (doc_id // 10_000_000). Organic growth is working when
 same-copy pairs scale exactly ~k and cross-copy pairs are ~0.
 
 Usage: pairsplit.py <sfDir> [<sfDir> ...]
+Env: GRAFT_ORACLE_JSON overrides the oracle_sql.json path
+(default /tmp/verify_out/oracle_sql.json, written by `runMain graft.Verify`).
 """
 import json
 import os
@@ -16,7 +18,13 @@ import sys
 import duckdb
 
 SHIFT = 10_000_000
-ORACLE = json.load(open("/tmp/verify_out/oracle_sql.json"))
+ORACLE_PATH = os.environ.get("GRAFT_ORACLE_JSON", "/tmp/verify_out/oracle_sql.json")
+try:
+    ORACLE = json.load(open(ORACLE_PATH))
+except FileNotFoundError:
+    sys.exit(f"pairsplit: oracle dump not found at {ORACLE_PATH} — "
+             "run `sbt 'runMain graft.Verify'` first, or point "
+             "GRAFT_ORACLE_JSON at an existing oracle_sql.json")
 
 for sf_dir in sys.argv[1:]:
     path = f"{sf_dir}/documents.parquet"
