@@ -161,23 +161,22 @@ object Ubo {
     best.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** One propagation step. Exchanges the join output on the GROUP keys
-    * before aggregating: the step's group keys (owner, dst) differ from
-    * its join key (entity = src), so map-side partial aggregation over the
-    * join's raw fan-out never collapses anything — each (owner, dst)
-    * pair's contributions arrive via different intermediates in different
-    * partitions — and only builds giant spilling hash maps. The same rows
-    * must cross the wire either way; moving them BEFORE the agg makes the
-    * partial pass collapse fully (measured at sf0.8: the part→supplier
-    * step's 130M-row fan-out aggregates in 10 s vs 55 s default;
-    * SCALE.md round 8).
+  /** One propagation step. The step is the canonical
+    * [[graft.rel.Regroup.aggregateByNewKeys]] case — all three conditions
+    * of its decision rule hold here: the join fans out (130M rows from a
+    * 15M-row frontier at sf0.8), the group keys (owner, dst) differ from
+    * the join key (entity = src), and the default plan's partial-agg map
+    * spills. Exchanging the fan-out on the group keys before aggregating
+    * made the isolated step 54.7 → 10.0 s and halved whole-query g03 at
+    * sf0.8 (SCALE.md round 8); the probes cited in Regroup's scaladoc
+    * also record where the same move does NOT pay (l03, g11).
     */
   def step(own: DataFrame, layer: DataFrame,
            epsilon: Option[Double] = None): DataFrame = {
-    var next = own.join(layer, col("entity") === col("src"))
-      .repartition(col("owner"), col("dst"))
-      .groupBy(col("owner"), col("dst"))
-      .agg(sum(col("share") * col("weight")).as("share"))
+    var next = graft.rel.Regroup.aggregateByNewKeys(
+      own.join(layer, col("entity") === col("src")),
+      groupKeys = Seq(col("owner"), col("dst")),
+      aggs = Seq(sum(col("share") * col("weight")).as("share")))
     epsilon.foreach(eps => next = next.filter(col("share") >= eps))
     next.select(col("owner"), col("dst").as("entity"), col("share"))
   }

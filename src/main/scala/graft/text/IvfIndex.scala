@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index as a BUILD-ONCE artifact, separated from
@@ -51,6 +52,44 @@ final case class IvfIndex(centroids: Array[(Long, Array[Double])], assigned: Dat
   def candidates(q: Array[Double], nprobe: Int): DataFrame =
     assigned.filter(col("cluster")
       .isin(nearestClusters(q, nprobe).map(java.lang.Long.valueOf): _*))
+
+  /** Assign a batch of vectors to THIS index's centroids without refitting
+    * (the ingest path: new documents join existing buckets). Same distance
+    * and tie rule as the builder's Lloyd assignment — squared euclidean,
+    * ties toward the lower centroid id — so assigning the union corpus in
+    * one pass and assigning base + delta in two are the same function of
+    * (vector, centroids) (IvfIndexSpec proves append-then-probe equals
+    * assign-the-union-then-probe). Output schema matches `assigned`
+    * (input columns + `cluster` last). Scale shape: the k×dim centroid
+    * table is broadcast, so a batch costs one scan + one (vec_id, cid)
+    * partial-aggregating groupBy — no shuffle of the existing index, no
+    * driver-side math over the batch.
+    */
+  def assign(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "cannot assign against an empty centroid table")
+    val cents = centroids.toSeq.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (v, p) => (cid, p.toLong, v) }
+    }.toDF("cid", "pos", "c")
+    val pts = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+              col("v").cast("double").as("v"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val asg = pts.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    embeddings.join(asg, "vec_id").withColumnRenamed("cid", "cluster")
+  }
+
+  /** In-memory append: the index over base ∪ delta with THESE centroids —
+    * no refit, no rebuild of existing assignments.
+    */
+  def append(delta: DataFrame): IvfIndex =
+    copy(assigned = assigned.unionByName(assign(delta)))
 }
 
 object IvfIndex {
@@ -88,6 +127,19 @@ object IvfIndex {
     idx.centroids.toSeq.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
+
+  /** Incremental ingest against a PERSISTED index (VERDICT r8 #4): assign
+    * `delta` to the saved centroids and APPEND the new rows into the
+    * partitioned assignment layout — new files land inside their existing
+    * `cluster=` directories, so nprobe partition pruning keeps working
+    * over old and new data alike, and nothing already on disk is
+    * rewritten. This is the maintenance mode a real pipeline runs between
+    * periodic refits; a refit (quality, not correctness) is a fresh
+    * [[build]] + [[save]].
+    */
+  def appendTo(spark: SparkSession, dir: String, delta: DataFrame): Unit =
+    load(spark, dir).assign(delta)
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/assigned")
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
     val cents = spark.read.parquet(s"$dir/centroids")
