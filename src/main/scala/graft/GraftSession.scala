@@ -9,13 +9,20 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Optional shuffle/spill/broadcast codec override (lz4 default) for
+    // rehearsal A/Bs at the single-disk I/O wall: a denser codec trades
+    // CPU for disk bandwidth, which is the binding resource past ~500M
+    // shuffle rows on one local disk (SCALE.md round 9 measures zstd vs
+    // lz4 here; production clusters set the same key per workload).
+    sys.env.get("SPARK_GRAFT_IO_CODEC").foreach(c =>
+      b.config("spark.io.compression.codec", c))
+    val s = b.getOrCreate()
     // ERROR: WARN-level noise (e.g. WindowExec on the small-feed window
     // tier, which userTransitions only selects under its size threshold)
     // would otherwise drown the bench JSON line
