@@ -557,6 +557,50 @@ object GraphQueries {
       FROM best WHERE rn = 1 AND ROUND(share, 6) >= 0.000001
       ORDER BY owner, target""")),
 
+    // G40 — threshold ownership chains (the regulatory chain test: X
+    // beneficially controls Y when a control chain links them with EVERY
+    // link at or above a disclosure threshold — FATF/AMLD grade at 25%,
+    // the SEC 13D disclosure analog at 5%; this corpus's out-normalized
+    // shares dilute with sf, so the graded knob is 5% to keep every scale
+    // factor non-empty, and 0.25 is the same one-parameter call).
+    // Rendered through the general pattern API: a variable-length trail
+    // hop whose edgeFilter prunes sub-threshold links BEFORE each join
+    // (Hop.edgeFilter), with emitWeights carrying the chain's bottleneck
+    // (weakest-link) share. The per-level filter is the scale property:
+    // the threshold kills ~all of the out-normalized edge mass before any
+    // join (97.7k → 3 edges at sf0.1), so the trail expansion runs on a
+    // tiny filtered subgraph instead of enumerating paths and
+    // post-filtering — at 100 TB that is the difference between a
+    // constant-size frontier and a path explosion.
+    E("g40_threshold_chain", (s, d) => {
+      val t = Tables(s, d)
+      val gb = GraphBuilder(t)
+      val e = Ubo.interactedWeighted(t)
+        .select(col("src"), col("dst"), lit("OWNS").as("rel_type"),
+                col("weight"), lit(null).cast("timestamp_ntz").as("valid_from"))
+      Motif.find(PropertyGraph(gb.nodes, e), Motif("o", None, Seq(
+          Hop("n", relType = Some("OWNS"), repeat = Some((1, 3)), unique = true,
+              edgeFilter = Some(col("weight") >= 0.05))), emitWeights = true))
+        .groupBy(col("o").as("id"))
+        .agg(count(lit(1)).as("n_chains"), countDistinct(col("n")).as("n_reached"),
+             round(max(col("w1")), 6).as("best_bottleneck"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH ${UboSql.interactedWeightedCte},
+      e AS (SELECT src, dst, weight FROM ie_edges WHERE weight >= 0.05),
+      t1 AS (SELECT src AS o, dst AS n, weight AS bw FROM e WHERE dst <> src),
+      t2 AS (SELECT a.o, b.dst AS n, LEAST(a.bw, b.weight) AS bw, a.n AS v1
+             FROM t1 a JOIN e b ON b.src = a.n
+             WHERE b.dst <> a.o AND b.dst <> a.n),
+      t3 AS (SELECT a.o, c.dst AS n, LEAST(a.bw, c.weight) AS bw
+             FROM t2 a JOIN e c ON c.src = a.n
+             WHERE c.dst <> a.o AND c.dst <> a.v1 AND c.dst <> a.n),
+      ch AS (SELECT o, n, bw FROM t1 UNION ALL SELECT o, n, bw FROM t2
+             UNION ALL SELECT o, n, bw FROM t3)
+      SELECT o AS id, COUNT(*) AS n_chains, COUNT(DISTINCT n) AS n_reached,
+             ROUND(MAX(bw), 6) AS best_bottleneck
+      FROM ch GROUP BY 1 ORDER BY id""")),
+
     // G5 — simple-path enumeration ≤3 hops from customer #1 (the ownership
     // chains behind a UBO figure), with cycle guard.
     E("g05_path_enum", (s, d) => {

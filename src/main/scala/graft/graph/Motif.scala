@@ -55,6 +55,17 @@ import org.apache.spark.sql.functions._
   * Mutually exclusive with `reversed` (an undirected hop has no
   * direction to flip). MotifSpec proves it equals the union of the
   * forward and reversed patterns.
+  *
+  * `edgeFilter` is an arbitrary predicate over the EDGE frame's columns
+  * (`weight`, `valid_from`, `rel_type`, `src`, `dst`) — Cypher's
+  * relationship-property predicate (`-[r:OWNS WHERE r.share >= 0.25]->`).
+  * It is applied to the edge frame BEFORE the hop join (same plan slot
+  * as the `relType` literal filter, so Catalyst pushes it below the
+  * join and, when the predicate reaches a parquet column, into the
+  * scan). On a repeated hop it constrains EVERY edge of the repetition —
+  * the per-link threshold rule (e.g. the FATF/AMLD "each link ≥ 25%"
+  * beneficial-ownership chain test), which prunes the frontier at every
+  * level rather than post-filtering an enumerated path set.
   */
 final case class Hop(
     alias: String,
@@ -65,7 +76,8 @@ final case class Hop(
     maxDelay: Option[String] = None,
     repeat: Option[(Int, Int)] = None,
     unique: Boolean = false,
-    undirected: Boolean = false) {
+    undirected: Boolean = false,
+    edgeFilter: Option[Column] = None) {
   repeat.foreach { case (lo, hi) =>
     require(1 <= lo && lo <= hi, s"repeat bounds must satisfy 1 <= lo <= hi, got ($lo, $hi)")
   }
@@ -97,7 +109,8 @@ final case class Motif(
     start: String,
     startLabel: Option[String] = None,
     hops: Seq[Hop],
-    notEqual: Seq[(String, String)] = Nil) {
+    notEqual: Seq[(String, String)] = Nil,
+    emitWeights: Boolean = false) {
   require(hops.nonEmpty, "motif needs at least one hop")
   private[graph] val aliases: Seq[String] = start +: hops.map(_.alias)
   require(aliases.distinct.size == aliases.size,
@@ -111,7 +124,10 @@ object Motif {
     * callers dedup/aggregate downstream, e.g. g11's DISTINCT projection).
     * Output columns: every node alias in chain order, then `t1..tk` — the
     * `valid_from` of each hop's edge — so callers can aggregate on dates
-    * without re-deriving them.
+    * without re-deriving them. With `emitWeights`, additionally `w1..wk`:
+    * hop i's edge weight, or for a repeated hop the MINIMUM weight across
+    * its edges — the chain's bottleneck (weakest-link) share, which is
+    * what an ownership-threshold query reports per matched chain.
     */
   def find(g: PropertyGraph, m: Motif): DataFrame = {
     def labelIds(label: String): DataFrame =
@@ -128,6 +144,7 @@ object Motif {
     m.hops.zipWithIndex.foreach { case (h, i) =>
       var e = g.edges
       h.relType.foreach(rt => e = e.filter(col("rel_type") === rt))
+      h.edgeFilter.foreach(p => e = e.filter(p))
       val (near, far) = if (h.reversed) ("dst", "src") else ("src", "dst")
       val t = s"t${i + 1}"
       // one edge step with fresh column names (suffix keeps repeated
@@ -137,11 +154,11 @@ object Motif {
       def step(sfx: String): DataFrame = {
         val fwd = e.select(
           col(near).as(s"__n$sfx"), col(far).as(s"__f$sfx"),
-          col("valid_from").as(s"__t$sfx"))
+          col("valid_from").as(s"__t$sfx"), col("weight").as(s"__w$sfx"))
         if (!h.undirected) fwd
         else fwd.unionByName(e.select(
           col(far).as(s"__n$sfx"), col(near).as(s"__f$sfx"),
-          col("valid_from").as(s"__t$sfx")))
+          col("valid_from").as(s"__t$sfx"), col("weight").as(s"__w$sfx")))
       }
       // bind the FIRST edge of this hop onto the chain (or start it),
       // applying the previous-hop temporal predicates
@@ -158,6 +175,7 @@ object Motif {
       }
       def emit(df: DataFrame): DataFrame = df
         .withColumnRenamed("__f0", h.alias).withColumnRenamed("__t0", t)
+        .withColumnRenamed("__w0", s"w${i + 1}")
         .drop("__vis")
       acc = h.repeat match {
         case None => emit(first())
@@ -187,9 +205,12 @@ object Motif {
             if (h.unique) nxt = nxt
               .filter(!array_contains(col("__vis"), col(s"__f$lvl")))
               .withColumn("__vis", array_append(col("__vis"), col(s"__f$lvl")))
-            cur = nxt.drop("__f0", "__t0", s"__n$lvl")
+            // bottleneck share so far: min over this repetition's edges
+            nxt = nxt.withColumn(s"__w$lvl", least(col("__w0"), col(s"__w$lvl")))
+            cur = nxt.drop("__f0", "__t0", "__w0", s"__n$lvl")
               .withColumnRenamed(s"__f$lvl", "__f0")
               .withColumnRenamed(s"__t$lvl", "__t0")
+              .withColumnRenamed(s"__w$lvl", "__w0")
             if (lvl >= lo) {
               val lvlOut = emit(cur)
               out = if (out == null) lvlOut else out.unionByName(lvlOut)
@@ -200,8 +221,10 @@ object Motif {
       acc = constrain(acc, h.alias, h.label)
     }
     m.notEqual.foreach { case (a, b) => acc = acc.filter(col(a) =!= col(b)) }
+    val wCols: Seq[Column] =
+      if (m.emitWeights) (1 to m.hops.size).map(i => col(s"w$i")) else Nil
     val cols: Seq[Column] =
-      m.aliases.map(col) ++ (1 to m.hops.size).map(i => col(s"t$i"))
+      m.aliases.map(col) ++ (1 to m.hops.size).map(i => col(s"t$i")) ++ wCols
     acc.select(cols: _*)
   }
 }

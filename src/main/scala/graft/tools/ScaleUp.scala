@@ -40,11 +40,49 @@ import org.apache.spark.sql.functions._
   * engines then read the same parquet, so no SQL-mirrorability
   * constraint applies.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies>
+  * TEMPORAL growth has two honest models, selected by the optional
+  * `--epochs` flag (round 9). Default (shared clock): every copy keeps the
+  * source timestamps, so the k copies INTERLEAVE on one timeline — the
+  * event-sequence graph (LAG over global ts order) becomes one mixed
+  * k×-denser graph, the right stress test for connectivity/frontier
+  * operators (g02/g03/g07 rehearsals). But any Δ-windowed temporal
+  * operator then sees k× the events per window — candidate pairs inside a
+  * window grow ~k² per copy-doubling, a FIXTURE artifact (real corpora
+  * grow by extending the time span, not by replaying k parallel universes
+  * on one clock). `--epochs` instead shifts copy k's events k·(span+2d)
+  * later: within-copy temporal structure is preserved exactly, copies
+  * stay disjoint in time (one LAG seam edge per boundary), per-window
+  * density equals the source's, and windowed-motif work scales ~k. Use
+  * the default for graph-shape rehearsals, `--epochs` for windowed
+  * temporal ones; SCALE.md's round-9 entry measures the contrast.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies> [--epochs]
   */
 object ScaleUp {
   private val Shift = 10000000L // > every key range at sf0.1, ≪ 1e9 node-id base gap
   private val MaxCopies = (1000000000L / Shift - 1).toInt
+
+  /** Per-copy SIGNED COORDINATE PERMUTATION of the embedding vectors — an
+    * isometry of R^d (a hyperoctahedral-group element), deterministic in
+    * the copy index. Within-copy geometry is preserved EXACTLY: every
+    * inner product, norm, and therefore cosine/near-dup relation between
+    * two vectors in the same copy is invariant under a shared orthogonal
+    * map. Cross-copy exact/near duplicates are destroyed: v in copy 0 vs
+    * σ_k(v) in copy k correlate like random sign patterns (E[cos] = 0,
+    * |cos| ~ 1/√d), far below every graded similarity threshold. This is
+    * the embedding twin of the organic TEXT jitter above — without it,
+    * every vector has copies-1 exact clones and any near-dup/ANN
+    * rehearsal pair count is a planted-fixture artifact (the round-7
+    * document-dedup lesson, VERDICT r7 #4). Copy 0 stays verbatim so the
+    * smaller sf remains a prefix of the larger.
+    */
+  private[graft] def isometry(vecCol: Column, k: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(0x5eedL * 1000003L + k)
+    val perm = rnd.shuffle((0 until dim).toVector)
+    val signs = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    array((0 until dim).map(i =>
+      (element_at(vecCol, perm(i) + 1) * lit(signs(i))).cast("float")): _*)
+  }
 
   /** ~70% of token vocabulary perturbed, keyed on (token text, copy). */
   private def jitterText(textCol: Column, k: Int): Column =
@@ -98,6 +136,20 @@ object ScaleUp {
     }
     // copy 0 stays verbatim (the smaller sf remains a prefix of the larger);
     // copies 1..k-1 get the organic jitter described above
+    // fixed-dim precondition for the embedding isometry (a permutation is
+    // only defined on one dimensionality; driver fixtures are d=64 at every sf)
+    val dims = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding")).as("d")).agg(min("d"), max("d")).first()
+    if (dims.getInt(0) != dims.getInt(1)) {
+      System.err.println(s"embeddings have mixed dimensions ${dims.getInt(0)}..${dims.getInt(1)}; " +
+        "the per-copy isometry needs a fixed d")
+      sys.exit(2)
+    }
+    val embDim = dims.getInt(0)
+    val perturbEmb: (DataFrame, Int) => DataFrame = (df, k) =>
+      if (k == 0) df
+      else df.withColumn("embedding", when(col("embedding").isNull, col("embedding"))
+        .otherwise(isometry(col("embedding"), k, embDim)))
     val perturbDocs: (DataFrame, Int) => DataFrame = (df, k) =>
       if (k == 0) df
       else df
@@ -115,10 +167,25 @@ object ScaleUp {
       "events" -> Seq("event_id", "user_id"),
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
+    val epochMode = args.length > 3 && args(3) == "--epochs"
+    // disjoint per-copy time epochs: copy k shifts k·(span+2d) later, so
+    // per-window event density stays the SOURCE's (see scaladoc)
+    lazy val epochEvents: DataFrame = {
+      val base = graft.Tables.normalizeEventsTs(spark.read.parquet(s"$src/events.parquet"))
+      val spanDays = base.agg((datediff(max(col("ts")), min(col("ts"))) + lit(2)).as("d"))
+        .first().getInt(0)
+      (0 until copies).map { k =>
+        val s = Seq("event_id", "user_id").foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(k * Shift)) }
+        s.withColumn("ts", col("ts") + expr(s"INTERVAL ${k.toLong * spanDays} DAYS"))
+      }.reduce(_ unionByName _)
+    }
     plan.foreach { case (t, keys) =>
       val df0 =
         if (keys.isEmpty) spark.read.parquet(s"$src/$t.parquet")
         else if (t == "documents") shifted(t, keys, perturbDocs)
+        else if (t == "embeddings") shifted(t, keys, perturbEmb)
+        else if (t == "events" && epochMode) epochEvents
         else shifted(t, keys)
       // events.ts encoding varies by fixture round (ns-as-LONG under the
       // nanosAsLong session flag, µs NTZ since round 8). Normalize through

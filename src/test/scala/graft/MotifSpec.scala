@@ -182,4 +182,50 @@ class MotifSpec extends SparkSpec {
       undatedChain.hops.init :+ undatedChain.hops.last.copy(timeOrdered = true))
     assert(Motif.find(g, timeOrderedChain).count() == 0)
   }
+
+  // weighted DAG fixture with distinct weights, for exact hand-checkable
+  // bottleneck arithmetic: a→b .6, b→c .3, a→c .9, c→d .5
+  private def weightedFixture = {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 0.6), (2L, 3L, 0.3), (1L, 3L, 0.9), (3L, 4L, 0.5))
+      .toDF("src", "dst", "weight")
+      .select(col("src"), col("dst"), lit("OWNS").as("rel_type"), col("weight"),
+              lit(null).cast("timestamp_ntz").as("valid_from"))
+    val nodes = Seq((1L, "n", "a"), (2L, "n", "b"), (3L, "n", "c"), (4L, "n", "d"))
+      .toDF("id", "label", "name")
+    graph.PropertyGraph(nodes, edges)
+  }
+
+  test("emitWeights: fixed hop carries the edge weight; repeated hop carries the bottleneck min") {
+    val wg = weightedFixture
+    val fixed = Motif.find(wg, Motif("u", None,
+        Seq(Hop("w", relType = Some("OWNS"))), emitWeights = true))
+      .select("u", "w", "w1").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fixed === Set((1L, 2L, 0.6), (2L, 3L, 0.3), (1L, 3L, 0.9), (3L, 4L, 0.5)))
+    val rep = Motif.find(wg, Motif("u", None,
+        Seq(Hop("w", relType = Some("OWNS"), repeat = Some((2, 2)))), emitWeights = true))
+      .select("u", "w", "w1").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 2-chains: a→b→c min(.6,.3)=.3, b→c→d min(.3,.5)=.3, a→c→d min(.9,.5)=.5
+    assert(rep === Set((1L, 3L, 0.3), (2L, 4L, 0.3), (1L, 4L, 0.5)))
+  }
+
+  test("edgeFilter constrains every edge of a repeated hop and equals a pre-filtered graph") {
+    val wg = weightedFixture
+    val viaFilter = Motif.find(wg, Motif("u", None, Seq(
+        Hop("w", relType = Some("OWNS"), repeat = Some((1, 2)),
+            edgeFilter = Some(col("weight") >= 0.5))), emitWeights = true))
+      .select("u", "w", "w1").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // surviving edges {a→b .6, a→c .9, c→d .5}: three 1-chains + a→c→d (.5);
+    // a→b→c is gone because its SECOND link (.3) fails, even though the first passes
+    assert(viaFilter === Set((1L, 2L, 0.6), (1L, 3L, 0.9), (3L, 4L, 0.5), (1L, 4L, 0.5)))
+    val preFiltered = Motif.find(
+      wg.copy(edges = wg.edges.filter(col("weight") >= 0.5)),
+      Motif("u", None, Seq(Hop("w", relType = Some("OWNS"), repeat = Some((1, 2)))),
+        emitWeights = true))
+      .select("u", "w", "w1").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaFilter === preFiltered)
+    // an unsatisfiable predicate empties the match
+    assert(Motif.find(wg, Motif("u", None, Seq(
+      Hop("w", relType = Some("OWNS"), edgeFilter = Some(col("weight") > 1.0))))).count() == 0)
+  }
 }

@@ -88,4 +88,39 @@ class ScaleSpec extends SparkSpec {
       assert(permissive.filter(col("_corrupt_record").isNull).count() === nNation)
     } finally permissive.unpersist()
   }
+
+  test("ScaleUp embedding isometry: within-copy geometry exact, cross-copy similarity destroyed") {
+    // The rehearsal fixture's per-copy signed permutation must be an
+    // isometry (all pairwise dots/norms preserved up to float summation
+    // order) while v vs σ_k(v) — the cross-copy "clone" pair — decorrelates
+    // to |cos| ~ 1/√d, far below every graded near-dup threshold.
+    val emb = Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val rot = emb.select(col("vec_id"),
+      tools.ScaleUp.isometry(col("embedding"), 3, 64).as("embedding"))
+    def dots(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] = {
+      val a = df.select(col("vec_id").as("va"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("ea"))
+      val b = df.select(col("vec_id").as("vb"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("eb"))
+      a.crossJoin(b).filter(col("va") <= col("vb"))
+        .select(col("va"), col("vb"),
+          expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)").as("d"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    val orig = dots(emb)
+    val mapped = dots(rot)
+    assert(orig.nonEmpty && orig.keySet === mapped.keySet)
+    orig.foreach { case (k, d) =>
+      assert(math.abs(d - mapped(k)) <= 1e-4 * (1.0 + math.abs(d)),
+        s"pair $k dot changed: $d vs ${mapped(k)}") }
+    // cross-copy: cos(v, σ(v)) must sit near 0, nowhere near the 0.99/0.8 thresholds
+    val cross = emb.join(rot.withColumnRenamed("embedding", "erot"), "vec_id")
+      .select(
+        (expr("aggregate(zip_with(embedding, erot, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)") /
+         expr("aggregate(transform(embedding, v -> CAST(v AS DOUBLE) * v), CAST(0.0 AS DOUBLE), (s, v) -> s + v)")).as("cos"))
+      .agg(max(abs(col("cos")))).first.getDouble(0)
+    assert(cross < 0.6, s"cross-copy |cos| too high: $cross")
+  }
 }
