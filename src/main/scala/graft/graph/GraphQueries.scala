@@ -601,6 +601,41 @@ object GraphQueries {
              ROUND(MAX(bw), 6) AS best_bottleneck
       FROM ch GROUP BY 1 ORDER BY id""")),
 
+    // G41 — OPTIONAL MATCH through the pattern API (Cypher
+    // `MATCH (o:order)-[:CONTAINS]->(p) OPTIONAL MATCH
+    // (p)-[sb:SUPPLIED_BY WHERE sb.weight >= 0.5]->(s)`, the reference's
+    // Neo4j stack, README.md:25): per part, how many orders contain it
+    // and — if one exists — its MAJORITY supplier (> half the part's
+    // supplied quantity). Parts without a majority supplier must SURVIVE
+    // with a null supplier, which is precisely what OPTIONAL MATCH
+    // (a left outer join) expresses and an inner pattern silently
+    // drops — the audit question is "which parts LACK a dominant
+    // supplier", so the preserved nulls are the signal. The optional hop
+    // lowers to one LEFT join on the same node-id key (same single
+    // shuffle as the inner form; the weight threshold is pushed into the
+    // edge scan). MotifSpec proves the preserved-null semantics, the
+    // inner-subset relation, and null propagation through later hops on
+    // a hand-checkable fixture.
+    E("g41_motif_optional", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      Motif.find(g, Motif("ord", Some("order"), Seq(
+          Hop("part", relType = Some("CONTAINS")),
+          Hop("supp", relType = Some("SUPPLIED_BY"), optional = true,
+              edgeFilter = Some(col("weight") >= 0.5)))))
+        .groupBy(col("part"))
+        .agg(countDistinct(col("ord")).as("n_orders"),
+             max(col("supp")).as("majority_supp"))
+        .orderBy("part")
+    }, Some(s"""
+      WITH $edgesCte
+      SELECT c.dst AS part, COUNT(DISTINCT c.src) AS n_orders,
+             MAX(sb.dst) AS majority_supp
+      FROM graph_edges c
+      LEFT JOIN graph_edges sb
+        ON sb.rel_type = 'SUPPLIED_BY' AND sb.src = c.dst AND sb.weight >= 0.5
+      WHERE c.rel_type = 'CONTAINS'
+      GROUP BY 1 ORDER BY part""")),
+
     // G5 — simple-path enumeration ≤3 hops from customer #1 (the ownership
     // chains behind a UBO figure), with cycle guard.
     E("g05_path_enum", (s, d) => {

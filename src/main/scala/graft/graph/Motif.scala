@@ -66,6 +66,22 @@ import org.apache.spark.sql.functions._
   * the per-link threshold rule (e.g. the FATF/AMLD "each link ≥ 25%"
   * beneficial-ownership chain test), which prunes the frontier at every
   * level rather than post-filtering an enumerated path set.
+  *
+  * `optional = true` is Cypher's `OPTIONAL MATCH` for this hop: rows of
+  * the chain so far that have NO matching edge survive with this hop's
+  * alias, time, and weight columns null, instead of being dropped — the
+  * hop lowers to a LEFT OUTER join (same equi-key, same one shuffle;
+  * temporal predicates move into the join condition so they decide
+  * matchedness rather than killing the preserved null rows, and a
+  * `label` constraint pre-filters the edge side's far node before the
+  * join — a post-hoc semi-join would drop the preserved rows). Null
+  * propagation then follows Cypher: a later non-optional hop joining
+  * through a null alias finds no match and drops the row, and a
+  * `notEqual` against a null alias excludes the row (SQL three-valued
+  * logic — the same outcome a Cypher `WHERE a <> b` gives). Not allowed
+  * on the first hop (the chain must start from a matched edge; start
+  * from the other end or a prior hop instead) nor on a repeated hop
+  * (Cypher expresses that as `*0..hi`, a different feature).
   */
 final case class Hop(
     alias: String,
@@ -77,10 +93,14 @@ final case class Hop(
     repeat: Option[(Int, Int)] = None,
     unique: Boolean = false,
     undirected: Boolean = false,
-    edgeFilter: Option[Column] = None) {
+    edgeFilter: Option[Column] = None,
+    optional: Boolean = false) {
   repeat.foreach { case (lo, hi) =>
     require(1 <= lo && lo <= hi, s"repeat bounds must satisfy 1 <= lo <= hi, got ($lo, $hi)")
   }
+  require(!(optional && repeat.isDefined),
+    "optional applies to fixed hops; an optional repetition is Cypher *0..hi — " +
+      "model it with repeat lower bound semantics, not OPTIONAL MATCH")
   require(!unique || repeat.isDefined,
     "unique (trail semantics) applies to variable-length hops; " +
       "for fixed hops express node constraints with Motif.notEqual")
@@ -161,17 +181,34 @@ object Motif {
           col("valid_from").as(s"__t$sfx"), col("weight").as(s"__w$sfx")))
       }
       // bind the FIRST edge of this hop onto the chain (or start it),
-      // applying the previous-hop temporal predicates
+      // applying the previous-hop temporal predicates. An OPTIONAL hop
+      // left-joins instead, with the temporal predicates folded into the
+      // join condition (a post-join filter would evaluate to null on the
+      // preserved rows and drop them — exactly the rows OPTIONAL keeps)
+      // and the label constraint pre-applied to the edge side's far node.
       def first(): DataFrame = {
-        var df =
-          if (i == 0) constrain(step("0").withColumnRenamed("__n0", m.start), m.start, m.startLabel)
-          else acc.join(step("0"), col(m.aliases(i)) === col("__n0")).drop("__n0")
-        if (i > 0) {
-          if (h.timeOrdered) df = df.filter(col("__t0") >= col(s"t$i"))
+        require(!(i == 0 && h.optional),
+          "the first hop cannot be optional — the chain must start from a matched edge")
+        if (h.optional) {
+          var st = step("0")
+          h.label.foreach(l =>
+            st = st.join(broadcast(labelIds(l)), col("__f0") === col("__lbl"), "left_semi"))
+          var cond = col(m.aliases(i)) === col("__n0")
+          if (h.timeOrdered) cond = cond && col("__t0") >= col(s"t$i")
           h.maxDelay.foreach(d =>
-            df = df.filter(col("__t0") <= col(s"t$i") + expr(s"INTERVAL $d")))
+            cond = cond && col("__t0") <= col(s"t$i") + expr(s"INTERVAL $d"))
+          acc.join(st, cond, "left").drop("__n0")
+        } else {
+          var df =
+            if (i == 0) constrain(step("0").withColumnRenamed("__n0", m.start), m.start, m.startLabel)
+            else acc.join(step("0"), col(m.aliases(i)) === col("__n0")).drop("__n0")
+          if (i > 0) {
+            if (h.timeOrdered) df = df.filter(col("__t0") >= col(s"t$i"))
+            h.maxDelay.foreach(d =>
+              df = df.filter(col("__t0") <= col(s"t$i") + expr(s"INTERVAL $d")))
+          }
+          df
         }
-        df
       }
       def emit(df: DataFrame): DataFrame = df
         .withColumnRenamed("__f0", h.alias).withColumnRenamed("__t0", t)
@@ -218,7 +255,9 @@ object Motif {
           }
           out
       }
-      acc = constrain(acc, h.alias, h.label)
+      // optional hops applied their label constraint pre-join (above) —
+      // a semi-join here would drop the preserved null rows
+      if (!h.optional) acc = constrain(acc, h.alias, h.label)
     }
     m.notEqual.foreach { case (a, b) => acc = acc.filter(col(a) =!= col(b)) }
     val wCols: Seq[Column] =

@@ -228,4 +228,64 @@ class MotifSpec extends SparkSpec {
     assert(Motif.find(wg, Motif("u", None, Seq(
       Hop("w", relType = Some("OWNS"), edgeFilter = Some(col("weight") > 1.0))))).count() == 0)
   }
+
+  test("optional hop preserves unmatched rows with nulls; inner form is its subset") {
+    val wg = weightedFixture
+    def res(opt: Boolean) = Motif.find(wg, Motif("u", None, Seq(
+        Hop("v", relType = Some("OWNS")),
+        Hop("w", relType = Some("OWNS"), optional = opt,
+            edgeFilter = Some(col("weight") >= 0.5)))))
+      .select("u", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // edges surviving the filter: a→b .6, a→c .9, c→d .5. Chains:
+    // (a,b) — b's only out-edge (.3) fails the filter → preserved with null;
+    // (b,c) and (a,c) extend to d; (c,d) — d has no out-edge → null.
+    assert(res(opt = true) ===
+      Set((1L, 2L, -1L), (2L, 3L, 4L), (1L, 3L, 4L), (3L, 4L, -1L)))
+    assert(res(opt = false) === Set((2L, 3L, 4L), (1L, 3L, 4L)))
+  }
+
+  test("optional hop: notEqual against the null alias excludes the preserved rows (3VL)") {
+    val wg = weightedFixture
+    val r = Motif.find(wg, Motif("u", None, Seq(
+        Hop("v", relType = Some("OWNS")),
+        Hop("w", relType = Some("OWNS"), optional = true,
+            edgeFilter = Some(col("weight") >= 0.5))),
+      notEqual = Seq(("u", "w"))))
+      .select("u", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r === Set((2L, 3L, 4L), (1L, 3L, 4L)))
+  }
+
+  test("optional hop: label constraint decides matchedness, never drops preserved rows") {
+    val wg = weightedFixture
+    // a label no node carries: every row survives, all with a null alias —
+    // a post-hoc semi-join (the non-optional lowering) would return zero rows
+    val r = Motif.find(wg, Motif("u", None, Seq(
+        Hop("v", relType = Some("OWNS")),
+        Hop("w", relType = Some("OWNS"), optional = true, label = Some("nope")))))
+      .select("w").collect()
+    assert(r.length == 4 && r.forall(_.isNullAt(0)))
+  }
+
+  test("optional hop: temporal predicates fold into the join condition") {
+    import spark.implicits._
+    // 1→2 fires at 01:00, 2→3 at 00:00 — a timeOrdered extension of (1,2)
+    // must find NO match (the only candidate fires earlier), yet the row
+    // survives with nulls; a post-join filter would kill it instead.
+    val edges = Seq(
+        (1L, 2L, "T", 1.0, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+        (2L, 3L, "T", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("src", "dst", "rel_type", "weight", "valid_from")
+      .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
+    val nodes = Seq((1L, "n", "a"), (2L, "n", "b"), (3L, "n", "c")).toDF("id", "label", "name")
+    val pg = graph.PropertyGraph(nodes, edges)
+    def rows(opt: Boolean) = Motif.find(pg, Motif("u", None, Seq(
+        Hop("v", relType = Some("T")),
+        Hop("w", relType = Some("T"), optional = opt, timeOrdered = true))))
+      .select("u", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows(opt = true) === Set((1L, 2L, -1L), (2L, 3L, -1L)))
+    assert(rows(opt = false) === Set.empty[(Long, Long, Long)])
+  }
 }
