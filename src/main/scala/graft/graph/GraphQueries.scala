@@ -636,6 +636,87 @@ object GraphQueries {
       WHERE c.rel_type = 'CONTAINS'
       GROUP BY 1 ORDER BY part""")),
 
+    // G42 — BRANCHING + CYCLE-CLOSING pattern (Cypher
+    // `MATCH (a:customer)-[:LOCATED_IN]->(n), (a)-[:PLACED]->(o1)
+    //  -[:CONTAINS]->(p)<-[:CONTAINS]-(o2)<-[:PLACED]-(b),
+    //  (b)-[:LOCATED_IN]->(n)` — a non-linear pattern: the LOCATED_IN
+    // hops BRANCH off a and b (`from`), and the last hop CLOSES back at
+    // the bound n): g11's shared-part conflict narrowed to pairs in the
+    // SAME jurisdiction — the compliance variant where co-located
+    // conflicting buyers are the signal. The branch costs the same one
+    // equi-join as a chain hop, and the closing condition is a residual
+    // equality on the final join — a 6-hop tree+cycle pattern is 6
+    // shuffles on node ids, nothing more. MotifSpec proves branch and
+    // close each equal their hand-built join renderings.
+    E("g42_motif_same_nation_conflict", (s, d) => {
+      val g = GraphBuilder(Tables(s, d))
+      Motif.find(g, Motif("a", Some("customer"), Seq(
+          Hop("n", relType = Some("LOCATED_IN")),
+          Hop("o1", relType = Some("PLACED"), from = Some("a")),
+          Hop("p", relType = Some("CONTAINS")),
+          Hop("o2", relType = Some("CONTAINS"), reversed = true),
+          Hop("b", relType = Some("PLACED"), reversed = true),
+          Hop("n", relType = Some("LOCATED_IN"), closes = true))))
+        .filter(col("a") < col("b"))
+        .groupBy(col("n"), col("a"), col("b"))
+        .agg(countDistinct(col("p")).as("shared_parts"))
+        .filter(col("shared_parts") >= 2)
+        .orderBy(col("shared_parts").desc, col("n"), col("a"), col("b"))
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      SELECT 2000000000 + CAST(ca.c_nationkey AS BIGINT) AS n, 3000000000 + a.custkey AS a,
+             3000000000 + b.custkey AS b, COUNT(DISTINCT a.partkey) AS shared_parts
+      FROM cp a JOIN cp b ON a.partkey = b.partkey AND a.custkey < b.custkey
+      JOIN customer ca ON ca.c_custkey = a.custkey
+      JOIN customer cb ON cb.c_custkey = b.custkey AND cb.c_nationkey = ca.c_nationkey
+      GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT a.partkey) >= 2
+      ORDER BY shared_parts DESC, n, a, b""")),
+
+    // G43 — circular ownership THROUGH THE PATTERN API (README.md:15
+    // "circular ownership loops" as a Cypher pattern:
+    // `(a)-[:OWNS]->(b)-[:OWNS]->(c)-[:OWNS]->(a)`): the 100 STRONGEST
+    // 3-cycles on the normalized ownership graph, ranked by the cycle's
+    // weakest link, one row per cycle (rotation-canonicalized: a is the
+    // least node). g06 finds cyclic STRUCTURE via SCC; this enumerates
+    // the exact loops with their shares — the audit-report form, and
+    // top-k-by-strength stays audit-sized at any scale where an
+    // absolute threshold would go empty or explode (measured: a 0.2
+    // link threshold finds 6 cycles at sf0.001 and zero at sf0.01+ —
+    // weights dilute as the graph grows). Self-loops cannot occur (the
+    // edge layer drops them), so the three nodes are automatically
+    // distinct. The closing hop is a residual equality on the third
+    // equi-join, and the ranked truncation lowers to
+    // TakeOrderedAndProject (per-partition top-k, then a k-row merge —
+    // no global sort): 3 node-id shuffles, no enumeration beyond the
+    // bounded pattern.
+    E("g43_motif_ownership_cycle", (s, d) => {
+      val t = Tables(s, d)
+      val gb = GraphBuilder(t)
+      val e = Ubo.interactedWeighted(t)
+        .select(col("src"), col("dst"), lit("OWNS").as("rel_type"),
+                col("weight"), lit(null).cast("timestamp_ntz").as("valid_from"))
+      Motif.find(PropertyGraph(gb.nodes, e), Motif("a", None, Seq(
+          Hop("b", relType = Some("OWNS")),
+          Hop("c", relType = Some("OWNS")),
+          Hop("a", relType = Some("OWNS"), closes = true)),
+        emitWeights = true))
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .select(col("a"), col("b"), col("c"),
+                round(least(col("w1"), col("w2"), col("w3")), 6).as("min_share"))
+        .orderBy(col("min_share").desc, col("a"), col("b"), col("c"))
+        .limit(100)
+    }, Some(s"""
+      WITH ${UboSql.interactedWeightedCte}
+      SELECT x.src AS a, x.dst AS b, y.dst AS c,
+             ROUND(LEAST(x.weight, y.weight, z.weight), 6) AS min_share
+      FROM ie_edges x
+      JOIN ie_edges y ON y.src = x.dst
+      JOIN ie_edges z ON z.src = y.dst AND z.dst = x.src
+      WHERE x.src < x.dst AND x.src < y.dst
+      ORDER BY min_share DESC, a, b, c LIMIT 100""")),
+
     // G5 — simple-path enumeration ≤3 hops from customer #1 (the ownership
     // chains behind a UBO figure), with cycle guard.
     E("g05_path_enum", (s, d) => {

@@ -67,6 +67,29 @@ import org.apache.spark.sql.functions._
   * beneficial-ownership chain test), which prunes the frontier at every
   * level rather than post-filtering an enumerated path set.
   *
+  * `from` names the ALREADY-BOUND alias this hop extends from (default:
+  * the previous hop's alias, i.e. a linear chain). With it, patterns
+  * BRANCH — Cypher's `(a)-[:X]->(b), (a)-[:Y]->(c)` star shape, e.g.
+  * "the same customer placed the order AND sits in the nation": each
+  * branch is still one equi-join on a node id, so a tree-shaped pattern
+  * of k hops costs exactly the k shuffles of its chain-shaped
+  * linearization. Temporal chaining (`timeOrdered`/`maxDelay`) always
+  * binds to the previous hop in PATTERN ORDER (t_{i-1}), independent of
+  * `from` — document order is the timeline a pattern author reads.
+  *
+  * `closes = true` makes this hop CLOSE A CYCLE: `alias` must name an
+  * already-bound node alias, and the hop matches an edge from `from`
+  * (default: previous alias) back to THAT node — Cypher's
+  * `(b)-[:OWNS]->(a)` with `a` bound earlier, the circular-ownership
+  * pattern (README.md:15) as a pattern element. No new node column is
+  * bound (the hop contributes its edge's t/w columns only); the
+  * closing condition lowers to an equality filter on the hop join's far
+  * side, so Catalyst evaluates it as a residual predicate on the same
+  * single equi-join — a k-cycle costs the same k shuffles as a k-chain.
+  * Mutually exclusive with `repeat` (close a variable-length cycle by
+  * repeating INTO a terminal alias, then closing with a fixed hop),
+  * `optional`, and `unique`.
+  *
   * `optional = true` is Cypher's `OPTIONAL MATCH` for this hop: rows of
   * the chain so far that have NO matching edge survive with this hop's
   * alias, time, and weight columns null, instead of being dropped — the
@@ -94,13 +117,21 @@ final case class Hop(
     unique: Boolean = false,
     undirected: Boolean = false,
     edgeFilter: Option[Column] = None,
-    optional: Boolean = false) {
+    optional: Boolean = false,
+    from: Option[String] = None,
+    closes: Boolean = false) {
   repeat.foreach { case (lo, hi) =>
     require(1 <= lo && lo <= hi, s"repeat bounds must satisfy 1 <= lo <= hi, got ($lo, $hi)")
   }
   require(!(optional && repeat.isDefined),
     "optional applies to fixed hops; an optional repetition is Cypher *0..hi — " +
       "model it with repeat lower bound semantics, not OPTIONAL MATCH")
+  require(!(closes && repeat.isDefined),
+    "a closing hop is fixed — repeat into a terminal alias, then close with a fixed hop")
+  require(!(closes && optional), "an optional closing hop is not supported")
+  require(!(closes && unique), "unique applies to repetitions; a closing hop is fixed")
+  require(!(closes && label.isDefined),
+    "a closing hop targets an already-bound alias — constrain its label where it is bound")
   require(!unique || repeat.isDefined,
     "unique (trail semantics) applies to variable-length hops; " +
       "for fixed hops express node constraints with Motif.notEqual")
@@ -132,9 +163,22 @@ final case class Motif(
     notEqual: Seq[(String, String)] = Nil,
     emitWeights: Boolean = false) {
   require(hops.nonEmpty, "motif needs at least one hop")
-  private[graph] val aliases: Seq[String] = start +: hops.map(_.alias)
+  /** Node aliases the pattern binds, in binding order (closing hops bind none). */
+  private[graph] val aliases: Seq[String] = start +: hops.filterNot(_.closes).map(_.alias)
   require(aliases.distinct.size == aliases.size,
-    s"motif aliases must be unique, got $aliases")
+    s"motif node aliases must be unique, got $aliases")
+  /** Entry alias of hop i: explicit `from`, else the previous hop's alias. */
+  private[graph] def entry(i: Int): String =
+    hops(i).from.getOrElse(if (i == 0) start else hops(i - 1).alias)
+  hops.zipWithIndex.foreach { case (h, i) =>
+    val bound = start +: hops.take(i).filterNot(_.closes).map(_.alias)
+    require(i > 0 || h.from.forall(_ == start),
+      "the first hop starts the chain — `from` must be absent or equal to start")
+    h.from.foreach(f => require(bound.contains(f),
+      s"hop '${h.alias}': from='$f' is not bound yet (bound: $bound)"))
+    if (h.closes) require(bound.contains(h.alias),
+      s"closing hop must target an already-bound alias, '${h.alias}' is not (bound: $bound)")
+  }
 }
 
 object Motif {
@@ -193,7 +237,7 @@ object Motif {
           var st = step("0")
           h.label.foreach(l =>
             st = st.join(broadcast(labelIds(l)), col("__f0") === col("__lbl"), "left_semi"))
-          var cond = col(m.aliases(i)) === col("__n0")
+          var cond = col(m.entry(i)) === col("__n0")
           if (h.timeOrdered) cond = cond && col("__t0") >= col(s"t$i")
           h.maxDelay.foreach(d =>
             cond = cond && col("__t0") <= col(s"t$i") + expr(s"INTERVAL $d"))
@@ -201,7 +245,7 @@ object Motif {
         } else {
           var df =
             if (i == 0) constrain(step("0").withColumnRenamed("__n0", m.start), m.start, m.startLabel)
-            else acc.join(step("0"), col(m.aliases(i)) === col("__n0")).drop("__n0")
+            else acc.join(step("0"), col(m.entry(i)) === col("__n0")).drop("__n0")
           if (i > 0) {
             if (h.timeOrdered) df = df.filter(col("__t0") >= col(s"t$i"))
             h.maxDelay.foreach(d =>
@@ -210,10 +254,14 @@ object Motif {
           df
         }
       }
-      def emit(df: DataFrame): DataFrame = df
-        .withColumnRenamed("__f0", h.alias).withColumnRenamed("__t0", t)
-        .withColumnRenamed("__w0", s"w${i + 1}")
-        .drop("__vis")
+      // a closing hop binds no new node: the far side must EQUAL the
+      // already-bound target alias (residual equality on the same join)
+      def emit(df: DataFrame): DataFrame =
+        (if (h.closes) df.filter(col("__f0") === col(h.alias)).drop("__f0")
+         else df.withColumnRenamed("__f0", h.alias))
+          .withColumnRenamed("__t0", t)
+          .withColumnRenamed("__w0", s"w${i + 1}")
+          .drop("__vis")
       acc = h.repeat match {
         case None => emit(first())
         case Some((lo, hi)) =>
@@ -231,8 +279,8 @@ object Motif {
           // multiplied).
           var cur = first()
           if (h.unique) cur = cur
-            .filter(col(m.aliases(i)) =!= col("__f0"))
-            .withColumn("__vis", array(col(m.aliases(i)), col("__f0")))
+            .filter(col(m.entry(i)) =!= col("__f0"))
+            .withColumn("__vis", array(col(m.entry(i)), col("__f0")))
           var out = if (lo <= 1) emit(cur) else null
           for (lvl <- 2 to hi) {
             var nxt = cur.join(step(lvl.toString), col("__f0") === col(s"__n$lvl"))
@@ -256,8 +304,9 @@ object Motif {
           out
       }
       // optional hops applied their label constraint pre-join (above) —
-      // a semi-join here would drop the preserved null rows
-      if (!h.optional) acc = constrain(acc, h.alias, h.label)
+      // a semi-join here would drop the preserved null rows; closing hops
+      // bind no new alias to constrain
+      if (!h.optional && !h.closes) acc = constrain(acc, h.alias, h.label)
     }
     m.notEqual.foreach { case (a, b) => acc = acc.filter(col(a) =!= col(b)) }
     val wCols: Seq[Column] =

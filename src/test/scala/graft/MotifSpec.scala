@@ -229,6 +229,68 @@ class MotifSpec extends SparkSpec {
       Hop("w", relType = Some("OWNS"), edgeFilter = Some(col("weight") > 1.0))))).count() == 0)
   }
 
+  test("branch hop (from=) equals the hand-built star join") {
+    val wg = weightedFixture
+    // (a)-[:OWNS]->(b), (a)-[:OWNS]->(c): both branches hang off a
+    val star = Motif.find(wg, Motif("a", None, Seq(
+        Hop("b", relType = Some("OWNS")),
+        Hop("c", relType = Some("OWNS"), from = Some("a"))),
+      notEqual = Seq(("b", "c"))))
+      .select("a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // out-edges: 1→{2,3}, 2→{3}, 3→{4}; only a=1 has two distinct targets
+    assert(star === Set((1L, 2L, 3L), (1L, 3L, 2L)))
+    // hand-built: self-join of the edge list on src
+    import spark.implicits._
+    val e = wg.edges.select(col("src"), col("dst"))
+    val hand = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("a2"), col("dst").as("c")), col("a") === col("a2"))
+      .filter(col("b") =!= col("c")).select("a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(star === hand)
+  }
+
+  test("closing hop matches cycles exactly: all rotations, canonical filter picks one") {
+    import spark.implicits._
+    // directed triangle 1→2→3→1 plus a chord 1→3 that closes no cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("T").as("rel_type"),
+              lit(1.0).as("weight"), lit(null).cast("timestamp_ntz").as("valid_from"))
+    val nodes = Seq((1L, "n", "a"), (2L, "n", "b"), (3L, "n", "c")).toDF("id", "label", "name")
+    val pg = graph.PropertyGraph(nodes, edges)
+    val cycles = Motif.find(pg, Motif("a", None, Seq(
+        Hop("b", relType = Some("T")),
+        Hop("c", relType = Some("T")),
+        Hop("a", relType = Some("T"), closes = true))))
+      .select("a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the one triangle appears once per rotation; the chord closes nothing
+    assert(cycles === Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)))
+    val canonical = cycles.filter { case (a, b, c) => a < b && a < c }
+    assert(canonical === Set((1L, 2L, 3L)))
+  }
+
+  test("closing hop emits its edge's weight (w_k) like any other hop") {
+    val wg = weightedFixture // 1→2 .6, 2→3 .3, 1→3 .9, 3→4 .5 — no cycles
+    // add the closing edge 3→1 (.4) to make exactly one triangle
+    val withBack = wg.copy(edges = wg.edges.unionByName(
+      wg.edges.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(3L, 1L, "OWNS", 0.4, null)),
+        wg.edges.schema)))
+    val r = Motif.find(withBack, Motif("a", None, Seq(
+        Hop("b", relType = Some("OWNS")),
+        Hop("c", relType = Some("OWNS")),
+        Hop("a", relType = Some("OWNS"), closes = true)),
+      emitWeights = true))
+      .filter(col("a") === 1)
+      .select("a", "b", "c", "w1", "w2", "w3").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2)) === ((2L, 3L)))
+    assert((row.getDouble(3), row.getDouble(4), row.getDouble(5)) === ((0.6, 0.3, 0.4)))
+  }
+
   test("optional hop preserves unmatched rows with nulls; inner form is its subset") {
     val wg = weightedFixture
     def res(opt: Boolean) = Motif.find(wg, Motif("u", None, Seq(
