@@ -717,6 +717,47 @@ object GraphQueries {
       WHERE x.src < x.dst AND x.src < y.dst
       ORDER BY min_share DESC, a, b, c LIMIT 100""")),
 
+    // G44 — Cypher-DEFAULT relationship uniqueness through the pattern
+    // API (`MATCH (u)-[e1]-(v)-[e2]-(w)-[e3]-(x)` — Neo4j requires
+    // e1, e2, e3 pairwise distinct; nodes may repeat): per user, the
+    // 3-hop undirected contact walks over the strong (cnt ≥ 2)
+    // interaction graph that reuse NO communication line — the
+    // "distinct channels" rule an investigator applies (revisiting a
+    // person is fine, re-walking the same line is not). Without
+    // edgeUnique the count includes every immediate backtrack
+    // (u-v-u-x over one edge twice), which at avg degree d̄ inflates
+    // every count by Θ(d̄) spurious walks — the same-multiplicity gap
+    // as walk-vs-trail, now at EDGE granularity. The uniqueness lowers
+    // to residual pairwise filters after the same three equi-joins (no
+    // extra shuffle; MotifSpec proves the multiplicities on a
+    // hand-checkable path fixture and mirror-equality here).
+    E("g44_motif_edge_unique_walks", (s, d) => {
+      val t = Tables(s, d)
+      val gb = GraphBuilder(t)
+      val e = Ubo.interactedPairs(t).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"), lit("LINK").as("rel_type"),
+                col("cnt").cast("double").as("weight"),
+                lit(null).cast("timestamp_ntz").as("valid_from"))
+      Motif.find(PropertyGraph(gb.nodes, e), Motif("u", None, Seq(
+          Hop("v", relType = Some("LINK"), undirected = true),
+          Hop("w", relType = Some("LINK"), undirected = true),
+          Hop("x", relType = Some("LINK"), undirected = true)),
+        edgeUnique = true))
+        .groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("n_walks"), countDistinct(col("x")).as("n_reached"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH ${UboSql.interactedPairsCte},
+      strong AS (SELECT src, dst FROM ie_pairs WHERE cnt >= 2),
+      sym AS (SELECT src AS u, dst AS v, src AS es, dst AS ed FROM strong
+              UNION ALL SELECT dst, src, src, dst FROM strong)
+      SELECT a.u AS id, COUNT(*) AS n_walks, COUNT(DISTINCT c.v) AS n_reached
+      FROM sym a
+      JOIN sym b ON b.u = a.v AND NOT (b.es = a.es AND b.ed = a.ed)
+      JOIN sym c ON c.u = b.v AND NOT (c.es = a.es AND c.ed = a.ed)
+                              AND NOT (c.es = b.es AND c.ed = b.ed)
+      GROUP BY 1 ORDER BY id""")),
+
     // G5 — simple-path enumeration ≤3 hops from customer #1 (the ownership
     // chains behind a UBO figure), with cycle guard.
     E("g05_path_enum", (s, d) => {

@@ -155,14 +155,33 @@ final case class Hop(
   *
   * `notEqual` expresses the cross-step inequality constraints patterns
   * need (g11's `cust_a < cust_b` generalization, g35's `u ≠ w`).
+  *
+  * `edgeUnique = true` is Cypher's DEFAULT uniqueness for a MATCH
+  * pattern: no two hops may bind the same relationship (nodes may
+  * repeat). The third uniqueness mode alongside walk (default — the
+  * multiplicity of a hand-unrolled join chain) and node-trail
+  * (`Hop.unique` inside a repetition). Lowered by carrying each hop's
+  * STORED edge endpoints through the chain and pairwise-excluding rows
+  * where two hops bound the same (src, dst, valid_from, weight) tuple —
+  * property identity, which equals edge identity except for fully
+  * indistinguishable parallel edges (same endpoints, date, AND weight),
+  * where excluding one of an indistinguishable pair is observationally
+  * equivalent anyway. The filters are residual predicates after the
+  * joins (no extra shuffle); unmatched OPTIONAL hops (all-null
+  * identity) are never excluded. Fixed-hop patterns only — inside a
+  * repetition use node-trail `unique`, which is strictly stronger.
   */
 final case class Motif(
     start: String,
     startLabel: Option[String] = None,
     hops: Seq[Hop],
     notEqual: Seq[(String, String)] = Nil,
-    emitWeights: Boolean = false) {
+    emitWeights: Boolean = false,
+    edgeUnique: Boolean = false) {
   require(hops.nonEmpty, "motif needs at least one hop")
+  require(!edgeUnique || hops.forall(_.repeat.isEmpty),
+    "edgeUnique applies to fixed-hop patterns — use per-hop `unique` (node trail) " +
+      "inside a repetition")
   /** Node aliases the pattern binds, in binding order (closing hops bind none). */
   private[graph] val aliases: Seq[String] = start +: hops.filterNot(_.closes).map(_.alias)
   require(aliases.distinct.size == aliases.size,
@@ -216,13 +235,20 @@ object Motif {
       // unions the two orientations BEFORE the join, so it stays one
       // equi-join (Catalyst pushes the rel_type filter into both branches)
       def step(sfx: String): DataFrame = {
-        val fwd = e.select(
+        // edgeUnique carries the STORED orientation as the edge's identity —
+        // identical in both branches of an undirected union, so a back-and-
+        // forth rebind of one edge is recognized as the same edge
+        def eid(sel: Seq[Column]): Seq[Column] =
+          if (m.edgeUnique)
+            sel ++ Seq(col("src").as(s"__es$sfx"), col("dst").as(s"__ed$sfx"))
+          else sel
+        val fwd = e.select(eid(Seq(
           col(near).as(s"__n$sfx"), col(far).as(s"__f$sfx"),
-          col("valid_from").as(s"__t$sfx"), col("weight").as(s"__w$sfx"))
+          col("valid_from").as(s"__t$sfx"), col("weight").as(s"__w$sfx"))): _*)
         if (!h.undirected) fwd
-        else fwd.unionByName(e.select(
+        else fwd.unionByName(e.select(eid(Seq(
           col(far).as(s"__n$sfx"), col(near).as(s"__f$sfx"),
-          col("valid_from").as(s"__t$sfx"), col("weight").as(s"__w$sfx")))
+          col("valid_from").as(s"__t$sfx"), col("weight").as(s"__w$sfx"))): _*))
       }
       // bind the FIRST edge of this hop onto the chain (or start it),
       // applying the previous-hop temporal predicates. An OPTIONAL hop
@@ -261,6 +287,8 @@ object Motif {
          else df.withColumnRenamed("__f0", h.alias))
           .withColumnRenamed("__t0", t)
           .withColumnRenamed("__w0", s"w${i + 1}")
+          .withColumnRenamed("__es0", s"__e${i + 1}s")
+          .withColumnRenamed("__ed0", s"__e${i + 1}d")
           .drop("__vis")
       acc = h.repeat match {
         case None => emit(first())
@@ -309,6 +337,17 @@ object Motif {
       if (!h.optional && !h.closes) acc = constrain(acc, h.alias, h.label)
     }
     m.notEqual.foreach { case (a, b) => acc = acc.filter(col(a) =!= col(b)) }
+    if (m.edgeUnique) {
+      // pairwise property-identity exclusion; null identity (an unmatched
+      // OPTIONAL hop) never excludes. Residual filters — no extra shuffle.
+      val k = m.hops.size
+      for (i <- 1 to k; j <- (i + 1) to k) {
+        val a = struct(col(s"__e${i}s"), col(s"__e${i}d"), col(s"t$i"), col(s"w$i"))
+        val b = struct(col(s"__e${j}s"), col(s"__e${j}d"), col(s"t$j"), col(s"w$j"))
+        acc = acc.filter(
+          !(col(s"__e${i}s").isNotNull && col(s"__e${j}s").isNotNull && (a <=> b)))
+      }
+    }
     val wCols: Seq[Column] =
       if (m.emitWeights) (1 to m.hops.size).map(i => col(s"w$i")) else Nil
     val cols: Seq[Column] =

@@ -291,6 +291,41 @@ class MotifSpec extends SparkSpec {
     assert((row.getDouble(3), row.getDouble(4), row.getDouble(5)) === ((0.6, 0.3, 0.4)))
   }
 
+  test("edgeUnique removes same-edge rebinds, keeps node revisits (Cypher MATCH default)") {
+    import spark.implicits._
+    // undirected path a—b—c (stored 1→2, 2→3): 2-hop undirected walks are 6
+    // (each of the 4 orientations extends, plus both backtracks per middle);
+    // Cypher-default edge uniqueness keeps only the 2 genuine traversals
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("T").as("rel_type"),
+              lit(1.0).as("weight"), lit(null).cast("timestamp_ntz").as("valid_from"))
+    val nodes = Seq((1L, "n", "a"), (2L, "n", "b"), (3L, "n", "c")).toDF("id", "label", "name")
+    val pg = graph.PropertyGraph(nodes, edges)
+    def walks(eu: Boolean) = Motif.find(pg, Motif("u", None, Seq(
+        Hop("v", relType = Some("T"), undirected = true),
+        Hop("w", relType = Some("T"), undirected = true)),
+      edgeUnique = eu))
+      .select("u", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(walks(eu = false).length == 6)
+    assert(walks(eu = true).toSet === Set((1L, 2L, 3L), (3L, 2L, 1L)))
+  }
+
+  test("edgeUnique never excludes an unmatched optional hop (null identity)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("T").as("rel_type"),
+              lit(1.0).as("weight"), lit(null).cast("timestamp_ntz").as("valid_from"))
+    val nodes = Seq((1L, "n", "a"), (2L, "n", "b")).toDF("id", "label", "name")
+    val pg = graph.PropertyGraph(nodes, edges)
+    val r = Motif.find(pg, Motif("u", None, Seq(
+        Hop("v", relType = Some("T")),
+        Hop("w", relType = Some("T"), optional = true)),
+      edgeUnique = true))
+      .select("u", "v", "w").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 1L && r.head.isNullAt(2))
+  }
+
   test("optional hop preserves unmatched rows with nulls; inner form is its subset") {
     val wg = weightedFixture
     def res(opt: Boolean) = Motif.find(wg, Motif("u", None, Seq(
