@@ -758,6 +758,43 @@ object GraphQueries {
                               AND NOT (c.es = b.es AND c.ed = b.ed)
       GROUP BY 1 ORDER BY id""")),
 
+    // G45 — ZERO-LENGTH variable hop (Cypher `-[:OWNS*0..2]->`): the
+    // reflexive controlled group — per entity, itself plus everything
+    // reachable through 1–2 strong (≥ 10%) ownership links, node-trail
+    // semantics. `*0..` is how a hierarchy query says "X and its
+    // descendants" in one pattern; entities with NO strong ownership
+    // edges still appear with a group of one (the zero-length match),
+    // which an absolute-join rendering silently drops — the same
+    // preserved-row signal as OPTIONAL MATCH, here produced by the
+    // repetition's lower bound. Zero-length rows carry null hop
+    // time/weight (no edge traversed). Lowers to the same hi-bounded
+    // unrolled equi-joins plus one union of the (label-filtered) node
+    // set — no new shuffle shape.
+    E("g45_motif_reflexive_group", (s, d) => {
+      val t = Tables(s, d)
+      val gb = GraphBuilder(t)
+      val e = Ubo.interactedWeighted(t)
+        .select(col("src"), col("dst"), lit("OWNS").as("rel_type"),
+                col("weight"), lit(null).cast("timestamp_ntz").as("valid_from"))
+      Motif.find(PropertyGraph(gb.nodes, e), Motif("u", Some("user"), Seq(
+          Hop("w", relType = Some("OWNS"), repeat = Some((0, 2)), unique = true,
+              edgeFilter = Some(col("weight") >= 0.1)))))
+        .groupBy(col("u").as("id"))
+        .agg(countDistinct(col("w")).as("n_group"))
+        .orderBy("id")
+    }, Some(s"""
+      WITH $nodesCte, ${UboSql.interactedWeightedCte},
+      e AS (SELECT src, dst, weight FROM ie_edges WHERE weight >= 0.1),
+      u AS (SELECT id FROM graph_nodes WHERE label = 'user'),
+      h1 AS (SELECT u.id, e.dst AS w FROM u JOIN e ON e.src = u.id
+             WHERE e.dst <> u.id),
+      h2 AS (SELECT h1.id, e2.dst AS w FROM h1 JOIN e e2 ON e2.src = h1.w
+             WHERE e2.dst <> h1.id AND e2.dst <> h1.w),
+      grp AS (SELECT id, id AS w FROM u
+              UNION ALL SELECT id, w FROM h1
+              UNION ALL SELECT id, w FROM h2)
+      SELECT id, COUNT(DISTINCT w) AS n_group FROM grp GROUP BY 1 ORDER BY id""")),
+
     // G5 — simple-path enumeration ≤3 hops from customer #1 (the ownership
     // chains behind a UBO figure), with cycle guard.
     E("g05_path_enum", (s, d) => {

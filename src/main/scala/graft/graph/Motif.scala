@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   * edges is meaningless, so that is the semantics a caller wants.
   *
   * `repeat = Some((lo, hi))` makes this a VARIABLE-LENGTH hop (Cypher
-  * `-[:T*lo..hi]->`, 1 ≤ lo ≤ hi): the pattern matches lo to hi
+  * `-[:T*lo..hi]->`, 0 ≤ lo ≤ hi, hi ≥ 1). `lo = 0` is Cypher's
+  * ZERO-LENGTH match (`*0..hi` — "the node and its reachables"): the
+  * hop's alias additionally binds the ENTRY node itself, with this
+  * hop's time and weight columns null (no edge was traversed — so a
+  * LATER hop chained with `timeOrdered`/`maxDelay` drops those rows,
+  * the same null-comparison rule as undated edges). For lo ≥ 1, the
+  * pattern matches lo to hi
   * consecutive edges, every one filtered by this hop's `relType` and
   * walked in this hop's direction, with INTERMEDIATE nodes anonymous —
   * only the terminal node binds `alias` (and `label`, if given).
@@ -121,7 +127,8 @@ final case class Hop(
     from: Option[String] = None,
     closes: Boolean = false) {
   repeat.foreach { case (lo, hi) =>
-    require(1 <= lo && lo <= hi, s"repeat bounds must satisfy 1 <= lo <= hi, got ($lo, $hi)")
+    require(0 <= lo && lo <= hi && hi >= 1,
+      s"repeat bounds must satisfy 0 <= lo <= hi and hi >= 1, got ($lo, $hi)")
   }
   require(!(optional && repeat.isDefined),
     "optional applies to fixed hops; an optional repetition is Cypher *0..hi — " +
@@ -328,6 +335,21 @@ object Motif {
               val lvlOut = emit(cur)
               out = if (out == null) lvlOut else out.unionByName(lvlOut)
             }
+          }
+          if (lo == 0) {
+            // zero-length level: the alias binds the entry node itself;
+            // t/w null-typed to the edge frame's column types so the
+            // union stays schema-exact
+            val base =
+              if (i == 0)
+                m.startLabel.fold(g.nodes)(l => g.nodes.filter(col("label") === l))
+                  .select(col("id").as(m.start))
+              else acc
+            val z = base
+              .withColumn(h.alias, col(m.entry(i)))
+              .withColumn(t, lit(null).cast(g.edges.schema("valid_from").dataType))
+              .withColumn(s"w${i + 1}", lit(null).cast(g.edges.schema("weight").dataType))
+            out = out.unionByName(z)
           }
           out
       }

@@ -291,6 +291,28 @@ class MotifSpec extends SparkSpec {
     assert((row.getDouble(3), row.getDouble(4), row.getDouble(5)) === ((0.6, 0.3, 0.4)))
   }
 
+  test("zero-length repetition (*0..hi): alias binds the entry node with null t/w") {
+    val wg = weightedFixture // DAG: 1→2 .6, 2→3 .3, 1→3 .9, 3→4 .5
+    val r = Motif.find(wg, Motif("u", None, Seq(
+        Hop("w", relType = Some("OWNS"), repeat = Some((0, 1)))), emitWeights = true))
+      .select("u", "w", "w1").collect()
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs === Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L),
+                         (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    // zero-length rows carry null weight, traversed rows carry the edge's
+    assert(r.filter(x => x.getLong(0) == x.getLong(1)).forall(_.isNullAt(2)))
+    assert(r.filter(x => x.getLong(0) != x.getLong(1)).forall(!_.isNullAt(2)))
+    // *0..2 equals the zero-length identity plus *1..2, row for row
+    val z2 = Motif.find(wg, Motif("u", None, Seq(
+        Hop("w", relType = Some("OWNS"), repeat = Some((0, 2))))))
+      .select("u", "w").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val manual = Motif.find(wg, Motif("u", None, Seq(
+        Hop("w", relType = Some("OWNS"), repeat = Some((1, 2))))))
+      .select("u", "w").collect().map(x => (x.getLong(0), x.getLong(1))) ++
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+    assert(z2.sameElements(manual.sorted))
+  }
+
   test("edgeUnique removes same-edge rebinds, keeps node revisits (Cypher MATCH default)") {
     import spark.implicits._
     // undirected path a—b—c (stored 1→2, 2→3): 2-hop undirected walks are 6
