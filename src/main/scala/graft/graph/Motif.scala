@@ -162,6 +162,12 @@ final case class Hop(
   *
   * `notEqual` expresses the cross-step inequality constraints patterns
   * need (g11's `cust_a < cust_b` generalization, g35's `u ≠ w`).
+  * General cross-alias WHERE predicates need no API surface: every
+  * node alias and per-hop t/w column is exposed in the returned
+  * DataFrame, so arbitrary Cypher-WHERE logic is an ordinary
+  * `.filter` over the result (g42/g43 canonicalize with `a < b` this
+  * way) — Catalyst pushes deterministic predicates into the join chain
+  * exactly as if the API had taken them.
   *
   * `edgeUnique = true` is Cypher's DEFAULT uniqueness for a MATCH
   * pattern: no two hops may bind the same relationship (nodes may
