@@ -605,8 +605,10 @@ object GraphQueries {
     // `MATCH (o:order)-[:CONTAINS]->(p) OPTIONAL MATCH
     // (p)-[sb:SUPPLIED_BY WHERE sb.weight >= 0.5]->(s)`, the reference's
     // Neo4j stack, README.md:25): per part, how many orders contain it
-    // and — if one exists — its MAJORITY supplier (> half the part's
-    // supplied quantity). Parts without a majority supplier must SURVIVE
+    // and — if one exists — its DOMINANT supplier (share >= 0.5 of the
+    // part's supplied quantity; at exactly 0.5 two suppliers can both
+    // qualify and MAX picks the larger id, so this is "at least half",
+    // not strict majority). Parts without a dominant supplier must SURVIVE
     // with a null supplier, which is precisely what OPTIONAL MATCH
     // (a left outer join) expresses and an inner pattern silently
     // drops — the audit question is "which parts LACK a dominant

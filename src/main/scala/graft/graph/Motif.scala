@@ -206,6 +206,8 @@ final case class Motif(
     val bound = start +: hops.take(i).filterNot(_.closes).map(_.alias)
     require(i > 0 || h.from.forall(_ == start),
       "the first hop starts the chain — `from` must be absent or equal to start")
+    require(i > 0 || !h.optional,
+      "the first hop cannot be optional — the chain must start from a matched edge")
     h.from.foreach(f => require(bound.contains(f),
       s"hop '${h.alias}': from='$f' is not bound yet (bound: $bound)"))
     if (h.closes) require(bound.contains(h.alias),
