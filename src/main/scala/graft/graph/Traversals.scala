@@ -127,4 +127,53 @@ object Traversals {
     e.join(reachGated(reach.withColumnRenamed("id", "sid")), col("src") === col("sid"), "left_semi")
       .join(reachGated(reach.withColumnRenamed("id", "did")), col("dst") === col("did"), "left_semi")
   }
+
+  /** Batched multi-seed ego membership: for every seed in `seeds` (one
+    * `seed` column), the nodes within ≤ radius undirected hops, as
+    * (seed, id, depth) with min depth. One plan for ALL seeds — the
+    * per-level join carries the seed column instead of looping per seed,
+    * so k ego nets cost the same number of shuffles as one (the export
+    * path the visualization layer batches over, README.md:19). Same
+    * measured broadcast gate and per-level localCheckpoint as [[kHop]];
+    * the visited anti-join is per (seed, id), so overlapping
+    * neighborhoods don't collapse into each other.
+    */
+  def egoMembers(edges: DataFrame, seeds: DataFrame, radius: Int,
+                 broadcastMaxRows: Long = 4000000L): DataFrame = {
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
+    val e = symmetrize(edges).distinct().transform(Materialize.apply)
+    var visited = seeds.select(col("seed")).distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("depth"))
+      .transform(Materialize.apply)
+    var frontier = visited.select("seed", "id")
+    var frontierCount = visited.count()
+    var visitedCount = frontierCount
+    for (i <- 1 to radius) {
+      val next = e.join(gated(frontier.withColumnRenamed("id", "fid"), frontierCount),
+          col("src") === col("fid"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(gated(visited.select("seed", "id"), visitedCount), Seq("seed", "id"), "left_anti")
+        .transform(Materialize.apply)
+      frontierCount = next.count()
+      visitedCount += frontierCount
+      visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Per-seed induced edge lists: every edge whose BOTH endpoints belong
+    * to the same seed's member set, tagged with that seed. Two equi-joins
+    * against the (small, measured-gate broadcast) membership table — the
+    * edge table never shuffles when the gate holds.
+    */
+  def inducedEdges(edges: DataFrame, members: DataFrame,
+                   broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val m = members.select(col("seed"), col("id")).distinct().transform(Materialize.apply)
+    val hint: DataFrame => DataFrame =
+      if (m.count() <= broadcastMaxRows) broadcast else identity
+    edges.join(hint(m.select(col("seed"), col("id").as("src"))), Seq("src"))
+      .join(hint(m.select(col("seed"), col("id").as("dst"))), Seq("seed", "dst"))
+  }
 }

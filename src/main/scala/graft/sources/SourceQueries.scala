@@ -213,7 +213,79 @@ object SourceQueries {
       SELECT n_regionkey, COUNT(*) AS n_nations,
              CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
              MIN(n_name) AS first_name
-      FROM nation GROUP BY 1 ORDER BY n_regionkey"""))
+      FROM nation GROUP BY 1 ORDER BY n_regionkey""")),
+
+    // S5b — graph-shaped export for the visualization layer (README.md:19
+    // "export high-resolution graph visualizations"; the reference's
+    // frontend renders Cytoscape.js node-link documents, README.md:27).
+    // One JSON document per ego subgraph: a nodes array (id, label, name)
+    // and an edges array (src, dst, rel_type, w_ppm), both
+    // deterministically sorted so the document is byte-stable across
+    // engines and runs. The ego extraction is the BATCHED multi-seed form
+    // (Traversals.egoMembers/inducedEdges — k seeds, one plan, the edge
+    // table never shuffles under the measured broadcast gate); weights
+    // ship as integer ppm because raw doubles render differently across
+    // JSON writers. The document set round-trips through an actual
+    // .json sink (write → schema'd read-back), so the graded hash covers
+    // the sink encoding too, not just the in-memory strings.
+    E("s07_cytoscape_export", (s, d) => {
+      val t = Tables(s, d)
+      val g = graft.graph.GraphBuilder.edges(t)
+      val seeds = s.range(1, 4)
+        .select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed"))
+      val members = graft.graph.Traversals.egoMembers(g, seeds, 2)
+      val nd = graft.graph.GraphBuilder.nodes(t)
+        .join(broadcast(members.select("seed", "id")), Seq("id"))
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_nodes"),
+             to_json(sort_array(collect_list(
+               struct(col("id"), col("label"), col("name"))))).as("nodes_json"))
+      val ed = graft.graph.Traversals.inducedEdges(g, members)
+        .select(col("seed"), col("src"), col("dst"), col("rel_type"),
+                floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_edges"),
+             to_json(sort_array(collect_list(
+               struct(col("src"), col("dst"), col("rel_type"), col("w_ppm"))))).as("edges_json"))
+      val path = tmpDir("cytoscape_json")
+      nd.join(ed, Seq("seed"))
+        .select("seed", "n_nodes", "n_edges", "nodes_json", "edges_json")
+        .write.mode("overwrite").json(path)
+      s.read.schema(StructType(Seq(
+          StructField("seed", LongType), StructField("n_nodes", LongType),
+          StructField("n_edges", LongType), StructField("nodes_json", StringType),
+          StructField("edges_json", StringType))))
+        .json(path)
+        .select("seed", "n_nodes", "n_edges", "nodes_json", "edges_json")
+        .orderBy("seed")
+    }, Some(s"""
+      WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
+      seeds(seed) AS (VALUES (CAST(3000000001 AS BIGINT)), (CAST(3000000002 AS BIGINT)), (CAST(3000000003 AS BIGINT))),
+      sym AS (SELECT src, dst FROM graph_edges UNION SELECT dst, src FROM graph_edges),
+      reach(seed, id, depth) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, s.dst, r.depth + 1 FROM reach r JOIN sym s ON s.src = r.id WHERE r.depth < 2),
+      rs AS (SELECT DISTINCT seed, id FROM reach),
+      ind AS (
+        SELECT a.seed, e.src, e.dst, e.rel_type,
+               CAST(FLOOR(e.weight * 1000000 + 0.5) AS BIGINT) AS w_ppm
+        FROM graph_edges e
+        JOIN rs a ON e.src = a.id
+        JOIN rs b ON b.seed = a.seed AND e.dst = b.id),
+      nd AS (
+        SELECT r.seed, COUNT(*) AS n_nodes,
+               to_json(list(struct_pack(id := n.id, label := n.label, name := n.name)
+                            ORDER BY n.id)) AS nodes_json
+        FROM rs r JOIN graph_nodes n ON n.id = r.id GROUP BY r.seed),
+      ed AS (
+        SELECT seed, COUNT(*) AS n_edges,
+               to_json(list(struct_pack(src := src, dst := dst, rel_type := rel_type, w_ppm := w_ppm)
+                            ORDER BY src, dst, rel_type, w_ppm)) AS edges_json
+        FROM ind GROUP BY seed)
+      SELECT nd.seed, n_nodes, n_edges, nodes_json, edges_json
+      FROM nd JOIN ed ON ed.seed = nd.seed
+      ORDER BY nd.seed"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

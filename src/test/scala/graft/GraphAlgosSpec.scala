@@ -1,6 +1,6 @@
 package graft
 
-import graft.graph.{Algorithms, GraphQueries, Traversals, Ubo}
+import graft.graph.{Algorithms, GraphBuilder, GraphQueries, Traversals, Ubo}
 import org.apache.spark.sql.functions._
 
 class TraversalsSpec extends SparkSpec {
@@ -33,6 +33,22 @@ class TraversalsSpec extends SparkSpec {
       .withColumn("rel_type", lit("E"))
     val got = Traversals.egoNet(e, 1L, 2).select("src", "dst").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L), (2L, 3L))) // 3->4 excluded: 4 is 3 hops out
+  }
+
+  test("batched egoMembers/inducedEdges reproduce per-seed egoNet") {
+    val e = GraphBuilder.edges(Tables(spark, sfDir))
+    val seedIds = Seq(GraphBuilder.CustomerBase + 1L, GraphBuilder.CustomerBase + 2L)
+    val members = Traversals.egoMembers(e, seedIds.toDF("seed"), 2)
+    val batched = Traversals.inducedEdges(e, members)
+    for (seed <- seedIds) {
+      val single = Traversals.egoNet(e, seed, 2)
+        .select("src", "dst", "rel_type").as[(Long, Long, String)].collect().toSet
+      val got = batched.filter(col("seed") === seed)
+        .select("src", "dst", "rel_type").as[(Long, Long, String)].collect().toSet
+      assert(got.nonEmpty && got === single, s"seed $seed diverged")
+    }
+    // distinct seeds must not bleed into each other: seed col partitions rows
+    assert(members.groupBy("seed").count().count() === 2L)
   }
 }
 
