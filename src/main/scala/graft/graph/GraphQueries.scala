@@ -161,6 +161,33 @@ object GraphQueries {
       |         CAST(levenshtein(name_a, name_b) AS INT) AS dist
       |  FROM cand WHERE levenshtein(name_a, name_b) <= 1)""".stripMargin
 
+  /** Years the g47 time-slider series spans — the fixture's temporal data
+    * runs 1995..2001 at every sf (o_orderdate/l_shipdate range). */
+  private val sliderYears = 1995 to 2001
+
+  /** SQL mirror of g47: one single-row SELECT per year (scalar subqueries
+    * over the same snapshot predicate), UNION ALL'd — the same
+    * branch-per-snapshot shape as the DataFrame side. */
+  private def snapshotSeriesSql: String = {
+    val blocks = sliderYears.map { y =>
+      val ts = s"TIMESTAMP '$y-12-31 23:59:59'"
+      s"""SELECT $y AS year,
+         |  (SELECT COUNT(*) FROM graph_edges WHERE valid_from IS NULL OR valid_from <= $ts) AS n_edges,
+         |  (SELECT COUNT(DISTINCT src) FROM graph_edges WHERE valid_from IS NULL OR valid_from <= $ts) AS n_src,
+         |  (SELECT COUNT(DISTINCT dst) FROM graph_edges WHERE valid_from IS NULL OR valid_from <= $ts) AS n_dst,
+         |  h.n_parts_known, h.n_concentrated, h.max_hhi
+         |FROM (
+         |  SELECT COUNT(*) AS n_parts_known,
+         |         CAST(SUM(CASE WHEN ROUND(hhi, 6) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_concentrated,
+         |         ROUND(MAX(hhi), 6) AS max_hhi
+         |  FROM (SELECT CAST(SUM(qty * qty) AS DOUBLE) / (CAST(SUM(qty) AS DOUBLE) * CAST(SUM(qty) AS DOUBLE)) AS hhi
+         |        FROM (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+         |              FROM lineitem WHERE l_shipdate <= $ts GROUP BY 1, 2)
+         |        GROUP BY l_partkey)) h""".stripMargin
+    }
+    blocks.mkString("\nUNION ALL\n") + "\nORDER BY year"
+  }
+
   private val entries: Seq[E] = Seq(
 
     // S2 — node scan by label (Cypher `MATCH (n:supplier)`, README.md:25):
@@ -2049,7 +2076,53 @@ object GraphQueries {
       SELECT c.id AS custkey, na.nam AS name, c.cluster AS merged_into, nb.nam AS canonical_name
       FROM comp c JOIN nm na ON na.ck = c.id JOIN nm nb ON nb.ck = c.cluster
       WHERE c.id <> c.cluster
-      ORDER BY custkey"""))
+      ORDER BY custkey""")),
+
+    // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
+    // Time-Slider as data, not one position of it): per-year graph metrics
+    // by unioning per-year snapshot aggregates — edge count, active
+    // src/dst entity counts, and supply-concentration stats (parts known,
+    // parts with HHI >= 0.5, max HHI — the HHI recomputed from the
+    // quantities shipped UP TO each snapshot, via the graded
+    // HhiAggregator UDAF). Branch-per-snapshot on purpose: each branch's
+    // validity predicate is a plain scan predicate, so Catalyst pushes it
+    // into that branch's parquet scan (PushedFilters on l_shipdate /
+    // o_orderdate — ExplainAudit asserts this per branch) and late-year
+    // branches prune row groups the early years never touch. At extreme
+    // scale the alternative is one scan fanned out against a years
+    // dimension (row joins every year >= its ship year, single groupBy) —
+    // trades 7 pruned scans for one scan plus a 7x shuffle; the union
+    // form wins whenever the scan is the bottleneck, which at 100 TB
+    // with row-group pruning it is. Integer metrics + round-6 extrema
+    // keep the hash contract engine-exact.
+    E("g47_snapshot_series", (s, d) => {
+      val t = Tables(s, d)
+      val g = GraphBuilder(t)
+      val hhi = udaf(graft.functions.HhiAggregator)
+      val perYear = sliderYears.map { y =>
+        val at = lit(s"$y-12-31 23:59:59").cast("timestamp_ntz")
+        val em = g.snapshot(at).edges
+          .agg(count(lit(1)).as("n_edges"),
+               countDistinct(col("src")).as("n_src"),
+               countDistinct(col("dst")).as("n_dst"))
+        val hm = t.lineitem.filter(col("l_shipdate") <= at)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(graft.Tables.dec(col("l_quantity"))).cast("double").as("qty"))
+          .groupBy(col("l_partkey"))
+          .agg(hhi(col("qty")).as("hhi"))
+          .agg(count(lit(1)).as("n_parts_known"),
+               sum(when(round(col("hhi"), 6) >= 0.5, 1L).otherwise(0L)).as("n_concentrated"),
+               round(max(col("hhi")), 6).as("max_hhi"))
+        // 1-row x 1-row: the audited-correct single-row crossJoin pattern
+        em.crossJoin(hm).withColumn("year", lit(y))
+      }
+      perYear.reduce(_.unionByName(_))
+        .select("year", "n_edges", "n_src", "n_dst",
+                "n_parts_known", "n_concentrated", "max_hhi")
+        .orderBy("year")
+    }, Some(s"""
+      WITH $edgesCte
+      $snapshotSeriesSql"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -29,7 +29,19 @@ object ExplainAudit {
     "g28_random_walks" -> "one materialized adjacency feeds all three step joins (no re-derivation of the edge list per step)",
     "t08_running_state" -> "ONE Window, PARTITIONED by user_id, over one hash exchange + sort (the T6 running state as a prefix aggregate — never an unpartitioned window; the top-level Sort is the graded output ordering every query carries)",
     "l05_ann_lsh" -> "6-row hyperplane table and 6-row query-bucket set must both BROADCAST (BroadcastNestedLoopJoin for hp, BroadcastHashJoin on (t, ba, bb) for candidates) — the corpus is scanned once for bucketing and once for the rerank of the pruned candidate set, never all-pairs",
-    "g34_temporal_reach" -> "valid_from IS NOT NULL must push into the edge scans; each of the 3 relaxation rounds must plan join + partial/final min-HashAggregate (earliest-arrival dominance: one row of state per node, no path enumeration)")
+    "g34_temporal_reach" -> "valid_from IS NOT NULL must push into the edge scans; each of the 3 relaxation rounds must plan join + partial/final min-HashAggregate (earliest-arrival dominance: one row of state per node, no path enumeration)",
+    // VERDICT r9 #6 — the four heaviest headliners, pinned. g02/g03 iterate
+    // through Materialize (checkpoint truncation), so their interesting
+    // per-level plans never reach the final plan below; PlanSpec captures
+    // every EXECUTED plan of their runs via a QueryExecutionListener and
+    // asserts the properties there (g02: a BroadcastHashJoin frontier level;
+    // g03: REPARTITION_BY_COL exchange-before-agg). The final plans are
+    // still printed here for the record.
+    "g02_khop" -> "final plan is post-checkpoint by design; the ENFORCED pin is PlanSpec 'g02: the per-level frontier join broadcasts under the measured gate' (listener-captured per-level plans)",
+    "g03_ubo_exposure" -> "final plan is post-checkpoint by design; the ENFORCED pin is PlanSpec 'g03: ubo step exchanges on the NEW group keys before the fan-out agg' (REPARTITION_BY_COL before the share agg)",
+    "g11_conflict_shared_part" -> "the (custkey, partkey) DISTINCT HashAggregate must sit BELOW the partkey self-join (dedup-before-pair) — enforced in PlanSpec; no CartesianProduct anywhere",
+    "l02_minhash_lsh" -> "candidates must come from the equi-join on the band columns (h, mh_r0..), never an all-pairs join; the exact jaccard rerank projects only above that join — enforced in PlanSpec",
+    "g47_snapshot_series" -> "every per-year branch must push its validity bound into ITS scan: >= 7 LessThanOrEqual(l_shipdate,...) and >= 7 LessThanOrEqual(o_orderdate,...) in PushedFilters — enforced in PlanSpec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

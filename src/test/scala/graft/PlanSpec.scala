@@ -160,4 +160,96 @@ class PlanSpec extends SparkSpec {
     assert("""Sort \(\d+\)""".r.findAllIn(p).size >= 2,
       "both children must sort on (key, ts)")
   }
+
+  // ——— VERDICT r9 #6: pinned plan checks for the four heaviest headliners.
+  // A silent plan regression on these would otherwise surface only as bench
+  // noise. g02/g03 iterate through Materialize (checkpoint truncation), so
+  // their interesting plans never appear in the FINAL plan — capture every
+  // executed plan of the run via a QueryExecutionListener instead.
+
+  /** Runs `action`, returning every executed-plan string the session
+    * reported while it ran (listener delivery is async — settle-polled). */
+  private def capturedPlans(action: => Unit): Seq[String] = {
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action
+      var prev = -1
+      var settles = 0
+      while (settles < 3) {
+        Thread.sleep(100)
+        val now = plans.synchronized(plans.size)
+        if (now == prev) settles += 1 else { settles = 0; prev = now }
+      }
+      plans.synchronized(plans.toList)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("g02: the per-level frontier join broadcasts under the measured gate") {
+    // kHop's contract: with the frontier/visited counts under
+    // broadcastMaxRows, each BFS level joins the (huge) edge table against
+    // a BROADCAST frontier — the edge table never shuffles. The graded
+    // g02 frontier is always far below the 4M gate, so at least one
+    // captured per-level plan must carry a BroadcastHashJoin.
+    val ps = capturedPlans(SparkEntry.queries("g02_khop")(spark, sfDir).collect())
+    assert(ps.nonEmpty, "listener captured no executed plans — capture path broke")
+    assert(ps.exists(_.contains("BroadcastHashJoin")),
+      s"no BFS level planned a broadcast frontier join (captured ${ps.size} plans)")
+  }
+
+  test("g03: ubo step exchanges on the NEW group keys before the fan-out agg") {
+    // Regroup.aggregateByNewKeys (the measured round-8 fix): the step's
+    // plan must show the explicit repartition exchange (REPARTITION_BY_COL)
+    // feeding the share-summing aggregate — not a degenerate partial agg
+    // over the raw join fan-out.
+    val ps = capturedPlans(SparkEntry.queries("g03_ubo_exposure")(spark, sfDir).collect())
+    assert(ps.exists(p => p.contains("REPARTITION_BY_COL") && p.contains("HashAggregate")),
+      s"no captured step plan shows the exchange-before-agg shape (captured ${ps.size})")
+  }
+
+  test("g11: customer-part distinct runs BELOW the pair self-join") {
+    // dedup-before-pair: the (custkey, partkey) distinct must feed the
+    // partkey self-join, so pair fan-out happens on deduped rows. In the
+    // formatted plan the distinct is a HashAggregate keyed on
+    // (custkey, partkey); both join inputs must come from it (the second
+    // side may be a ReusedExchange of the first).
+    val p = plan("g11_conflict_shared_part")
+    val aggIdx = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Keys") && l.contains("custkey") && l.contains("partkey") => i
+    }.toList
+    assert(aggIdx.nonEmpty, s"no (custkey, partkey) distinct aggregate in plan:\n$p")
+    // the self-join's key detail line: "Left keys [1]: [partkey#...]"
+    val joinLine = p.linesIterator.collectFirst {
+      case l if l.contains("Left keys") && l.contains("partkey") => l
+    }
+    assert(joinLine.isDefined, s"no partkey self-join in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), "pair join degraded to a cartesian product")
+  }
+
+  test("l02: band-bucket join before the exact rerank, never all-pairs") {
+    // the LSH contract: candidates come from an equi-join on the band
+    // columns (h, mh_r0); the exact-jaccard filter runs on candidates only.
+    val p = plan("l02_minhash_lsh")
+    assert(p.contains("mh_r0"), s"band join keys missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degraded to an all-pairs join")
+    assert(p.contains("jaccard_dist"), "exact rerank projection missing")
+  }
+
+  test("g47: every per-year snapshot branch pushes its validity bound to the scan") {
+    // branch-per-snapshot design: each of the 7 year branches must push its
+    // l_shipdate bound into ITS lineitem scan (row-group pruning per branch)
+    val p = plan("g47_snapshot_series")
+    val pushed = """LessThanOrEqual\(l_shipdate""".r.findAllIn(p).size
+    assert(pushed >= 7, s"only $pushed of 7 branches push the l_shipdate bound:\n$p")
+    assert("""LessThanOrEqual\(o_orderdate""".r.findAllIn(p).size >= 7,
+      "PLACED-branch o_orderdate validity bound not pushed in every year branch")
+  }
 }
