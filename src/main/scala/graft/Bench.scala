@@ -51,22 +51,35 @@ object Bench {
   val escalateThresholdSec = 45.0
 
   /** Per-query quiet-host MicroBench medians: 5 reps after warmup, sf0.1,
-    * local[32], external load < 2 cores (measured 2026-08-14, round 9 —
-    * RE-PIN EVERY ROUND per VERDICT r8: these are measured data, and stale
-    * pins erode the band's meaning, as l03's 1.8-pin vs 2.25-measured
-    * drift showed in round 8). These are the adjudication reference
-    * emitted into the bench JSON: a recorded number far above its quiet
-    * median on a run flagged contended is load, not regression.
+    * local[32], external load < 2 cores AND the round-10 I/O probes quiet
+    * (PSI-io < 5%, dirty backlog < 2 GB). RE-PIN EVERY ROUND per VERDICT
+    * r8: these are measured data, and stale pins erode the band's meaning.
+    *
+    * PIN-PROVENANCE RULE (VERDICT r9 #3 — the round-9 g02 pin of 2.48 s
+    * came from one anomalously quiet window while the judge's session
+    * measured 4.16 s and round-8 history read 3.3–3.8 s on untouched
+    * code): a pin must be supported by CROSS-SESSION evidence, never one
+    * window. Pin the fresh session median; where an independent session's
+    * median for the same code exists (judge re-measures in VERDICT,
+    * history in BASELINE.md), pin the MIN of the ≥2-session-supported
+    * cluster and DISCARD singleton outliers on the low side — a pin only
+    * one window ever produced erodes the 2× band from the false-escalation
+    * side. Round-10 pins: fresh session 2026-08-14 (quiet on all three
+    * probes), cross-checked against VERDICT r9's judge medians
+    * (g02 4.16 ≈ fresh 4.57 → pin 4.16; g03_ubo_cyclic judge 2.65 =
+    * fresh 2.65). These are the adjudication reference emitted into the
+    * bench JSON: a recorded number far above its quiet median on a run
+    * flagged contended is load, not regression.
     */
   val quietMediansSec: Map[String, Double] = Map(
-    "r01_projection" -> 1.01, "r06_range_join" -> 1.13,
-    "r09_agg" -> 0.83, "r13_window_rank" -> 0.45,
-    "g02_khop" -> 2.48, "g03_ubo_exposure" -> 3.43,
-    "g03_ubo_cyclic" -> 2.33, "g06_scc" -> 0.41,
-    "g07_cc_full" -> 2.00, "g09_pagerank" -> 1.05,
-    "g11_conflict_shared_part" -> 2.33, "l02_minhash_lsh" -> 3.47,
-    "l03_ngram_jaccard" -> 1.70, "l05_cosine_topk_native" -> 0.14,
-    "t01_tumbling_window" -> 0.27, "t03_session_window" -> 0.47)
+    "r01_projection" -> 1.15, "r06_range_join" -> 1.56,
+    "r09_agg" -> 1.12, "r13_window_rank" -> 0.61,
+    "g02_khop" -> 4.16, "g03_ubo_exposure" -> 4.59,
+    "g03_ubo_cyclic" -> 2.65, "g06_scc" -> 0.51,
+    "g07_cc_full" -> 2.57, "g09_pagerank" -> 1.38,
+    "g11_conflict_shared_part" -> 3.11, "l02_minhash_lsh" -> 4.37,
+    "l03_ngram_jaccard" -> 2.18, "l05_cosine_topk_native" -> 0.18,
+    "t01_tumbling_window" -> 0.35, "t03_session_window" -> 0.53)
 
   /** A succeeded query whose min-of-N exceeds bandFactor × its quiet median
     * is a per-query band violation → escalate to a third pass. Tightened
@@ -119,18 +132,71 @@ object Bench {
       case _ => -1.0
     }
 
+  /** I/O pressure (PSI, /proc/pressure/io "some avg10" percentage) and
+    * dirty/writeback page volume (/proc/meminfo, kB). The round-9 lesson
+    * (VERDICT r9 finding 1): the CPU probe is necessary but NOT sufficient
+    * — a same-session rehearsal storm leaves page-cache writeback pressure
+    * that /proc/stat accounting can't see (CPUs idle, disk saturated), and
+    * the r9 recorded grade came out 2× its quiet profile with
+    * external_cpu ≈ 0. These two probes see exactly that state: PSI-io
+    * rises while tasks stall on the device, and Dirty+Writeback measures
+    * the backlog the kernel still has to flush.
+    */
+  private def ioPressureSomeAvg10(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/pressure/io")
+      val line = try src.getLines().find(_.startsWith("some")).getOrElse("") finally src.close()
+      line.split("\\s+").collectFirst {
+        case f if f.startsWith("avg10=") => f.stripPrefix("avg10=").toDouble
+      }.getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+
+  private def dirtyWritebackKb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      val m = try src.getLines().collect {
+        case l if l.startsWith("Dirty:") || l.startsWith("Writeback:") =>
+          l.split("\\s+")(1).toLong
+      }.sum finally src.close()
+      m
+    } catch { case _: Throwable => -1L }
+
+  /** PSI-io avg10 (a 0–100 percentage of wall time some task stalled on
+    * I/O) below which the host counts quiet. A bench's own reads on warm
+    * page cache sit near 0; the self-generated writeback storms measured
+    * in rounds 8–9 push it to double digits for minutes.
+    */
+  val quietIoPressurePct = 5.0
+
+  /** Dirty+Writeback backlog (kB) below which the host counts quiet: 2 GB
+    * drains in seconds on this host's disk, while rehearsal storms leave
+    * tens of GB that flush for minutes and time-share the device with the
+    * bench's shuffle spills.
+    */
+  val quietDirtyKb = 2L * 1024 * 1024
+
   /** Spin-wait (re-sampling every ~3 s of probe window + 5 s sleep) until the
-    * host's external cpu drops under quietExternalCores or the shared budget
-    * deadline passes. Returns true iff quiet on exit. Unreadable /proc (probe
-    * -1) counts as quiet — there is nothing to adjudicate against.
+    * host is quiet on ALL THREE probes — external cpu (other processes),
+    * PSI-io pressure, and dirty-page backlog (this process's own past
+    * writes included: writeback the bench itself queued still contends the
+    * device) — or the shared budget deadline passes. Returns true iff quiet
+    * on exit. Unreadable /proc (probe -1) counts as quiet — there is
+    * nothing to adjudicate against.
     */
   private def awaitQuietHost(deadlineNanos: Long): Boolean = {
-    var ext = externalBusyCores(3000)
-    while (ext >= quietExternalCores && System.nanoTime() < deadlineNanos) {
-      Thread.sleep(5000)
-      ext = externalBusyCores(3000)
+    def quiet(): Boolean = {
+      val io = ioPressureSomeAvg10()
+      val dirty = dirtyWritebackKb()
+      externalBusyCores(3000) < quietExternalCores &&
+        (io < 0 || io < quietIoPressurePct) &&
+        (dirty < 0 || dirty < quietDirtyKb)
     }
-    ext < quietExternalCores
+    var ok = quiet()
+    while (!ok && System.nanoTime() < deadlineNanos) {
+      Thread.sleep(5000)
+      ok = quiet()
+    }
+    ok
   }
 
   def main(args: Array[String]): Unit = {
@@ -145,6 +211,8 @@ object Bench {
     if (!awaitQuietHost(deadline)) contended = true
     val loadBefore = loadAvg1m()
     val extBefore = externalBusyCores(2000)
+    val ioBefore = ioPressureSomeAvg10()
+    val dirtyBefore = dirtyWritebackKb()
     val spark = GraftSession.local(cpus)
     // Warmup: absorb session/codegen/reader startup outside the timings.
     // Running the headline set once at the smallest sf JIT-compiles the
@@ -217,6 +285,8 @@ object Bench {
     val passes = if (escalate) 3 else 2
     val loadAfter = loadAvg1m()
     val extAfter = externalBusyCores(2000)
+    val ioAfter = ioPressureSomeAvg10()
+    val dirtyAfter = dirtyWritebackKb()
     def jmap(m: Iterable[(String, Any)]): String = m.map {
       case (k, v: String) => "\"" + k + "\":\"" + v + "\""
       case (k, v) => "\"" + k + "\":" + v
@@ -227,9 +297,11 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val load = s"""{"before":$loadBefore,"after":$loadAfter,"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val ext = s"""{"before":$extBefore,"after":$extAfter}"""
+    val io = s"""{"before":$ioBefore,"after":$ioAfter}"""
+    val dirty = s"""{"before":$dirtyBefore,"after":$dirtyAfter}"""
     // quiet_medians are sf0.1-referenced (the graded sf) — adjudicate
     // against them only when this run's sfDir is sf0.1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"host_load":$load,"external_cpu":$ext,"contended":$contended,"quiet_medians":$quiet,"quiet_medians_sf":"sf0.1","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"host_load":$load,"external_cpu":$ext,"io_pressure_pct":$io,"dirty_kb":$dirty,"contended":$contended,"quiet_medians":$quiet,"quiet_medians_sf":"sf0.1","sf":"$sfDir"}""")
     spark.stop()
   }
 }
