@@ -2078,6 +2078,42 @@ object GraphQueries {
       WHERE c.id <> c.cluster
       ORDER BY custkey""")),
 
+    // G11d — fuzzy CATALOG name resolution: the same blocked lev<=1
+    // machinery over part names — VARIABLE-length natural-word strings
+    // where the matches are genuine deletion typos ("cold anvil" vs
+    // "old anvil"), so the indel leg of the symmetric-delete pigeonhole
+    // (shorter name IS a deletion variant of the longer) is exercised in
+    // the GRADED surface, not only in the spec. Names dedup through a
+    // pre-aggregation (distinct name -> min-partkey id + member count)
+    // before blocking, so the pair join runs on the name vocabulary, not
+    // the row count — the catalog-ER shape for a 100 TB parts ledger.
+    E("g49_fuzzy_catalog_names", (s, d) => {
+      val names = Tables(s, d).part
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"), count(lit(1)).as("n_parts"))
+      graft.rel.FuzzyJoin.selfJoinLev1(names.select("id", "name"))
+        .join(broadcast(names.select(col("id").as("id_a"), col("n_parts").as("parts_a"))), Seq("id_a"))
+        .join(broadcast(names.select(col("id").as("id_b"), col("n_parts").as("parts_b"))), Seq("id_b"))
+        .select(col("name_a"), col("name_b"), col("dist"), col("parts_a"), col("parts_b"))
+        .orderBy("name_a", "name_b")
+    }, Some("""
+      WITH nm AS (SELECT p_name AS nam, CAST(MIN(p_partkey) AS BIGINT) AS ck, COUNT(*) AS n_parts
+                  FROM part GROUP BY 1),
+      keys AS (
+        SELECT ck, nam, nam AS key FROM nm
+        UNION
+        SELECT ck, nam, substr(nam, 1, CAST(i AS INT)) || substr(nam, CAST(i AS INT) + 2) AS key
+        FROM nm, UNNEST(range(length(nam))) AS t(i)),
+      cand AS (
+        SELECT DISTINCT a.ck AS ck_a, b.ck AS ck_b, a.nam AS name_a, b.nam AS name_b
+        FROM keys a JOIN keys b ON a.key = b.key AND a.ck < b.ck),
+      fp AS (
+        SELECT ck_a, ck_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        FROM cand WHERE levenshtein(name_a, name_b) <= 1)
+      SELECT name_a, name_b, dist, na.n_parts AS parts_a, nb.n_parts AS parts_b
+      FROM fp JOIN nm na ON na.ck = ck_a JOIN nm nb ON nb.ck = ck_b
+      ORDER BY name_a, name_b""")),
+
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics
     // by unioning per-year snapshot aggregates — edge count, active
