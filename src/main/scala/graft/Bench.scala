@@ -94,110 +94,23 @@ object Bench {
     * contended grades carried 3–10 external cores; honest background noise
     * (driver bookkeeping, page cache flushes) stays well under 2.
     */
-  val quietExternalCores = 2.0
+  val quietExternalCores = HostProbes.quietExternalCores
 
   /** 1-minute load average from /proc/loadavg (-1 if unreadable — NaN is not
     * valid JSON) — kept in the JSON alongside the external-cpu probe because
     * it is the number an operator checks first on the host.
     */
-  private def loadAvg1m(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/loadavg")
-      val v = try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
-      if (java.lang.Double.isFinite(v)) v else -1.0
-    } catch { case _: Throwable => -1.0 }
-
-  /** (total busy jiffies across all cpus, this process's utime+stime jiffies).
-    * run/fork := true means this JVM IS the whole Spark local[*] runtime, so
-    * self covers every executor thread. USER_HZ is 100 on Linux.
-    */
-  private def cpuJiffies(): Option[(Long, Long)] =
-    try {
-      val statSrc = scala.io.Source.fromFile("/proc/stat")
-      val cols = try statSrc.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        finally statSrc.close()
-      val busy = cols.sum - cols(3) - (if (cols.length > 4) cols(4) else 0L) // - idle - iowait
-      val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
-      val raw = try selfSrc.mkString finally selfSrc.close()
-      // comm (field 2) can contain spaces/parens — split after the LAST ')'
-      val rest = raw.substring(raw.lastIndexOf(')') + 2).split(" ")
-      Some((busy, rest(11).toLong + rest(12).toLong)) // utime, stime
-    } catch { case _: Throwable => None }
-
-  /** Cores of busy cpu NOT attributable to this JVM, sampled over windowMs. */
+  private def loadAvg1m(): Double = HostProbes.loadAvg1m()
   private def externalBusyCores(windowMs: Long): Double =
-    (cpuJiffies(), { Thread.sleep(windowMs); cpuJiffies() }) match {
-      case (Some((b0, s0)), Some((b1, s1))) =>
-        math.max(0.0, ((b1 - b0) - (s1 - s0)) * 10.0 / windowMs) // jiffy=10ms
-      case _ => -1.0
-    }
+    HostProbes.externalBusyCores(windowMs)
 
-  /** I/O pressure (PSI, /proc/pressure/io "some avg10" percentage) and
-    * dirty/writeback page volume (/proc/meminfo, kB). The round-9 lesson
-    * (VERDICT r9 finding 1): the CPU probe is necessary but NOT sufficient
-    * — a same-session rehearsal storm leaves page-cache writeback pressure
-    * that /proc/stat accounting can't see (CPUs idle, disk saturated), and
-    * the r9 recorded grade came out 2× its quiet profile with
-    * external_cpu ≈ 0. These two probes see exactly that state: PSI-io
-    * rises while tasks stall on the device, and Dirty+Writeback measures
-    * the backlog the kernel still has to flush.
-    */
-  private def ioPressureSomeAvg10(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/pressure/io")
-      val line = try src.getLines().find(_.startsWith("some")).getOrElse("") finally src.close()
-      line.split("\\s+").collectFirst {
-        case f if f.startsWith("avg10=") => f.stripPrefix("avg10=").toDouble
-      }.getOrElse(-1.0)
-    } catch { case _: Throwable => -1.0 }
-
-  private def dirtyWritebackKb(): Long =
-    try {
-      val src = scala.io.Source.fromFile("/proc/meminfo")
-      val m = try src.getLines().collect {
-        case l if l.startsWith("Dirty:") || l.startsWith("Writeback:") =>
-          l.split("\\s+")(1).toLong
-      }.sum finally src.close()
-      m
-    } catch { case _: Throwable => -1L }
-
-  /** PSI-io avg10 (a 0–100 percentage of wall time some task stalled on
-    * I/O) below which the host counts quiet. A bench's own reads on warm
-    * page cache sit near 0; the self-generated writeback storms measured
-    * in rounds 8–9 push it to double digits for minutes.
-    */
-  val quietIoPressurePct = 5.0
-
-  /** Dirty+Writeback backlog (kB) below which the host counts quiet: 2 GB
-    * drains in seconds on this host's disk, while rehearsal storms leave
-    * tens of GB that flush for minutes and time-share the device with the
-    * bench's shuffle spills.
-    */
-  val quietDirtyKb = 2L * 1024 * 1024
-
-  /** Spin-wait (re-sampling every ~3 s of probe window + 5 s sleep) until the
-    * host is quiet on ALL THREE probes — external cpu (other processes),
-    * PSI-io pressure, and dirty-page backlog (this process's own past
-    * writes included: writeback the bench itself queued still contends the
-    * device) — or the shared budget deadline passes. Returns true iff quiet
-    * on exit. Unreadable /proc (probe -1) counts as quiet — there is
-    * nothing to adjudicate against.
-    */
-  private def awaitQuietHost(deadlineNanos: Long): Boolean = {
-    def quiet(): Boolean = {
-      val io = ioPressureSomeAvg10()
-      val dirty = dirtyWritebackKb()
-      externalBusyCores(3000) < quietExternalCores &&
-        (io < 0 || io < quietIoPressurePct) &&
-        (dirty < 0 || dirty < quietDirtyKb)
-    }
-    var ok = quiet()
-    while (!ok && System.nanoTime() < deadlineNanos) {
-      Thread.sleep(5000)
-      ok = quiet()
-    }
-    ok
-  }
+  /** Probe implementations + quiet thresholds live in [[HostProbes]]
+    * (shared with MicroBench, which drains writeback between queries).
+    * Aliases kept here so the bench contract reads in one place. */
+  private def ioPressureSomeAvg10(): Double = HostProbes.ioPressureSomeAvg10()
+  private def dirtyWritebackKb(): Long = HostProbes.dirtyWritebackKb()
+  private def awaitQuietHost(deadlineNanos: Long): Boolean =
+    HostProbes.awaitQuiet(deadlineNanos)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

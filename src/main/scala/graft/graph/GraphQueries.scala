@@ -188,6 +188,25 @@ object GraphQueries {
     blocks.mkString("\nUNION ALL\n") + "\nORDER BY year"
   }
 
+  /** g07_cc_full's order-contracted edge list (see the entry's comment for
+    * the contraction proof) — extracted so scale probes (tools/CcTierProbe)
+    * measure the EXACT graded graph, single-sourced with the query. */
+  private[graft] def ccFullContractedEdges(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    val custOrder = t.orders.select(
+      (lit(GraphBuilder.CustomerBase) + col("o_custkey")).as("cust"),
+      (lit(GraphBuilder.OrderBase) + col("o_orderkey")).as("order"))
+    val custPart = custOrder.join(
+        t.lineitem.select((lit(GraphBuilder.OrderBase) + col("l_orderkey")).as("order"),
+                          (lit(GraphBuilder.PartBase) + col("l_partkey")).as("part")),
+        "order")
+      .select(col("cust").as("src"), col("part").as("dst"))
+    val rest = GraphBuilder.edges(t)
+      .filter(!col("rel_type").isin("PLACED", "CONTAINS"))
+      .select(col("src"), col("dst"))
+    custPart.unionByName(rest)
+  }
+
   private val entries: Seq[E] = Seq(
 
     // S2 — node scan by label (Cypher `MATCH (n:supplier)`, README.md:25):
@@ -1041,19 +1060,12 @@ object GraphQueries {
       // (1.3M distinct edges at sf0.1) through driver union-find — two
       // jobs instead of GraphX's hundreds of Pregel micro-jobs, which made
       // this query the host-contention lightning rod; GraphX remains the
-      // path above the 4M-edge gate.
+      // path above the 4M-edge gate (and the Kiveris star tier above
+      // GraphX's measured single-JVM ceiling — see Algorithms.cc).
       val custOrder = t.orders.select(
         (lit(GraphBuilder.CustomerBase) + col("o_custkey")).as("cust"),
         (lit(GraphBuilder.OrderBase) + col("o_orderkey")).as("order"))
-      val custPart = custOrder.join(
-          t.lineitem.select((lit(GraphBuilder.OrderBase) + col("l_orderkey")).as("order"),
-                            (lit(GraphBuilder.PartBase) + col("l_partkey")).as("part")),
-          "order")
-        .select(col("cust").as("src"), col("part").as("dst"))
-      val rest = GraphBuilder.edges(t)
-        .filter(!col("rel_type").isin("PLACED", "CONTAINS"))
-        .select(col("src"), col("dst"))
-      val comp = Algorithms.cc(custPart.unionByName(rest))
+      val comp = Algorithms.cc(ccFullContractedEdges(s, d))
         .transform(Materialize.apply)
       val orderComp = custOrder
         .join(comp.withColumnRenamed("id", "cust"), "cust")

@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
 /** Warm-session A/B timing of graded queries (median of N reps after a
   * warmup rep). Build tool for plan-choice decisions; not a driver surface.
   * Usage: runMain graft.tools.MicroBench <reps> <query> [query ...]
+  *
+  * At rehearsal sfs (sf0.4+) each heavy query leaves a multi-GB dirty
+  * writeback backlog that time-shares the single disk with the NEXT
+  * query's reps — the self-generated storm that made round-9's sf6.4
+  * sweep numbers non-comparable across queries. Between queries (and
+  * between reps once the host reads stormy) MicroBench now drains:
+  * HostProbes.awaitQuiet (PSI-io < 5%, dirty < 2 GB, external cpu < 2
+  * cores), budget 3 min per gate — so every query starts against a
+  * settled device and `min` approximates the uncontended cost.
   */
 object MicroBench {
   def main(args: Array[String]): Unit = {
@@ -15,7 +24,12 @@ object MicroBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    def drain(): Unit = {
+      val ok = graft.HostProbes.awaitQuiet(System.nanoTime() + 180L * 1000000000L)
+      if (!ok) System.err.println("[microbench] drain budget expired — next timing may carry writeback contention")
+    }
     names.foreach { n =>
+      drain()
       def once(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
