@@ -27,8 +27,8 @@ class CytoscapeExportSpec extends SparkSpec {
     assert(docs.length === 3, "one document per seed")
     docs.foreach { r =>
       val seed = r.getAs[Long]("seed")
-      val nodes = r.getAs[Seq[org.apache.spark.sql.Row]]("nodes")
-      val edges = r.getAs[Seq[org.apache.spark.sql.Row]]("edges")
+      val nodes = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("nodes")
+      val edges = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("edges")
       assert(nodes != null && edges != null, s"seed $seed: JSON failed to parse")
       assert(nodes.size.toLong === r.getAs[Long]("n_nodes"), s"seed $seed: node count drift")
       assert(edges.size.toLong === r.getAs[Long]("n_edges"), s"seed $seed: edge count drift")
