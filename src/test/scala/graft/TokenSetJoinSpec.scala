@@ -1,0 +1,102 @@
+package graft
+
+import graft.rel.TokenSetJoin
+import org.apache.spark.sql.functions._
+
+/** The prefix-filter token-set join must (a) RECALL multi-word matches the
+  * character-level lev<=1 blocking cannot see — whole-word REORDERS and
+  * one-word substitutions/abbreviations — (b) reject low-overlap pairs,
+  * and (c) PRUNE: blocking on each record's rarest prefix tokens must
+  * admit fewer candidates than blocking on every token, which in turn is
+  * below all-pairs. Recall is proven lossless by set-equality against a
+  * brute-force crossJoin Jaccard on the same corpus (test scale only —
+  * the brute force is the oracle here, never the shipped plan).
+  */
+class TokenSetJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def catalogLabels = Tables(spark, sfDir).part
+    .groupBy(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("label"))
+    .agg(min(col("p_partkey")).as("id"))
+    .select("id", "label")
+
+  test("planted reorder and abbreviation variants: recall at jaccard>=0.6") {
+    val ents = Seq(
+      1L -> "acme global trading ltd",
+      2L -> "global acme trading ltd",     // pure reorder: J = 1.0, lev = 10
+      3L -> "acme global trading limited", // abbreviation variant: J = 3/5
+      4L -> "acme global shipping ltd",    // one word swapped: J = 3/5
+      5L -> "acme pacific shipping corp",  // J(1,5) = 1/7 — reject
+      6L -> "zenith holdings plc"          // far
+    ).toDF("id", "label")
+    val pairs = TokenSetJoin.selfJoinJaccard(ents, 0.6)
+      .filter(col("id_a") === 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L)),
+      s"expected the reorder + two one-word variants of id 1, got $pairs")
+    // the reorder pair is invisible to character-level lev<=1 blocking
+    val lev = graft.rel.FuzzyJoin.selfJoinLev1(
+      ents.withColumnRenamed("label", "name"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!lev.contains((1L, 2L)), "lev<=1 should NOT see the whole-word reorder")
+  }
+
+  test("jaccard values and n_common are exact") {
+    val ents = Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "beta gamma delta epsilon" // common 3, union 5
+    ).toDF("id", "label")
+    val r = TokenSetJoin.selfJoinJaccard(ents, 0.5).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_common") === 3L)
+    assert(r.head.getAs[Double]("jacc") === 0.6)
+  }
+
+  test("prefix blocking is lossless vs brute force on the catalog corpus") {
+    val ents = catalogLabels
+    val blocked = TokenSetJoin.selfJoinJaccard(ents, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val toks = TokenSetJoin.tokens(col("label"))
+    val e2 = ents.select(col("id").as("id_b"), col("label").as("label_b"))
+    val tb = TokenSetJoin.tokens(col("label_b"))
+    val common = size(array_intersect(toks, tb)).cast("long")
+    val brute = ents.crossJoin(e2)
+      .filter(col("id") < col("id_b") &&
+        round(common / (size(toks) + size(tb) - common), 6) >= 0.6)
+      .select(col("id"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(blocked.nonEmpty && blocked === brute)
+  }
+
+  test("the prefix prunes: below any-token blocking, well below all-pairs") {
+    val ents = catalogLabels
+    val n = ents.count()
+    val allPairs = n * (n - 1) / 2
+    val prefixCands = TokenSetJoin.candidateCount(ents, 0.6)
+    // any-shared-token blocking (no prefix filter) for comparison
+    val tok = ents.select(col("id"), explode(TokenSetJoin.tokens(col("label"))).as("tok"))
+    val anyToken = tok.select(col("id").as("id_a"), col("tok"))
+      .join(tok.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    assert(prefixCands < anyToken,
+      s"prefix filter admitted no fewer candidates than any-token blocking: $prefixCands vs $anyToken")
+    assert(prefixCands * 2 < allPairs,
+      s"blocker did not prune: $prefixCands vs $allPairs all-pairs")
+    info(s"candidates prefix: $prefixCands, any-token: $anyToken, all-pairs: $allPairs")
+  }
+
+  test("tokens and prefixLen: dedup, empty safety, formula") {
+    val t = Seq("a b b  c", "", "solo").toDF("label")
+      .select(col("label"), TokenSetJoin.tokens(col("label")).as("ts"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(t("a b b  c") === Seq("a", "b", "c")) // dup token and double space dropped
+    assert(t("") === Seq.empty)
+    assert(t("solo") === Seq("solo"))
+    val p = Seq((4, 0.6), (4, 0.5), (5, 0.8), (1, 0.6)).toDF("sz", "t")
+    val got = p.select(col("sz"), col("t"),
+        TokenSetJoin.prefixLen(col("sz"), 0.6).as("p06"))
+      .filter(col("t") === 0.6).select("sz", "p06").as[(Int, Long)].collect().toMap
+    assert(got(4) === 2L) // 4 - ceil(2.4) + 1
+    assert(got(1) === 1L) // singleton always blocks on its one token
+  }
+}
