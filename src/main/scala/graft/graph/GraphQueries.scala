@@ -2218,6 +2218,147 @@ object GraphQueries {
       FROM fp JOIN nm na ON na.ck = ck_a JOIN nm nb ON nb.ck = ck_b
       ORDER BY name_a, name_b""")),
 
+    // G52 — the ENTITY DOSSIER (README.md:4-6 "untangle complex corporate
+    // webs... in seconds" — the product's core workflow: pick a target
+    // entity, get ONE combined answer). Composes four existing pipelines
+    // into one long-format output (section, key, detail, score) for a
+    // seed supplier: (a) its beneficial owners, (b) risk flags on the
+    // parts it supplies, (c) fuzzy name conflicts INSIDE its owner base
+    // ("shared directors" under misspelling, g46's matcher), (d) its
+    // ego-network summary. Composition notes (the l37 honest-plan
+    // precedent — which scans are shared vs re-read):
+    //  * ownership runs BACKWARD from the single seed over the REVERSED
+    //    3-layer DAG (same Ubo.propagateLayers; src/dst swapped) — the
+    //    drill-down plan: state is the seed's ancestor cone (bounded by
+    //    the customer count), not g03's board-wide |owners|x|entities|
+    //    forward state, and the cone is EXACT (no epsilon needed — the
+    //    per-step state never fans past the cone). The cone is
+    //    Materialize'd once and SHARED by the owner and conflict sections
+    //    (Catalyst does not dedupe identical subtrees across a union;
+    //    without the checkpoint the propagation would run twice).
+    //  * the risk section broadcast-SEMI-joins SUPPLIED_BY down to the
+    //    seed's own parts BEFORE aggregating — g16's flag semantics,
+    //    never the corpus-wide per-part aggregate.
+    //  * the fuzzy pair stream is cut to pairs IMPLICATING a principal
+    //    (top-25) owner — either end — by two broadcast semi-joins
+    //    union'd then dedup'd; cutting merely to the full cone is not a
+    //    dossier (measured: the sf0.1 cone covers ~all customers and
+    //    re-emits ~120k g46 pairs — a board, not a briefing). The
+    //    blocked pair join itself stays the one board-wide shuffle
+    //    (candidate generation cannot be seed-local: a conflict partner
+    //    is found, not known in advance).
+    //  * risk + ego re-read lineitem via separate GraphBuilder.edges
+    //    subtrees — a dossier SERVICE would cache the edge table across
+    //    sections and seeds; per-query that tradeoff buys nothing (each
+    //    section reads a different slice).
+    // Owners are rank-truncated (top 25 by rounded share, owner-id tie
+    // break) — absolute thresholds on out-normalized shares dilute to
+    // empty as the graph grows (the g03_ubo_owners lesson); the 25%-style
+    // regulatory gate is a WHERE the analyst applies to the score column.
+    E("g52_entity_dossier", (s, d) => {
+      val t = Tables(s, d)
+      val seed = GraphBuilder.SupplierBase + 1L
+      def rev(df: DataFrame) = df.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      val init = s.range(1).select(lit(seed).as("owner"), lit(seed).as("entity"),
+        lit(1.0).cast("double").as("share"))
+      val cone = Ubo.propagateLayers(
+          Seq(rev(Ubo.suppliedByEdges(t)), rev(Ubo.containsEdges(t)), rev(Ubo.placedEdges(t))),
+          init, epsilon = None, materializeLayers = false)
+        .select(col("entity").as("owner"), round(col("share"), 6).as("share6"))
+        .transform(Materialize.apply) // shared: owner top-k + conflict cut
+      val custNames = t.customer.select(
+        (lit(GraphBuilder.CustomerBase) + col("c_custkey")).as("owner"),
+        col("c_name").as("detail"))
+      val ownTop = cone.orderBy(col("share6").desc, col("owner")).limit(25)
+        .transform(Materialize.apply) // shared: owner section + conflict cut
+      val ownerRows = ownTop
+        .join(broadcast(custNames), Seq("owner"))
+        .select(lit("owner").as("section"), col("owner").as("key"), col("detail"),
+                col("share6").as("score"))
+      val topCk = ownTop.select((col("owner") - GraphBuilder.CustomerBase).as("ck"))
+      val pairs = fuzzyCustomerPairs(s, d)
+      val conflictRows = pairs
+          .join(broadcast(topCk.withColumnRenamed("ck", "id_a")), Seq("id_a"), "left_semi")
+        .unionByName(pairs
+          .join(broadcast(topCk.withColumnRenamed("ck", "id_b")), Seq("id_b"), "left_semi"))
+        .distinct() // a pair with BOTH ends principal appears in both legs
+        .select(lit("name_conflict").as("section"),
+                (lit(GraphBuilder.CustomerBase) + col("id_a")).as("key"),
+                concat(col("name_a"), lit(" ~ "), col("name_b")).as("detail"),
+                col("dist").cast("double").as("score"))
+      val sb = GraphBuilder.edges(t).filter(col("rel_type") === "SUPPLIED_BY")
+      val seedParts = sb.filter(col("dst") === seed).select(col("src").as("pid")).distinct()
+      val agg = sb.join(broadcast(seedParts), col("src") === col("pid"), "left_semi")
+        .groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("n"), max(col("weight")).as("mx"))
+        .withColumn("ratio", col("mx") * col("n"))
+      val flagged = agg.filter(col("ratio") >= 2.5)
+          .select(col("id"), lit("dominant_supplier").as("flag"), col("ratio"))
+        .unionByName(agg.filter(col("ratio") >= 3.0)
+          .select(col("id"), lit("highly_concentrated").as("flag"), col("ratio")))
+      val riskRows = flagged.groupBy(col("id").as("key"))
+        .agg(array_join(sort_array(collect_set(col("flag"))), ",").as("detail"),
+             round(max(col("ratio")), 6).as("score"))
+        .select(lit("risk_part").as("section"), col("key"), col("detail"), col("score"))
+      val ego = Traversals.egoNet(GraphBuilder.edges(t), seed, 2)
+      val egoEdgeRows = ego.groupBy(col("rel_type").as("detail"))
+        .agg(count(lit(1)).cast("double").as("score"))
+        .select(lit("ego_edges").as("section"), lit(0L).as("key"), col("detail"), col("score"))
+      val egoNodeRows = ego.select(col("src").as("nid"))
+        .unionByName(ego.select(col("dst").as("nid")))
+        .distinct().agg(count(lit(1)).cast("double").as("score"))
+        .select(lit("ego_nodes").as("section"), lit(0L).as("key"),
+                lit("nodes").as("detail"), col("score"))
+      ownerRows.unionByName(conflictRows).unionByName(riskRows)
+        .unionByName(egoEdgeRows).unionByName(egoNodeRows)
+        .orderBy("section", "key", "detail")
+    }, Some(s"""
+      WITH RECURSIVE ${UboSql.uboEdgesCte},
+      b0 AS (SELECT CAST(4000000001 AS BIGINT) AS entity, CAST(1.0 AS DOUBLE) AS share),
+      b1 AS (SELECT e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b0 p JOIN ubo_edges e ON e.dst = p.entity GROUP BY 1),
+      b2 AS (SELECT e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b1 p JOIN ubo_edges e ON e.dst = p.entity GROUP BY 1),
+      b3 AS (SELECT e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b2 p JOIN ubo_edges e ON e.dst = p.entity GROUP BY 1),
+      cone AS MATERIALIZED (SELECT entity AS owner, ROUND(share, 6) AS share6 FROM b3),
+      own_top AS MATERIALIZED (SELECT owner, share6 FROM cone ORDER BY share6 DESC, owner LIMIT 25),
+      $fuzzyPairsSql,
+      topck AS (SELECT owner - 3000000000 AS ck FROM own_top),
+      ${GraphSql.edgesCte},
+      seed_parts AS (SELECT DISTINCT src AS pid FROM graph_edges
+                     WHERE rel_type = 'SUPPLIED_BY' AND dst = 4000000001),
+      agg AS (SELECT src AS id, COUNT(*) AS n, MAX(weight) AS mx, MAX(weight) * COUNT(*) AS ratio
+              FROM graph_edges WHERE rel_type = 'SUPPLIED_BY' AND src IN (SELECT pid FROM seed_parts)
+              GROUP BY src),
+      f AS (SELECT id, 'dominant_supplier' AS flag, ratio FROM agg WHERE ratio >= 2.5
+            UNION ALL SELECT id, 'highly_concentrated', ratio FROM agg WHERE ratio >= 3.0),
+      sym AS (SELECT src, dst FROM graph_edges UNION ALL SELECT dst, src FROM graph_edges),
+      reach(id, depth) AS (
+        SELECT CAST(4000000001 AS BIGINT), 0
+        UNION ALL
+        SELECT s2.dst, r.depth + 1 FROM reach r JOIN sym s2 ON s2.src = r.id WHERE r.depth < 2),
+      rs AS (SELECT DISTINCT id FROM reach),
+      ego AS MATERIALIZED (SELECT e.src, e.dst, e.rel_type
+            FROM graph_edges e JOIN rs a ON e.src = a.id JOIN rs b ON e.dst = b.id)
+      SELECT 'owner' AS section, o.owner AS "key", c.c_name AS detail, o.share6 AS score
+      FROM own_top o JOIN customer c ON 3000000000 + c.c_custkey = o.owner
+      UNION ALL
+      SELECT 'name_conflict', CAST(3000000000 + cust_a AS BIGINT),
+             name_a || ' ~ ' || name_b, CAST(dist AS DOUBLE)
+      FROM fpairs WHERE cust_a IN (SELECT ck FROM topck)
+                     OR cust_b IN (SELECT ck FROM topck)
+      UNION ALL
+      SELECT 'risk_part', id, string_agg(flag, ',' ORDER BY flag), ROUND(MAX(ratio), 6)
+      FROM f GROUP BY id
+      UNION ALL
+      SELECT 'ego_edges', CAST(0 AS BIGINT), rel_type, CAST(COUNT(*) AS DOUBLE)
+      FROM ego GROUP BY rel_type
+      UNION ALL
+      SELECT 'ego_nodes', CAST(0 AS BIGINT), 'nodes', CAST(COUNT(*) AS DOUBLE)
+      FROM (SELECT src AS nid FROM ego UNION SELECT dst FROM ego)
+      ORDER BY section, "key", detail""")),
+
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics
     // by unioning per-year snapshot aggregates — edge count, active
