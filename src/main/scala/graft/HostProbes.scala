@@ -80,15 +80,26 @@ object HostProbes {
     * storms leave tens of GB that flush for minutes. */
   val quietDirtyKb = 2L * 1024 * 1024
 
+  /** One point-in-time quiet check, CHEAP (no CPU sampling window): true
+    * iff the io-pressure and dirty-writeback probes both read quiet now.
+    * For the between-reps storm check in MicroBench, where the ~3 s CPU
+    * window of the full verdict would dominate a short rep. */
+  def ioQuiet(): Boolean = {
+    val io = ioPressureSomeAvg10()
+    val dirty = dirtyWritebackKb()
+    (io < 0 || io < quietIoPressurePct) && (dirty < 0 || dirty < quietDirtyKb)
+  }
+
   /** Spin-wait (re-sampling every ~3 s probe window + 5 s sleep) until all
-    * three probes are quiet or the deadline passes; true iff quiet on exit. */
+    * three probes are quiet or the deadline passes; true iff quiet on exit.
+    * The io/dirty probes are read AFTER the 3 s CPU window so one
+    * iteration's verdict reflects a single instant (window end) — sampling
+    * them first let a writeback burst starting mid-window be declared
+    * quiet. */
   def awaitQuiet(deadlineNanos: Long): Boolean = {
     def quiet(): Boolean = {
-      val io = ioPressureSomeAvg10()
-      val dirty = dirtyWritebackKb()
-      externalBusyCores(3000) < quietExternalCores &&
-        (io < 0 || io < quietIoPressurePct) &&
-        (dirty < 0 || dirty < quietDirtyKb)
+      val cpuOk = externalBusyCores(3000) < quietExternalCores
+      cpuOk && ioQuiet()
     }
     var ok = quiet()
     while (!ok && System.nanoTime() < deadlineNanos) {

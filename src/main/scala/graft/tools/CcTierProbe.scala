@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
 object CcTierProbe {
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("star")
+    if (!Set("star", "graphx", "unionfind").contains(tier)) {
+      // a typo ('grafx') must not silently measure the star tier under a
+      // mislabeled output line
+      System.err.println(s"unknown tier '$tier' — usage: CcTierProbe <star|graphx|unionfind>")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.local(cpus)
@@ -27,7 +33,7 @@ object CcTierProbe {
     val comp = tier match {
       case "graphx"    => graft.graph.Algorithms.connectedComponents(edges)
       case "unionfind" => graft.graph.Algorithms.ccUnionFind(edges)
-      case _           => graft.graph.Algorithms.connectedComponentsStar(edges)
+      case "star"      => graft.graph.Algorithms.connectedComponentsStar(edges)
     }
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_components"), sum(col("n")).as("n_nodes"))

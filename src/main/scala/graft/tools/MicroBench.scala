@@ -10,11 +10,13 @@ import org.apache.spark.sql.SparkSession
   * At rehearsal sfs (sf0.4+) each heavy query leaves a multi-GB dirty
   * writeback backlog that time-shares the single disk with the NEXT
   * query's reps — the self-generated storm that made round-9's sf6.4
-  * sweep numbers non-comparable across queries. Between queries (and
-  * between reps once the host reads stormy) MicroBench now drains:
-  * HostProbes.awaitQuiet (PSI-io < 5%, dirty < 2 GB, external cpu < 2
-  * cores), budget 3 min per gate — so every query starts against a
-  * settled device and `min` approximates the uncontended cost.
+  * sweep numbers non-comparable across queries. Before every query,
+  * MicroBench drains with the full HostProbes.awaitQuiet gate (PSI-io
+  * < 5%, dirty < 2 GB, external cpu < 2 cores; budget 3 min); between
+  * reps it runs the cheap io/dirty point check and drains only when
+  * that reads stormy (a rep's own writeback backlog) — so every timed
+  * rep starts against a settled device and `min` approximates the
+  * uncontended cost.
   */
 object MicroBench {
   def main(args: Array[String]): Unit = {
@@ -36,7 +38,10 @@ object MicroBench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup
-      val times = (1 to reps).map(_ => once()).sorted
+      val times = (1 to reps).map { _ =>
+        if (!graft.HostProbes.ioQuiet()) drain()
+        once()
+      }.sorted
       println(f"$n%-28s median ${times(reps / 2)}%.3f s  (min ${times.head}%.3f, max ${times.last}%.3f)")
     }
     spark.stop()

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.functions.{col, lit, when}
 
@@ -167,9 +168,16 @@ class PlanSpec extends SparkSpec {
   // their interesting plans never appear in the FINAL plan — capture every
   // executed plan of the run via a QueryExecutionListener instead.
 
-  /** Runs `action`, returning every executed-plan string the session
-    * reported while it ran (listener delivery is async — settle-polled). */
-  private def capturedPlans(action: => Unit): Seq[String] = {
+  /** Runs `action` against a FRESH child session (shared SparkContext,
+    * own ExecutionListenerManager), returning every executed-plan string
+    * that session reported while it ran. The isolation is the point:
+    * a listener on the suite's shared session would also receive plans
+    * from any other action still draining its async delivery (e.g. an
+    * earlier test's BroadcastHashJoin), which could satisfy an exists()
+    * assertion here by accident. Delivery is still async — settle-polled;
+    * a missed straggler can only FAIL an assertion, never fake a pass. */
+  private def capturedPlans(action: SparkSession => Unit): Seq[String] = {
+    val session = spark.newSession()
     val plans = scala.collection.mutable.ArrayBuffer[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -178,9 +186,9 @@ class PlanSpec extends SparkSpec {
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
+    session.listenerManager.register(listener)
     try {
-      action
+      action(session)
       var prev = -1
       var settles = 0
       while (settles < 3) {
@@ -189,7 +197,7 @@ class PlanSpec extends SparkSpec {
         if (now == prev) settles += 1 else { settles = 0; prev = now }
       }
       plans.synchronized(plans.toList)
-    } finally spark.listenerManager.unregister(listener)
+    } finally session.listenerManager.unregister(listener)
   }
 
   test("g02: the per-level frontier join broadcasts under the measured gate") {
@@ -198,7 +206,7 @@ class PlanSpec extends SparkSpec {
     // a BROADCAST frontier — the edge table never shuffles. The graded
     // g02 frontier is always far below the 4M gate, so at least one
     // captured per-level plan must carry a BroadcastHashJoin.
-    val ps = capturedPlans(SparkEntry.queries("g02_khop")(spark, sfDir).collect())
+    val ps = capturedPlans(s => SparkEntry.queries("g02_khop")(s, sfDir).collect())
     assert(ps.nonEmpty, "listener captured no executed plans — capture path broke")
     assert(ps.exists(_.contains("BroadcastHashJoin")),
       s"no BFS level planned a broadcast frontier join (captured ${ps.size} plans)")
@@ -209,7 +217,7 @@ class PlanSpec extends SparkSpec {
     // plan must show the explicit repartition exchange (REPARTITION_BY_COL)
     // feeding the share-summing aggregate — not a degenerate partial agg
     // over the raw join fan-out.
-    val ps = capturedPlans(SparkEntry.queries("g03_ubo_exposure")(spark, sfDir).collect())
+    val ps = capturedPlans(s => SparkEntry.queries("g03_ubo_exposure")(s, sfDir).collect())
     assert(ps.exists(p => p.contains("REPARTITION_BY_COL") && p.contains("HashAggregate")),
       s"no captured step plan shows the exchange-before-agg shape (captured ${ps.size})")
   }
