@@ -64,22 +64,29 @@ object Bench {
     * history in BASELINE.md), pin the MIN of the ≥2-session-supported
     * cluster and DISCARD singleton outliers on the low side — a pin only
     * one window ever produced erodes the 2× band from the false-escalation
-    * side. Round-10 pins: fresh session 2026-08-14 (quiet on all three
-    * probes), cross-checked against VERDICT r9's judge medians
-    * (g02 4.16 ≈ fresh 4.57 → pin 4.16; g03_ubo_cyclic judge 2.65 =
-    * fresh 2.65). These are the adjudication reference emitted into the
-    * bench JSON: a recorded number far above its quiet median on a run
-    * flagged contended is load, not regression.
+    * side. Round-11 pins (VERDICT r10 #6 — BENCH_r10 recorded
+    * g03_ubo_cyclic 4.27 s and g06_scc ≥1.6× their pins on untouched
+    * code, so both were re-examined): fresh MicroBench 3-rep medians,
+    * 2026-08-14, quiet on all three probes with per-rep drain checks,
+    * CROSS-CHECKED against a separate same-day Bench JVM (min-of-2,
+    * contended:false) — every pin below is supported by both sessions
+    * within ~15% (g03_ubo_cyclic 2.36 median vs 2.59 bench; g06_scc
+    * 0.51 vs 0.47), so none is a singleton-low window; the r10 4.27 s
+    * reading was environment, confirmed by two independent quiet
+    * sessions reading at/below the old pin. These are the adjudication
+    * reference emitted into the bench JSON: a recorded number far above
+    * its quiet median on a run flagged contended is load, not
+    * regression.
     */
   val quietMediansSec: Map[String, Double] = Map(
-    "r01_projection" -> 1.15, "r06_range_join" -> 1.56,
-    "r09_agg" -> 1.12, "r13_window_rank" -> 0.61,
-    "g02_khop" -> 4.16, "g03_ubo_exposure" -> 4.59,
-    "g03_ubo_cyclic" -> 2.65, "g06_scc" -> 0.51,
-    "g07_cc_full" -> 2.57, "g09_pagerank" -> 1.38,
-    "g11_conflict_shared_part" -> 3.11, "l02_minhash_lsh" -> 4.37,
-    "l03_ngram_jaccard" -> 2.18, "l05_cosine_topk_native" -> 0.18,
-    "t01_tumbling_window" -> 0.35, "t03_session_window" -> 0.53)
+    "r01_projection" -> 1.02, "r06_range_join" -> 1.20,
+    "r09_agg" -> 0.89, "r13_window_rank" -> 0.48,
+    "g02_khop" -> 3.35, "g03_ubo_exposure" -> 3.25,
+    "g03_ubo_cyclic" -> 2.36, "g06_scc" -> 0.51,
+    "g07_cc_full" -> 2.21, "g09_pagerank" -> 1.24,
+    "g11_conflict_shared_part" -> 2.27, "l02_minhash_lsh" -> 3.48,
+    "l03_ngram_jaccard" -> 1.77, "l05_cosine_topk_native" -> 0.15,
+    "t01_tumbling_window" -> 0.27, "t03_session_window" -> 0.48)
 
   /** A succeeded query whose min-of-N exceeds bandFactor × its quiet median
     * is a per-query band violation → escalate to a third pass. Tightened

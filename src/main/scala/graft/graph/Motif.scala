@@ -384,4 +384,100 @@ object Motif {
       m.aliases.map(col) ++ (1 to m.hops.size).map(i => col(s"t$i")) ++ wCols
     acc.select(cols: _*)
   }
+
+  /** Per-hop measured candidate estimate for a pattern, in DOCUMENT order.
+    * `edgeRows`/`entryNodes`/`farNodes` are exact counts over the hop's
+    * filtered edge frame; `factor` is the hop's expected per-row expansion;
+    * `cumRows` the estimated chain state after the hop — the number whose
+    * PEAK is the shuffle an order actually pays (SCALE.md round-9 g42
+    * lesson: the nation-first order estimates ~|customers|²/25 pairs
+    * before any part evidence).
+    */
+  final case class HopEstimate(alias: String, edgeRows: Long, entryNodes: Long,
+                               farNodes: Long, factor: Double, cumRows: Double)
+
+  /** Estimate each hop's candidate volume from cheap measured counts — the
+    * planning number Cypher's optimizer computes silently, surfaced. This
+    * API keeps join order explicit (the round-9 design stance: order is
+    * both the author's control and responsibility); this helper gives the
+    * ordering choice a measured basis and NEVER reorders.
+    *
+    * Per distinct filtered edge frame, ONE aggregate job (the kHop
+    * measure-then-decide protocol): rows n, distinct entry nodes Dn,
+    * distinct far nodes Df, with relType / edgeFilter / label /
+    * startLabel applied exactly as [[find]]'s lowering applies them.
+    * Chain model: a normal hop expands the state by n/Dn (expected edges
+    * per bound entry node); a closing hop contracts by n/(Dn·Df) (its far
+    * side must EQUAL the bound target — the independence estimate); an
+    * optional hop never shrinks (left join preserves rows); a repeated
+    * hop sums the per-length powers of its base factor over [lo, hi]
+    * (+1 for the zero-length level). Temporal and uniqueness predicates
+    * only ever PRUNE, so estimates are upper bounds — the safe direction
+    * for an ordering decision. Counts are memoized per frame, so a
+    * pattern touching one rel_type twice pays one job.
+    */
+  def estimateHops(g: PropertyGraph, m: Motif): Seq[HopEstimate] = {
+    val memo = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    def measured(h: Hop, applyStartLabel: Boolean): (Long, Long, Long) = {
+      val key = Seq(h.relType, h.edgeFilter.map(_.toString), h.label, h.reversed,
+        h.undirected, applyStartLabel && m.startLabel.isDefined).mkString("|")
+      memo.getOrElseUpdate(key, {
+        var e = g.edges
+        h.relType.foreach(rt => e = e.filter(col("rel_type") === rt))
+        h.edgeFilter.foreach(p => e = e.filter(p))
+        val (near, far) = if (h.reversed) ("dst", "src") else ("src", "dst")
+        var f = e.select(col(near).as("__n"), col(far).as("__f"))
+        if (h.undirected)
+          f = f.unionByName(e.select(col(far).as("__n"), col(near).as("__f")))
+        def lblIds(l: String) =
+          g.nodes.filter(col("label") === l).select(col("id").as("__lbl"))
+        h.label.foreach(l =>
+          f = f.join(broadcast(lblIds(l)), col("__f") === col("__lbl"), "left_semi"))
+        if (applyStartLabel) m.startLabel.foreach(l =>
+          f = f.join(broadcast(lblIds(l)), col("__n") === col("__lbl"), "left_semi"))
+        val r = f.agg(count(lit(1)), countDistinct(col("__n")), countDistinct(col("__f"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      })
+    }
+    var cum = 0.0
+    m.hops.zipWithIndex.map { case (h, i) =>
+      val (n, dn, df) = measured(h, applyStartLabel = i == 0)
+      val perLen =
+        if (h.closes) { if (dn == 0 || df == 0) 0.0 else n.toDouble / dn / df }
+        else if (dn == 0) 0.0
+        else n.toDouble / dn
+      val factor = h.repeat match {
+        case Some((lo, hi)) =>
+          (math.max(lo, 1) to hi).map(k => math.pow(perLen, k)).sum +
+            (if (lo == 0) 1.0 else 0.0)
+        case None => if (h.optional) math.max(1.0, perLen) else perLen
+      }
+      // hop 1 starts the chain: state = its bound entry-node count, so
+      // cum after hop 1 = dn × (n/dn) = n, the EXACT first-join row count
+      cum = if (i == 0) dn * factor else cum * factor
+      HopEstimate(h.alias, n, dn, df, factor, cum)
+    }
+  }
+
+  /** Rank author-supplied ALTERNATIVE orderings of a pattern by estimated
+    * peak candidate volume, cheapest first; logs one line per candidate
+    * and the suggestion. The API never rewrites a pattern — the author
+    * proposes semantically equivalent orderings (they, not the helper,
+    * carry the equivalence proof) and reads back which one the measured
+    * counts favor. MotifSpec shows it ranks g42's evidence-first order
+    * over the nation-pair-first alternative, the round-9 lesson as a
+    * machine answer.
+    */
+  def adviseOrder(g: PropertyGraph, candidates: Seq[(String, Motif)]): Seq[(String, Double)] = {
+    require(candidates.nonEmpty, "adviseOrder needs at least one candidate ordering")
+    val ranked = candidates.map { case (name, m) =>
+      val est = estimateHops(g, m)
+      val peak = est.map(_.cumRows).max
+      println(f"[motif-advise] $name%-24s peak ≈ ${peak}%.4g rows  (" +
+        est.map(e => f"${e.alias}:${e.cumRows}%.3g").mkString(" → ") + ")")
+      name -> peak
+    }.sortBy(_._2)
+    println(s"[motif-advise] suggested order: ${ranked.head._1}")
+    ranked
+  }
 }

@@ -176,4 +176,43 @@ object Traversals {
     edges.join(hint(m.select(col("seed"), col("id").as("src"))), Seq("src"))
       .join(hint(m.select(col("seed"), col("id").as("dst"))), Seq("seed", "dst"))
   }
+
+  /** Per-seed member CAP for ego exports: keeps each seed's top `cap`
+    * members ranked by (min depth asc, induced incident-weight strength
+    * desc, id asc), so a supernode ego cannot emit an unbounded document
+    * (a radius-2 ego on a hub otherwise collect_lists millions of nodes
+    * into ONE json value — the export's only unbounded allocation; the
+    * VERDICT r10 s07 caveat). Ranking semantics: depth dominates (the
+    * whole 1-hop shell outranks any 2-hop node — truncation peels the
+    * neighborhood from the outside in), strength = the member's total
+    * incident edge weight WITHIN the pre-cap induced subgraph (computed
+    * by one [[inducedEdges]] pass, so it reflects prominence in the
+    * document being drawn, not global degree), id breaks ties
+    * deterministically. The seed itself is depth 0 and always survives.
+    *
+    * Returns (seed, id, depth, n_total) with `n_total` the PRE-cap member
+    * count — callers surface it next to the cap so consumers can SEE
+    * truncation instead of mistaking a capped document for the whole
+    * neighborhood. The per-seed window shuffle partitions on seed; its
+    * partitions are ego-sized (bounded by the radius gate), never
+    * board-sized.
+    */
+  def capEgoMembers(edges: DataFrame, members: DataFrame, cap: Int,
+                    broadcastMaxRows: Long = 4000000L): DataFrame = {
+    require(cap >= 1, s"cap must keep at least the seed, got $cap")
+    val m = members.select(col("seed"), col("id"), col("depth"))
+      .transform(Materialize.apply)
+    val ind = inducedEdges(edges.select(col("src"), col("dst"), col("weight")),
+      m, broadcastMaxRows)
+    val strength = ind.select(col("seed"), col("src").as("id"), col("weight"))
+      .unionByName(ind.select(col("seed"), col("dst").as("id"), col("weight")))
+      .groupBy("seed", "id").agg(sum(col("weight")).as("strength"))
+    val bySeed = org.apache.spark.sql.expressions.Window.partitionBy("seed")
+    val rank = bySeed.orderBy(col("depth").asc, col("strength").desc_nulls_last, col("id").asc)
+    m.join(strength, Seq("seed", "id"), "left")
+      .withColumn("rnk", row_number().over(rank))
+      .withColumn("n_total", count(lit(1)).over(bySeed))
+      .filter(col("rnk") <= cap)
+      .select(col("seed"), col("id"), col("depth"), col("n_total"))
+  }
 }

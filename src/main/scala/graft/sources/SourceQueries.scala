@@ -33,6 +33,63 @@ object SourceQueries {
     StructField("n_regionkey", LongType),
     StructField("_corrupt_record", StringType)))
 
+  /** Cytoscape node-link documents for a seed set (the s07 body, shared
+    * with the capped form): batched multi-seed ego extraction → per-seed
+    * byte-stable nodes/edges JSON → actual .json sink round-trip.
+    *
+    * `maxNodesPerSeed` is the supernode guard (VERDICT r10 s07 caveat):
+    * when set, membership is truncated per seed via
+    * [[graft.graph.Traversals.capEgoMembers]] (min depth, then induced
+    * incident weight, then id — seed always kept) BEFORE the induced-edge
+    * and collect_list steps, so no per-document allocation exceeds the
+    * cap; the output then carries `n_nodes_total` (pre-cap membership)
+    * and `node_cap` columns so a consumer can SEE truncation. When None
+    * (the graded s07 path — its 3 customer seeds are vetted), schema and
+    * bytes are the round-10 originals.
+    */
+  private[graft] def cytoscapeDocs(s: SparkSession, d: String, seeds: DataFrame,
+      radius: Int, maxNodesPerSeed: Option[Int] = None): DataFrame = {
+    val t = Tables(s, d)
+    val g = graft.graph.GraphBuilder.edges(t)
+    val raw = graft.graph.Traversals.egoMembers(g, seeds, radius)
+    val members = maxNodesPerSeed match {
+      case Some(cap) => graft.graph.Traversals.capEgoMembers(g, raw, cap)
+        .transform(graft.graph.Materialize.apply) // reused: nodes agg + induced edges
+      case None => raw
+    }
+    val nd = graft.graph.GraphBuilder.nodes(t)
+      .join(broadcast(members.select("seed", "id")), Seq("id"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_nodes"),
+           to_json(sort_array(collect_list(
+             struct(col("id"), col("label"), col("name"))))).as("nodes_json"))
+    val ed = graft.graph.Traversals.inducedEdges(g, members)
+      .select(col("seed"), col("src"), col("dst"), col("rel_type"),
+              floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_edges"),
+           to_json(sort_array(collect_list(
+             struct(col("src"), col("dst"), col("rel_type"), col("w_ppm"))))).as("edges_json"))
+    val docs = nd.join(ed, Seq("seed"))
+    val (out, cols) = maxNodesPerSeed match {
+      case Some(cap) =>
+        val totals = members.select("seed", "n_total").distinct()
+          .withColumnRenamed("n_total", "n_nodes_total")
+        (docs.join(broadcast(totals), Seq("seed")).withColumn("node_cap", lit(cap)),
+         Seq("seed", "n_nodes", "n_nodes_total", "node_cap", "n_edges", "nodes_json", "edges_json"))
+      case None => (docs, Seq("seed", "n_nodes", "n_edges", "nodes_json", "edges_json"))
+    }
+    val path = tmpDir(if (maxNodesPerSeed.isDefined) "cytoscape_json_capped" else "cytoscape_json")
+    out.select(cols.head, cols.tail: _*).write.mode("overwrite").json(path)
+    val schema = StructType(cols.map {
+      case c @ ("nodes_json" | "edges_json") => StructField(c, StringType)
+      case c => StructField(c, LongType)
+    })
+    s.read.schema(schema).json(path)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("seed")
+  }
+
   private val entries: Seq[E] = Seq(
 
     // S1/S5 — CSV sink + schema'd CSV source round-trip (quoted fields
@@ -229,35 +286,9 @@ object SourceQueries {
     // .json sink (write → schema'd read-back), so the graded hash covers
     // the sink encoding too, not just the in-memory strings.
     E("s07_cytoscape_export", (s, d) => {
-      val t = Tables(s, d)
-      val g = graft.graph.GraphBuilder.edges(t)
       val seeds = s.range(1, 4)
         .select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed"))
-      val members = graft.graph.Traversals.egoMembers(g, seeds, 2)
-      val nd = graft.graph.GraphBuilder.nodes(t)
-        .join(broadcast(members.select("seed", "id")), Seq("id"))
-        .groupBy("seed")
-        .agg(count(lit(1)).as("n_nodes"),
-             to_json(sort_array(collect_list(
-               struct(col("id"), col("label"), col("name"))))).as("nodes_json"))
-      val ed = graft.graph.Traversals.inducedEdges(g, members)
-        .select(col("seed"), col("src"), col("dst"), col("rel_type"),
-                floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
-        .groupBy("seed")
-        .agg(count(lit(1)).as("n_edges"),
-             to_json(sort_array(collect_list(
-               struct(col("src"), col("dst"), col("rel_type"), col("w_ppm"))))).as("edges_json"))
-      val path = tmpDir("cytoscape_json")
-      nd.join(ed, Seq("seed"))
-        .select("seed", "n_nodes", "n_edges", "nodes_json", "edges_json")
-        .write.mode("overwrite").json(path)
-      s.read.schema(StructType(Seq(
-          StructField("seed", LongType), StructField("n_nodes", LongType),
-          StructField("n_edges", LongType), StructField("nodes_json", StringType),
-          StructField("edges_json", StringType))))
-        .json(path)
-        .select("seed", "n_nodes", "n_edges", "nodes_json", "edges_json")
-        .orderBy("seed")
+      cytoscapeDocs(s, d, seeds, radius = 2) // uncapped: the 3 seeds are vetted
     }, Some(s"""
       WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
       seeds(seed) AS (VALUES (CAST(3000000001 AS BIGINT)), (CAST(3000000002 AS BIGINT)), (CAST(3000000003 AS BIGINT))),

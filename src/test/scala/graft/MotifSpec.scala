@@ -407,4 +407,62 @@ class MotifSpec extends SparkSpec {
     assert(rows(opt = true) === Set((1L, 2L, -1L), (2L, 3L, -1L)))
     assert(rows(opt = false) === Set.empty[(Long, Long, Long)])
   }
+
+  // ——— adviseOrder (VERDICT r10 #8): the round-9 g42 ordering lesson as a
+  // measured machine answer — never a silent reorder.
+
+  /** g42's graded EVIDENCE-FIRST ordering (part chain mid, nation close last). */
+  private def g42EvidenceFirst = Motif("a", Some("customer"), Seq(
+    Hop("n", relType = Some("LOCATED_IN")),
+    Hop("o1", relType = Some("PLACED"), from = Some("a")),
+    Hop("p", relType = Some("CONTAINS")),
+    Hop("o2", relType = Some("CONTAINS"), reversed = true),
+    Hop("b", relType = Some("PLACED"), reversed = true),
+    Hop("n", relType = Some("LOCATED_IN"), closes = true)))
+
+  /** The SCALE.md alternative: bind both same-nation customers FIRST, then
+    * close at b through the part chain. LOCATED_IN also covers suppliers,
+    * so the backward hop needs the customer label g42's PLACED leg gets
+    * for free. */
+  private def g42NationFirst = Motif("a", Some("customer"), Seq(
+    Hop("n", relType = Some("LOCATED_IN")),
+    Hop("b", relType = Some("LOCATED_IN"), reversed = true, from = Some("n"),
+        label = Some("customer")),
+    Hop("o1", relType = Some("PLACED"), from = Some("a")),
+    Hop("p", relType = Some("CONTAINS")),
+    Hop("o2", relType = Some("CONTAINS"), reversed = true),
+    Hop("b", relType = Some("PLACED"), reversed = true, closes = true)))
+
+  test("adviseOrder ranks g42's evidence-first order over nation-pair-first") {
+    val ranked = Motif.adviseOrder(g, Seq(
+      "evidence-first" -> g42EvidenceFirst, "nation-first" -> g42NationFirst))
+    assert(ranked.map(_._1) === Seq("evidence-first", "nation-first"),
+      s"estimator must rank the evidence-first order cheapest, got $ranked")
+    // the gap is structural (nation-first drags the pair multiplicity
+    // through the whole part chain), not a rounding artifact
+    assert(ranked(1)._2 > 2.0 * ranked(0)._2,
+      s"peak-state gap should be decisive: $ranked")
+  }
+
+  test("the two g42 orderings are semantically equivalent (advice chooses among equals)") {
+    def result(m: Motif) = Motif.find(g, m)
+      .filter(col("a") < col("b"))
+      .select("n", "a", "b", "p").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = result(g42EvidenceFirst)
+    assert(ev.nonEmpty && ev === result(g42NationFirst))
+  }
+
+  test("estimateHops: hop-1 estimate is the exact first-join count; closing hop contracts") {
+    val est = Motif.estimateHops(g, g42EvidenceFirst)
+    val exact = g.edges.filter(col("rel_type") === "LOCATED_IN")
+      .join(g.nodes.filter(col("label") === "customer").select(col("id")),
+        col("src") === col("id"), "left_semi").count()
+    assert(est.head.cumRows === exact.toDouble,
+      s"hop-1 cum must equal the measured first-join rows ($exact), got ${est.head.cumRows}")
+    val closing = est.last
+    assert(closing.factor < 1.0, "a closing equality must contract the state")
+    assert(est.map(_.cumRows).max > est.head.cumRows,
+      "the part chain must dominate the peak in the evidence-first order")
+  }
 }
