@@ -64,13 +64,16 @@ object TokenSetJoin {
     */
   def selfJoinJaccard(entities: DataFrame, threshold: Double): DataFrame = {
     val pfx = prefixTokens(entities, threshold)
-    val a = pfx.select(col("id").as("id_a"), col("label").as("label_a"), col("tok"))
-    val b = pfx.select(col("id").as("id_b"), col("label").as("label_b"), col("tok"))
+    val a = pfx.select(col("id").as("id_a"), col("label").as("label_a"),
+      col("sz").as("sz_a"), col("tok"))
+    val b = pfx.select(col("id").as("id_b"), col("label").as("label_b"),
+      col("sz").as("sz_b"), col("tok"))
     val ta = tokens(col("label_a"))
     val tb = tokens(col("label_b"))
     val common = size(array_intersect(ta, tb)).cast("long")
     a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
+      .filter(lengthCompatible(col("sz_a"), col("sz_b"), threshold))
       .select("id_a", "id_b", "label_a", "label_b")
       .distinct() // dedup-before-rerank: a pair can share several prefix tokens
       .withColumn("n_common", common)
@@ -78,6 +81,24 @@ object TokenSetJoin {
         round(col("n_common") / (size(ta) + size(tb) - col("n_common")), 6))
       .filter(col("jacc") >= threshold)
   }
+
+  /** LENGTH FILTER (Arasu et al. VLDB'06; PPJoin): J(x,y) ≥ t forces
+    * t·max(|x|,|y|) ≤ min(|x|,|y|) — J ≤ min/max because |x∩y| ≤ min and
+    * |x∪y| ≥ max — so size-incompatible candidates are dropped BEFORE
+    * the dedup shuffle and the array_intersect rerank. A residual
+    * predicate on the same key join: no plan change, pure candidate
+    * reduction. On the catalog fixture it prunes NOTHING (measured:
+    * labels are uniformly 8–10 tokens, all compatible at t=0.6 — the
+    * honest number); its value is heterogeneous-length corpora — real
+    * addresses mix 3-token and 15-token registrations, where the band
+    * kills the short×long candidates the prefix filter still emits
+    * (TokenSetJoinSpec plants exactly that shape). Lossless also wrt the
+    * ROUNDED rerank (`round(jacc,6) ≥ t`): token sets are small
+    * integers, so the nearest ratio below t sits ≥ 1/max² below it — far
+    * beyond rounding's 5e-7 reach.
+    */
+  private def lengthCompatible(szA: Column, szB: Column, threshold: Double): Column =
+    lit(threshold) * greatest(szA, szB) <= least(szA, szB)
 
   /** (id, label, tok) rows holding each record's prefix tokens — its
     * p(x) RAREST tokens under the global (df, token) order. The df join
@@ -93,7 +114,7 @@ object TokenSetJoin {
       .withColumn("rk", row_number().over(byId.orderBy(col("df"), col("tok"))))
       .withColumn("sz", count(lit(1)).over(byId))
       .filter(col("rk") <= prefixLen(col("sz"), threshold))
-      .select("id", "label", "tok")
+      .select("id", "label", "sz", "tok")
   }
 
   /** Candidate volume of the prefix-filter join (pre-rerank, post-dedup)
@@ -103,9 +124,10 @@ object TokenSetJoin {
     */
   def candidateCount(entities: DataFrame, threshold: Double): Long = {
     val pfx = prefixTokens(entities, threshold)
-    val a = pfx.select(col("id").as("id_a"), col("tok"))
-    val b = pfx.select(col("id").as("id_b"), col("tok"))
+    val a = pfx.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val b = pfx.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
     a.join(b, Seq("tok")).filter(col("id_a") < col("id_b"))
+      .filter(lengthCompatible(col("sz_a"), col("sz_b"), threshold))
       .select("id_a", "id_b").distinct().count()
   }
 }

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Candidate-volume scaling probe for the round-11 fuzzy-ER family
+  * (g49/g51 symmetric-delete tiers, g50 token-set prefix filter): prints
+  * the vocabulary sizes, the all-pairs reference, each blocker's
+  * candidate count (the monitorable 100 TB cost metric per the FuzzyJoin
+  * / TokenSetJoin scaladocs), and the matched pair counts at the given
+  * SF dir — the same measure-don't-guess protocol as G11Probe /
+  * UboProfile. Run at two sfs and compare ratios: the blockers' claim is
+  * that candidates grow with the VOCABULARY's collision structure, not
+  * with N², and this prints the numbers that check it.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.FuzzyScaleProbe
+  */
+object FuzzyScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val part = graft.Tables(spark, sfDir).part
+
+    // g50's exact vocabulary: composite catalog labels
+    val labels = part
+      .groupBy(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("label"))
+      .agg(min(col("p_partkey")).as("id"))
+      .select("id", "label")
+      .transform(graft.graph.Materialize.apply)
+    val nL = labels.count()
+    val tokCand = graft.rel.TokenSetJoin.candidateCount(labels, 0.6)
+    val tokPairs = graft.rel.TokenSetJoin.selfJoinJaccard(labels, 0.6).count()
+    println(f"g50  labels=$nL%,d allPairs=${nL * (nL - 1) / 2}%,d " +
+      f"prefixCand=$tokCand%,d (x${nL * (nL - 1) / 2.0 / math.max(tokCand, 1)}%.1f below) " +
+      f"matchedPairs=$tokPairs%,d")
+
+    // g49/g51's exact vocabulary: distinct part names
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .select("id", "name")
+      .transform(graft.graph.Materialize.apply)
+    val nN = names.count()
+    val c1 = graft.rel.FuzzyJoin.candidateCount(names, 1)
+    val p1 = graft.rel.FuzzyJoin.selfJoinLev(names, 1).count()
+    val c2 = graft.rel.FuzzyJoin.candidateCount(names, 2)
+    val p2 = graft.rel.FuzzyJoin.selfJoinLev(names, 2).count()
+    println(f"g49  names=$nN%,d allPairs=${nN * (nN - 1) / 2}%,d " +
+      f"lev1Cand=$c1%,d matchedPairs=$p1%,d")
+    println(f"g51  lev2Cand=$c2%,d (x${c2.toDouble / math.max(c1, 1)}%.1f the lev1 tier) " +
+      f"matchedPairs=$p2%,d")
+    spark.stop()
+  }
+}

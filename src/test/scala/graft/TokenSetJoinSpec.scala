@@ -99,4 +99,31 @@ class TokenSetJoinSpec extends SparkSpec {
     assert(got(4) === 2L) // 4 - ceil(2.4) + 1
     assert(got(1) === 1L) // singleton always blocks on its one token
   }
+
+  test("length filter kills short×long candidates, keeps every true pair") {
+    // heterogeneous-length corpus — the shape the catalog fixture lacks
+    // (uniform 8-10 token labels make every pair size-compatible at 0.6,
+    // so the filter measures as a no-op there; here it must bite).
+    // 'rareword' has df 2 — it IS ids 1 and 2's rarest prefix token, so
+    // the prefix filter emits the (1,2) candidate — but J(1,2) can never
+    // reach 0.6 across sizes 3 vs 15 (max 3/15): the length band drops
+    // exactly that candidate before the rerank, and nothing else.
+    val ws = (1 to 14).map(i => s"w$i").mkString(" ")
+    val ents = Seq(
+      1L -> "rareword a b",          //  3 tokens
+      2L -> s"rareword $ws",         // 15 tokens — candidate with 1 only via rareword
+      3L -> "a b c",                 //  3 tokens
+      4L -> "a b c",                 //  duplicate of 3: J = 1.0
+      5L -> s"$ws p q",              // 16 tokens, J(2,5) = 14/17
+      6L -> s"$ws r s"               // 16 tokens, J(5,6) = 14/18
+    ).toDF("id", "label")
+    val pairs = TokenSetJoin.selfJoinJaccard(ents, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((3L, 4L), (2L, 5L), (2L, 6L), (5L, 6L)), s"got $pairs")
+    // without the band the candidate set is 7 (this 6 plus the (1,2)
+    // short×long collision on rareword) — the band removes exactly it
+    val cands = TokenSetJoin.candidateCount(ents, 0.6)
+    assert(cands === 6L,
+      s"length band should drop the short×long rareword candidate (7 -> 6), got $cands")
+  }
 }
