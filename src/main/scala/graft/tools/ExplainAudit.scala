@@ -41,7 +41,11 @@ object ExplainAudit {
     "g03_ubo_exposure" -> "final plan is post-checkpoint by design; the ENFORCED pin is PlanSpec 'g03: ubo step exchanges on the NEW group keys before the fan-out agg' (REPARTITION_BY_COL before the share agg)",
     "g11_conflict_shared_part" -> "the (custkey, partkey) DISTINCT HashAggregate must sit BELOW the partkey self-join (dedup-before-pair) — enforced in PlanSpec; no CartesianProduct anywhere",
     "l02_minhash_lsh" -> "candidates must come from the equi-join on the band columns (h, mh_r0..), never an all-pairs join; the exact jaccard rerank projects only above that join — enforced in PlanSpec",
-    "g47_snapshot_series" -> "every per-year branch must push its validity bound into ITS scan: >= 7 LessThanOrEqual(l_shipdate,...) and >= 7 LessThanOrEqual(o_orderdate,...) in PushedFilters — enforced in PlanSpec")
+    "g47_snapshot_series" -> "every per-year branch must push its validity bound into ITS scan: >= 7 LessThanOrEqual(l_shipdate,...) and >= 7 LessThanOrEqual(o_orderdate,...) in PushedFilters — enforced in PlanSpec",
+    // round 11
+    "g50_token_er_catalog" -> "candidates must come from the equi-join on the prefix token (SortMergeJoin/ShuffledHashJoin on tok) with the Arasu/PPJoin length band as a RESIDUAL predicate on that join — never a CartesianProduct; the exact array_intersect rerank projects only above the candidate dedup — enforced in PlanSpec",
+    "g51_fuzzy_lev2_names" -> "candidates from the equi-join on depth-2 deletion keys over the NAME VOCABULARY (the part groupBy sits below the key explode, so the pair join runs on distinct names, not rows); levenshtein rerank above the dedup; no CartesianProduct",
+    "g52_entity_dossier" -> "final plan is post-checkpoint by design (the backward cone iterates through Materialize); the visible shape is the 5-section union with the risk section's broadcast semi-joins (seed's parts) and broadcast attribute joins — per-section scans are intentionally separate (see the query's composition notes)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

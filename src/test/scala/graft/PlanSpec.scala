@@ -251,6 +251,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("jaccard_dist"), "exact rerank projection missing")
   }
 
+  test("g50: candidates from the prefix-token equi-join with the length band, never all-pairs") {
+    // the token-ER contract (the l02 pin's shape for the g50 blocker):
+    // candidate generation is an equi-join on the prefix token with the
+    // Arasu/PPJoin size band riding as a residual predicate on that same
+    // join; the exact Jaccard rerank projects above the candidate dedup.
+    val p = plan("g50_token_er_catalog")
+    assert(p.contains("array_intersect"), "exact rerank projection missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degraded to an all-pairs join")
+    val joinKeyLine = p.linesIterator.collectFirst {
+      case l if l.contains("Left keys") && l.contains("tok") => l
+    }
+    assert(joinKeyLine.isDefined, s"no equi-join on the prefix token in plan:\n$p")
+    assert(p.contains("greatest") && p.contains("least"),
+      "length band residual missing from the candidate join")
+  }
+
   test("g47: every per-year snapshot branch pushes its validity bound to the scan") {
     // branch-per-snapshot design: each of the 7 year branches must push its
     // l_shipdate bound into ITS lineitem scan (row-group pruning per branch)
