@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -315,6 +315,116 @@ object SourceQueries {
                             ORDER BY src, dst, rel_type, w_ppm)) AS edges_json
         FROM ind GROUP BY seed)
       SELECT nd.seed, n_nodes, n_edges, nodes_json, edges_json
+      FROM nd JOIN ed ON ed.seed = nd.seed
+      ORDER BY nd.seed""")),
+
+    // S5c — GraphML export (the standard graph-interchange XML the
+    // reference's ecosystem reads: Neo4j's APOC export, Gephi, yEd all
+    // speak GraphML — README.md:19 "audit documentation" as a portable
+    // graph artifact, complementing s07's Cytoscape-specific node-link
+    // form). One complete, WELL-FORMED GraphML document per ego subgraph:
+    // <key> declarations, sorted <node> elements carrying label/name data,
+    // sorted <edge> elements carrying rel_type/w_ppm — text content
+    // XML-escaped (&, <, > — the three that matter in element text),
+    // weights as integer ppm, every ordering explicit, so the document is
+    // byte-stable across engines (the oracle builds the SAME bytes in
+    // DuckDB and the hash compares them). Same batched ego extraction and
+    // .json sink round-trip as s07; GraphmlExportSpec additionally parses
+    // every document with the JDK's namespace-aware XML parser — a
+    // well-formedness check no byte hash expresses.
+    E("s08_graphml_export", (s, d) => {
+      val t = Tables(s, d)
+      val g = graft.graph.GraphBuilder.edges(t)
+      val seeds = s.range(1, 4)
+        .select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed"))
+      val members = graft.graph.Traversals.egoMembers(g, seeds, 2)
+      def esc(c: Column): Column =
+        regexp_replace(regexp_replace(regexp_replace(
+          c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val nd = graft.graph.GraphBuilder.nodes(t)
+        .join(broadcast(members.select("seed", "id")), Seq("id"))
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_nodes"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("id"), col("label"), col("name")))),
+            x => concat(lit("    <node id=\"n"), x.getField("id").cast("string"),
+              lit("\"><data key=\"label\">"), esc(x.getField("label")),
+              lit("</data><data key=\"name\">"), esc(x.getField("name")),
+              lit("</data></node>"))), "\n").as("nodes_xml"))
+      val ed = graft.graph.Traversals.inducedEdges(g, members)
+        .select(col("seed"), col("src"), col("dst"), col("rel_type"),
+                floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_edges"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("src"), col("dst"), col("rel_type"), col("w_ppm")))),
+            x => concat(lit("    <edge source=\"n"), x.getField("src").cast("string"),
+              lit("\" target=\"n"), x.getField("dst").cast("string"),
+              lit("\"><data key=\"rel\">"), esc(x.getField("rel_type")),
+              lit("</data><data key=\"w\">"), x.getField("w_ppm").cast("string"),
+              lit("</data></edge>"))), "\n").as("edges_xml"))
+      val header = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n" +
+        "  <key id=\"label\" for=\"node\" attr.name=\"label\" attr.type=\"string\"/>\n" +
+        "  <key id=\"name\" for=\"node\" attr.name=\"name\" attr.type=\"string\"/>\n" +
+        "  <key id=\"rel\" for=\"edge\" attr.name=\"rel_type\" attr.type=\"string\"/>\n" +
+        "  <key id=\"w\" for=\"edge\" attr.name=\"w_ppm\" attr.type=\"long\"/>\n"
+      val docs = nd.join(ed, Seq("seed"))
+        .select(col("seed"), col("n_nodes"), col("n_edges"),
+          concat(lit(header),
+            lit("  <graph id=\"ego_"), col("seed").cast("string"),
+            lit("\" edgedefault=\"directed\">\n"),
+            col("nodes_xml"), lit("\n"), col("edges_xml"),
+            lit("\n  </graph>\n</graphml>")).as("graphml"))
+      val path = tmpDir("graphml_json")
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(StructType(Seq(
+          StructField("seed", LongType), StructField("n_nodes", LongType),
+          StructField("n_edges", LongType), StructField("graphml", StringType))))
+        .json(path)
+        .select("seed", "n_nodes", "n_edges", "graphml")
+        .orderBy("seed")
+    }, Some(s"""
+      WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
+      seeds(seed) AS (VALUES (CAST(3000000001 AS BIGINT)), (CAST(3000000002 AS BIGINT)), (CAST(3000000003 AS BIGINT))),
+      sym AS (SELECT src, dst FROM graph_edges UNION SELECT dst, src FROM graph_edges),
+      reach(seed, id, depth) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, s.dst, r.depth + 1 FROM reach r JOIN sym s ON s.src = r.id WHERE r.depth < 2),
+      rs AS (SELECT DISTINCT seed, id FROM reach),
+      ind AS (
+        SELECT a.seed, e.src, e.dst, e.rel_type,
+               CAST(FLOOR(e.weight * 1000000 + 0.5) AS BIGINT) AS w_ppm
+        FROM graph_edges e
+        JOIN rs a ON e.src = a.id
+        JOIN rs b ON b.seed = a.seed AND e.dst = b.id),
+      nd AS (
+        SELECT r.seed, COUNT(*) AS n_nodes,
+               string_agg('    <node id="n' || CAST(n.id AS VARCHAR) || '"><data key="label">'
+                 || replace(replace(replace(n.label, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                 || '</data><data key="name">'
+                 || replace(replace(replace(n.name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                 || '</data></node>', chr(10) ORDER BY n.id) AS nodes_xml
+        FROM rs r JOIN graph_nodes n ON n.id = r.id GROUP BY r.seed),
+      ed AS (
+        SELECT seed, COUNT(*) AS n_edges,
+               string_agg('    <edge source="n' || CAST(src AS VARCHAR) || '" target="n'
+                 || CAST(dst AS VARCHAR) || '"><data key="rel">'
+                 || replace(replace(replace(rel_type, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                 || '</data><data key="w">' || CAST(w_ppm AS VARCHAR) || '</data></edge>',
+                 chr(10) ORDER BY src, dst, rel_type, w_ppm) AS edges_xml
+        FROM ind GROUP BY seed)
+      SELECT nd.seed, n_nodes, n_edges,
+             '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+             || '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">' || chr(10)
+             || '  <key id="label" for="node" attr.name="label" attr.type="string"/>' || chr(10)
+             || '  <key id="name" for="node" attr.name="name" attr.type="string"/>' || chr(10)
+             || '  <key id="rel" for="edge" attr.name="rel_type" attr.type="string"/>' || chr(10)
+             || '  <key id="w" for="edge" attr.name="w_ppm" attr.type="long"/>' || chr(10)
+             || '  <graph id="ego_' || CAST(nd.seed AS VARCHAR) || '" edgedefault="directed">' || chr(10)
+             || nodes_xml || chr(10) || edges_xml || chr(10)
+             || '  </graph>' || chr(10) || '</graphml>' AS graphml
       FROM nd JOIN ed ON ed.seed = nd.seed
       ORDER BY nd.seed"""))
   )
