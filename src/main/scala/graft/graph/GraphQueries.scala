@@ -2359,6 +2359,60 @@ object GraphQueries {
       FROM (SELECT src AS nid FROM ego UNION SELECT dst FROM ego)
       ORDER BY section, "key", detail""")),
 
+    // G53 — WATCHLIST dossiers: g52's backward single-seed cone, BATCHED
+    // over a seed set in ONE plan. The batching lever is structural:
+    // Ubo.propagateLayers' state is (owner, entity, share) and the owner
+    // column is a free batch key, so a k-supplier watchlist propagates
+    // with a k-row init — the same 3 joins as one seed, state bounded by
+    // k × cone size, per-seed top-5 via one window partitioned on the
+    // supplier column. This is the egoMembers batching argument (k
+    // dossiers cost one plan's shuffles, not k plans) applied to the
+    // ownership propagation — the shape a compliance team screening a
+    // sanctions watchlist runs nightly at 100 TB. Rank-truncated top-5
+    // per seed (the g03_ubo_owners dilution lesson: never absolute
+    // thresholds on out-normalized shares).
+    E("g53_watchlist_dossiers", (s, d) => {
+      val t = Tables(s, d)
+      def rev(df: DataFrame) = df.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      val init = s.range(1, 4)
+        .select((lit(GraphBuilder.SupplierBase) + col("id")).as("owner"))
+        .select(col("owner"), col("owner").as("entity"), lit(1.0).cast("double").as("share"))
+      val cones = Ubo.propagateLayers(
+          Seq(rev(Ubo.suppliedByEdges(t)), rev(Ubo.containsEdges(t)), rev(Ubo.placedEdges(t))),
+          init, epsilon = None, materializeLayers = false)
+        .select(col("owner").as("supplier"), col("entity").as("holder"),
+                round(col("share"), 6).as("share6"))
+      val bySupp = org.apache.spark.sql.expressions.Window.partitionBy("supplier")
+        .orderBy(col("share6").desc, col("holder"))
+      val custNames = t.customer.select(
+        (lit(GraphBuilder.CustomerBase) + col("c_custkey")).as("holder"),
+        col("c_name").as("holder_name"))
+      cones.withColumn("rnk", row_number().over(bySupp).cast("long"))
+        .filter(col("rnk") <= 5)
+        .join(broadcast(custNames), Seq("holder"))
+        .select(col("supplier"), col("rnk"), col("holder"), col("holder_name"), col("share6"))
+        .orderBy("supplier", "rnk")
+    }, Some(s"""
+      WITH ${UboSql.uboEdgesCte},
+      b0 AS (SELECT CAST(4000000000 + v.s AS BIGINT) AS supplier,
+                    CAST(4000000000 + v.s AS BIGINT) AS entity,
+                    CAST(1.0 AS DOUBLE) AS share
+             FROM (VALUES (1), (2), (3)) AS v(s)),
+      b1 AS (SELECT p.supplier, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b0 p JOIN ubo_edges e ON e.dst = p.entity GROUP BY 1, 2),
+      b2 AS (SELECT p.supplier, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b1 p JOIN ubo_edges e ON e.dst = p.entity GROUP BY 1, 2),
+      b3 AS (SELECT p.supplier, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b2 p JOIN ubo_edges e ON e.dst = p.entity GROUP BY 1, 2),
+      cone AS (SELECT supplier, entity AS holder, ROUND(share, 6) AS share6 FROM b3),
+      rk AS (SELECT supplier, holder, share6,
+                    ROW_NUMBER() OVER (PARTITION BY supplier ORDER BY share6 DESC, holder) AS rnk
+             FROM cone)
+      SELECT supplier, CAST(rnk AS BIGINT) AS rnk, r.holder, c.c_name AS holder_name, share6
+      FROM rk r JOIN customer c ON 3000000000 + c.c_custkey = r.holder
+      WHERE rnk <= 5
+      ORDER BY supplier, rnk""")),
+
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics
     // by unioning per-year snapshot aggregates — edge count, active

@@ -67,6 +67,23 @@ class EntityDossierSpec extends SparkSpec {
     }
   }
 
+  test("g53 batched cones agree with g52's single-seed cone on the shared seed") {
+    // the watchlist batching claim: a k-row init must produce, for each
+    // seed, EXACTLY the single-seed propagation's numbers — no cross-seed
+    // bleed through the shared (owner, entity) state. g52's owner section
+    // is the single-seed top-25; g53's supplier-1 rows must equal its
+    // first 5 under the same (share desc, holder asc) order.
+    val batched = SparkEntry.queries("g53_watchlist_dossiers")(spark, sfDir)
+      .filter(col("supplier") === seed)
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getAs[Long]("holder"), r.getAs[Double]("share6")))
+    assert(batched.length === 5)
+    val single = dossier.filter(_._1 == "owner")
+      .map(t => (t._2, t._4)).sortBy { case (o, sh) => (-sh, o) }.take(5)
+    assert(batched.toSeq === single.toSeq,
+      s"batched cone diverged from the single-seed cone:\n$batched\nvs\n${single.toSeq}")
+  }
+
   test("risk parts are the seed's own parts, flags follow g16 semantics") {
     val seedParts = graph.GraphBuilder.edges(Tables(spark, sfDir))
       .filter(col("rel_type") === "SUPPLIED_BY" && col("dst") === seed)

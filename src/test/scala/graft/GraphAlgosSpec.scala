@@ -50,6 +50,31 @@ class TraversalsSpec extends SparkSpec {
     // distinct seeds must not bleed into each other: seed col partitions rows
     assert(members.groupBy("seed").count().count() === 2L)
   }
+
+  test("above the broadcast gate the traversals degrade to shuffle joins with IDENTICAL results") {
+    // broadcastMaxRows = 0 forces every gated hint off — the plan kHop /
+    // egoMembers / inducedEdges run when a reachable set outgrows the 4M
+    // gate at scale (SCALE.md round 11: g02's visited set is one doubling
+    // from crossing it). The degraded path must be a pure plan change:
+    // same rows, same depths, same induced edges.
+    val e = GraphBuilder.edges(Tables(spark, sfDir))
+    val start = Seq(GraphBuilder.CustomerBase + 1L).toDF("id")
+    def rows(bcast: Long) =
+      Traversals.kHop(e, start, 3, broadcastMaxRows = bcast)
+        .as[(Long, Long)].collect().toSet
+    val broadcastPath = rows(4000000L)
+    assert(broadcastPath.nonEmpty && broadcastPath === rows(0L),
+      "kHop results must not depend on the broadcast gate")
+    val seeds = Seq(GraphBuilder.CustomerBase + 1L).toDF("seed")
+    def ego(bcast: Long) = {
+      val m = Traversals.egoMembers(e, seeds, 2, broadcastMaxRows = bcast)
+      Traversals.inducedEdges(e, m, broadcastMaxRows = bcast)
+        .select("src", "dst", "rel_type").as[(Long, Long, String)].collect().toSet
+    }
+    val egoBroadcast = ego(4000000L)
+    assert(egoBroadcast.nonEmpty && egoBroadcast === ego(0L),
+      "ego extraction results must not depend on the broadcast gate")
+  }
 }
 
 class AlgorithmsSpec extends SparkSpec {
