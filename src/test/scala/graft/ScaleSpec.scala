@@ -9,27 +9,10 @@ import org.apache.spark.sql.functions._
   */
 class ScaleSpec extends SparkSpec {
 
-  test("bucketed tables join and aggregate with no shuffle exchange") {
-    val t = Tables(spark, sfDir)
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = spark.table("li_b")
-        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
-      joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      // bucket layout co-locates both the join and the same-key aggregation
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"bucketed join/agg must not shuffle:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
+  // the bucketed co-located-join contract moved to BucketingSpec (round 11:
+  // richer assertions — zero Exchange of ANY kind, Bucketed:true scans,
+  // result-equality vs the plain layout — against the reusable
+  // sources/Bucketing writer that tools/BucketProbe also measures with)
 
   test("csv and json sinks round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-export").toString
