@@ -29,8 +29,12 @@ object FuzzyScaleProbe {
       .select("id", "label")
       .transform(graft.graph.Materialize.apply)
     val nL = labels.count()
-    val tokCand = graft.rel.TokenSetJoin.candidateCount(labels, 0.6)
-    val tokPairs = graft.rel.TokenSetJoin.selfJoinJaccard(labels, 0.6).count()
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"g50  [$what took ${(System.nanoTime() - t0) / 1e9}%.1f s]"); r
+    }
+    val tokCand = timed("candidateCount")(graft.rel.TokenSetJoin.candidateCount(labels, 0.6))
+    val tokPairs = timed("selfJoinJaccard")(graft.rel.TokenSetJoin.selfJoinJaccard(labels, 0.6).count())
     println(f"g50  labels=$nL%,d allPairs=${nL * (nL - 1) / 2}%,d " +
       f"prefixCand=$tokCand%,d (x${nL * (nL - 1) / 2.0 / math.max(tokCand, 1)}%.1f below) " +
       f"matchedPairs=$tokPairs%,d")
