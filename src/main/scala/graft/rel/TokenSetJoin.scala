@@ -51,6 +51,42 @@ object TokenSetJoin {
   def tokens(label: Column): Column =
     array_distinct(filter(split(label, " "), t => length(t) > lit(0)))
 
+  /** Per-token dictionary rewrite of a label, order-preserving: each
+    * whitespace token present in `dict` is replaced by its value, all
+    * others pass through. The NORMALIZATION half of abbreviation-aware
+    * matching (reference README.md:15 "common registered addresses"):
+    * registered forms abbreviate freely ("ST" for "STREET", "LTD" for
+    * "LIMITED"), and token-set Jaccard — built on exact token equality —
+    * cannot see through that, so both sides are mapped to canonical
+    * vocabulary BEFORE [[selfJoinJaccard]]/[[joinJaccard]]. The dict is a
+    * compile-time map literal (`typedLit` + `element_at`, null-safe
+    * fallthrough) — abbreviation packs are hundreds of entries, far below
+    * any plan-size concern, and the lookup stays inside whole-stage
+    * codegen; matching is CASE-SENSITIVE by design (a registry's "LG"
+    * size code and a name's "lg" are different vocabularies). Many-to-one
+    * dicts are fine (both "ST" and "STR" may map to "STREET"); keys
+    * should not themselves be canonical words of the corpus or the
+    * rewrite would corrupt genuine tokens — the caller owns the pack.
+    */
+  def mapTokens(label: Column, dict: Map[String, String]): Column =
+    concat_ws(" ", transform(
+      filter(split(label, " "), t => length(t) > lit(0)),
+      t => coalesce(element_at(typedLit(dict), t), t)))
+
+  /** A standard business/postal abbreviation pack (abbrev → canonical),
+    * the shape a compliance deployment feeds [[mapTokens]] for registered
+    * addresses and legal-form suffixes. Illustrative floor, not a locale
+    * database — real deployments load jurisdiction packs as data.
+    */
+  val businessAbbrev: Map[String, String] = Map(
+    "st" -> "street", "rd" -> "road", "ave" -> "avenue", "dr" -> "drive",
+    "blvd" -> "boulevard", "ln" -> "lane", "hwy" -> "highway",
+    "ste" -> "suite", "fl" -> "floor", "bldg" -> "building",
+    "co" -> "company", "ltd" -> "limited", "inc" -> "incorporated",
+    "corp" -> "corporation", "intl" -> "international",
+    "mfg" -> "manufacturing", "bros" -> "brothers", "assoc" -> "associates",
+    "hldgs" -> "holdings", "svcs" -> "services")
+
   /** Prefix length p = sz − ⌈t·sz⌉ + 1 (Bayardo et al. WWW'07). */
   def prefixLen(sz: Column, threshold: Double): Column =
     sz - ceil(lit(threshold) * sz) + lit(1)
@@ -112,21 +148,62 @@ object TokenSetJoin {
   private def lengthCompatible(szA: Column, szB: Column, threshold: Double): Column =
     lit(threshold) * greatest(szA, szB) <= least(szA, szB)
 
-  /** (id, label, tok) rows holding each record's prefix tokens — its
-    * p(x) RAREST tokens under the global (df, token) order. The df join
-    * is a broadcast (the df table is vocabulary-sized); the window is the
-    * one shuffle on id.
+  /** RECORD-LINKAGE (two-table R-S) form of the prefix-filter join:
+    * pairs (id_l, id_r, label_l, label_r, n_common, jacc) with
+    * round(jaccard, 6) ≥ threshold, left id × right id — every registry
+    * record against every catalog record it resembles. Same pigeonhole,
+    * one wrinkle: the prefix-filter proof needs ONE global token order
+    * shared by both records of a pair, so document frequency is computed
+    * over the UNION of the two collections (a per-side df would rank the
+    * same token differently on each side and break losslessness). Same
+    * rerank plumbing as [[selfJoinJaccard]]: bare-id candidates through
+    * the dedup shuffle, labels + pre-split token arrays broadcast back.
+    * Unlike the self-join there is no id_a < id_b cut — (l, r) and the
+    * symmetric catalog-side pair are distinct linkage facts.
     */
-  private def prefixTokens(entities: DataFrame, threshold: Double): DataFrame = {
+  def joinJaccard(left: DataFrame, right: DataFrame, threshold: Double): DataFrame = {
+    val tagged = left.select(lit(0).as("side"), col("id"), col("label"))
+      .unionByName(right.select(lit(1).as("side"), col("id"), col("label")))
+    val pfx = prefixTokens(tagged, threshold, Seq("side", "id"))
+    val a = pfx.filter(col("side") === 0)
+      .select(col("id").as("id_l"), col("sz").as("sz_l"), col("tok"))
+    val b = pfx.filter(col("side") === 1)
+      .select(col("id").as("id_r"), col("sz").as("sz_r"), col("tok"))
+    def side(df: DataFrame, suffix: String) = broadcast(df.select(
+      col("id").as(s"id_$suffix"), col("label").as(s"label_$suffix"),
+      tokens(col("label")).as(s"toks_$suffix")))
+    val common = size(array_intersect(col("toks_l"), col("toks_r"))).cast("long")
+    a.join(b, Seq("tok"))
+      .filter(lengthCompatible(col("sz_l"), col("sz_r"), threshold))
+      .select("id_l", "id_r")
+      .distinct()
+      .join(side(left, "l"), Seq("id_l"))
+      .join(side(right, "r"), Seq("id_r"))
+      .withColumn("n_common", common)
+      .withColumn("jacc",
+        round(col("n_common") / (size(col("toks_l")) + size(col("toks_r")) - col("n_common")), 6))
+      .filter(col("jacc") >= threshold)
+      .select("id_l", "id_r", "label_l", "label_r", "n_common", "jacc")
+  }
+
+  /** (keys..., sz, tok) rows holding each record's prefix tokens — its
+    * p(x) RAREST tokens under the global (df, token) order, where `keys`
+    * identifies a record (id for the self-join; (side, id) for the
+    * record-linkage form, whose df spans the union). The df join is a
+    * broadcast (the df table is vocabulary-sized); the window is the one
+    * shuffle on the record key.
+    */
+  private def prefixTokens(entities: DataFrame, threshold: Double,
+                           keys: Seq[String] = Seq("id")): DataFrame = {
     val tok = entities.select(
-      col("id"), col("label"), explode(tokens(col("label"))).as("tok"))
+      keys.map(col) :+ explode(tokens(col("label"))).as("tok"): _*)
     val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val byId = Window.partitionBy("id")
+    val byId = Window.partitionBy(keys.map(col): _*)
     tok.join(broadcast(df), Seq("tok"))
       .withColumn("rk", row_number().over(byId.orderBy(col("df"), col("tok"))))
       .withColumn("sz", count(lit(1)).over(byId))
       .filter(col("rk") <= prefixLen(col("sz"), threshold))
-      .select("id", "label", "sz", "tok")
+      .select(keys.map(col) :+ col("sz") :+ col("tok"): _*)
   }
 
   /** Candidate volume of the prefix-filter join (pre-rerank, post-dedup)
@@ -141,5 +218,21 @@ object TokenSetJoin {
     a.join(b, Seq("tok")).filter(col("id_a") < col("id_b"))
       .filter(lengthCompatible(col("sz_a"), col("sz_b"), threshold))
       .select("id_a", "id_b").distinct().count()
+  }
+
+  /** Candidate volume of the record-linkage form — same monitorable
+    * metric over the left × right candidate stream of [[joinJaccard]].
+    */
+  def candidateCount(left: DataFrame, right: DataFrame, threshold: Double): Long = {
+    val tagged = left.select(lit(0).as("side"), col("id"), col("label"))
+      .unionByName(right.select(lit(1).as("side"), col("id"), col("label")))
+    val pfx = prefixTokens(tagged, threshold, Seq("side", "id"))
+    val a = pfx.filter(col("side") === 0)
+      .select(col("id").as("id_l"), col("sz").as("sz_l"), col("tok"))
+    val b = pfx.filter(col("side") === 1)
+      .select(col("id").as("id_r"), col("sz").as("sz_r"), col("tok"))
+    a.join(b, Seq("tok"))
+      .filter(lengthCompatible(col("sz_l"), col("sz_r"), threshold))
+      .select("id_l", "id_r").distinct().count()
   }
 }

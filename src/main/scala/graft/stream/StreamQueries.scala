@@ -268,7 +268,49 @@ object StreamQueries {
         SELECT win_start_s, event_type, cnt,
                ROW_NUMBER() OVER (PARTITION BY win_start_s ORDER BY cnt DESC, event_type) AS rnk
         FROM counts) t
-      WHERE rnk <= 3 ORDER BY win_start_s, rnk"""))
+      WHERE rnk <= 3 ORDER BY win_start_s, rnk""")),
+
+    // T13 — streaming watchlist screening twin (Screening.screen): the
+    // continuous form of the g46 fuzzy-ER family. A watchlist (every
+    // 101st customer — ≥1 entry at sf0.001, deterministic at every sf)
+    // is expanded to its deletion-key index and broadcast; the customer
+    // roster is screened at lev≤1, and the order flow is flagged wherever
+    // its customer matched — the compliance loop "new transaction →
+    // counterparty within one typo of a listed entity → alert". Both
+    // joins broadcast the small side (key index; matched-entity set), so
+    // the transaction flow never shuffles — the only viable plan when the
+    // stream is the 100 TB side. StreamingSpec proves the SAME
+    // Screening.screen code incrementally on a MemoryStream (append mode,
+    // zero state); this twin grades its semantics via the key-mirror SQL.
+    E("t13_watchlist_screen", (s, d) => {
+      import graft.stream.Screening
+      val t = Tables(s, d)
+      val wl = t.customer.filter(col("c_custkey") % 101 === 0)
+        .select(col("c_custkey").as("wid"), col("c_name").as("wname"))
+      val hits = Screening.screen(
+        t.customer.select(col("c_custkey").as("id"), col("c_name").as("name")), wl)
+      t.orders.join(broadcast(hits), col("o_custkey") === col("id"))
+        .select(col("o_orderkey").as("order_id"), col("name").as("cust_name"),
+                col("wid"), col("wname"), col("dist"))
+        .orderBy("order_id", "wid")
+    }, Some("""
+      WITH rec AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      wl AS (SELECT c_custkey AS wid, c_name AS wname FROM customer WHERE c_custkey % 101 = 0),
+      rkeys AS (SELECT id, name, name AS key FROM rec
+                UNION
+                SELECT id, name, substr(name, 1, CAST(i AS INT)) || substr(name, CAST(i AS INT) + 2)
+                FROM rec, UNNEST(range(length(name))) AS t(i)),
+      wkeys AS (SELECT wid, wname, wname AS key FROM wl
+                UNION
+                SELECT wid, wname, substr(wname, 1, CAST(i AS INT)) || substr(wname, CAST(i AS INT) + 2)
+                FROM wl, UNNEST(range(length(wname))) AS t(i)),
+      hits AS (SELECT id, name, wid, wname, CAST(levenshtein(name, wname) AS INT) AS dist
+               FROM (SELECT DISTINCT r.id, r.name, w.wid, w.wname
+                     FROM rkeys r JOIN wkeys w ON r.key = w.key) c
+               WHERE levenshtein(name, wname) <= 1)
+      SELECT o.o_orderkey AS order_id, h.name AS cust_name, h.wid, h.wname, h.dist
+      FROM orders o JOIN hits h ON o.o_custkey = h.id
+      ORDER BY order_id, wid"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -390,4 +390,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L) === Some("gold"))
     assert(rows(2L) === None, "left join keeps unmatched stream rows")
   }
+
+  test("T13: watchlist screening flags fuzzy matches per microbatch, stateless append") {
+    import graft.stream.Screening
+    val wl = Seq((101L, "acme holdings"), (202L, "global trade co")).toDF("wid", "wname")
+    val source = MemoryStream[ScreenRec](spark)
+    // Append mode with NO watermark: only legal because every op in
+    // screen() is stateless — this start() succeeding IS the assertion
+    // that no StateStore snuck into the plan.
+    val q = Screening.screen(source.toDF(), wl)
+      .writeStream.format("memory").queryName("t13screen")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(ScreenRec(1, "acme holdings"),      // exact (dist 0)
+                   ScreenRec(2, "acme holding"),       // deletion (dist 1)
+                   ScreenRec(3, "totally unrelated"))
+    q.processAllAvailable()
+    source.addData(ScreenRec(4, "akme holdings"),      // substitution (dist 1)
+                   ScreenRec(5, "global trade co x"),  // two inserts (dist 2) - not flagged
+                   ScreenRec(6, "global trade c"))     // deletion (dist 1)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t13screen")
+      .select("id", "wid", "dist").as[(Long, Long, Int)].collect()
+    assert(got.length === got.toSet.size && got.map(r => (r._1, r._2)).distinct.length === got.length,
+      s"exactly one row per (record, entry) despite multi-key candidates, got ${got.toList}")
+    assert(got.toSet === Set((1L, 101L, 0), (2L, 101L, 1), (4L, 101L, 1), (6L, 202L, 1)),
+      s"got ${got.toList}")
+    // cross-check: the incremental result equals the batch form on the union
+    val all = Seq(ScreenRec(1, "acme holdings"), ScreenRec(2, "acme holding"),
+      ScreenRec(3, "totally unrelated"), ScreenRec(4, "akme holdings"),
+      ScreenRec(5, "global trade co x"), ScreenRec(6, "global trade c")).toDF()
+    val batch = Screening.screen(all, wl)
+      .select("id", "wid", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(batch === got.toSet, "streaming and batch screening must agree")
+  }
 }
+
+case class ScreenRec(id: Long, name: String)

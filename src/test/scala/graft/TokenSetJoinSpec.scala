@@ -126,4 +126,70 @@ class TokenSetJoinSpec extends SparkSpec {
     assert(cands === 6L,
       s"length band should drop the short×long rareword candidate (7 -> 6), got $cands")
   }
+
+  test("abbreviation variants resolve ONLY after mapTokens normalization") {
+    // the README.md:15 class raw token equality cannot see: registered
+    // forms abbreviate ("st"/"street", "co ltd"/"company limited")
+    val registry = Seq(
+      10L -> "12 main st",
+      11L -> "acme co ltd",
+      12L -> "9 elm blvd ste 4"
+    ).toDF("id", "label")
+    val canon = Seq(
+      1L -> "12 main street",
+      2L -> "acme company limited",
+      3L -> "9 elm boulevard suite 4",
+      4L -> "14 oak avenue"
+    ).toDF("id", "label")
+    // raw: "12 main st" vs "12 main street" shares 2 of 4 -> J = 0.5
+    val raw = TokenSetJoin.joinJaccard(registry, canon, 0.6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(raw === Set.empty[(Long, Long)],
+      s"raw token equality should NOT match abbreviated forms, got $raw")
+    val norm = registry.select(col("id"),
+      TokenSetJoin.mapTokens(col("label"), TokenSetJoin.businessAbbrev).as("label"))
+    val matched = TokenSetJoin.joinJaccard(norm, canon, 0.6)
+      .select("id_l", "id_r", "jacc").as[(Long, Long, Double)].collect().toSet
+    assert(matched === Set((10L, 1L, 1.0), (11L, 2L, 1.0), (12L, 3L, 1.0)),
+      s"each normalized registry record should hit exactly its canonical, got $matched")
+  }
+
+  test("mapTokens: order preserved, case-sensitive, unknown tokens pass through") {
+    val m = Map("st" -> "street", "LG" -> "LARGE")
+    val got = Seq("12 st lg LG st", "", "plain").toDF("label")
+      .select(col("label"), TokenSetJoin.mapTokens(col("label"), m).as("n"))
+      .as[(String, String)].collect().toMap
+    assert(got("12 st lg LG st") === "12 street lg LARGE street")
+    assert(got("") === "")
+    assert(got("plain") === "plain")
+  }
+
+  test("two-table linkage is lossless vs brute force on the catalog corpus") {
+    // the g54 shape: an abbreviated registry view normalized back, linked
+    // against the canonical catalog; blocked result must equal the
+    // brute-force cross-join Jaccard exactly (test-scale oracle only)
+    val canon = catalogLabels
+    val fwd = Map("STANDARD" -> "STD", "ECONOMY" -> "ECON", "ring" -> "rg",
+      "bolt" -> "blt")
+    val registry = canon.select((col("id") + 100000000L).as("id"),
+      TokenSetJoin.mapTokens(col("label"), fwd).as("raw"))
+    val norm = registry.select(col("id"),
+      TokenSetJoin.mapTokens(col("raw"), fwd.map(_.swap)).as("label"))
+    val blocked = TokenSetJoin.joinJaccard(norm, canon, 0.6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val tl = TokenSetJoin.tokens(col("label_l"))
+    val tr = TokenSetJoin.tokens(col("label_r"))
+    val common = size(array_intersect(tl, tr)).cast("long")
+    val brute = norm.select(col("id").as("id_l"), col("label").as("label_l"))
+      .crossJoin(canon.select(col("id").as("id_r"), col("label").as("label_r")))
+      .filter(round(common / (size(tl) + size(tr) - common), 6) >= 0.6)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(blocked.nonEmpty && blocked === brute)
+    // and the blocker prunes: candidates well below the full cross product
+    val n = canon.count()
+    val cands = TokenSetJoin.candidateCount(norm, canon, 0.6)
+    assert(cands * 2 < n * n,
+      s"RS blocker did not prune: $cands candidates vs ${n * n} cross product")
+    info(s"RS candidates: $cands vs cross product ${n * n}")
+  }
 }
