@@ -268,6 +268,45 @@ class PlanSpec extends SparkSpec {
       "length band residual missing from the candidate join")
   }
 
+  test("g54: record-linkage candidates from the prefix-token equi-join, never all-pairs") {
+    // joinJaccard's contract (the g50 pin's shape for the two-table form):
+    // candidates come from an equi-join on the shared prefix token with the
+    // length band riding as a residual; the exact array_intersect rerank
+    // projects above the candidate dedup; abbreviation normalization
+    // (mapTokens' map-literal lookup) stays an expression — no extra join.
+    val p = plan("g54_abbrev_linkage")
+    assert(p.contains("array_intersect"), "exact rerank projection missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degraded to an all-pairs join")
+    val joinKeyLine = p.linesIterator.collectFirst {
+      case l if l.contains("Left keys") && l.contains("tok") => l
+    }
+    assert(joinKeyLine.isDefined, s"no equi-join on the prefix token in plan:\n$p")
+    assert(p.contains("greatest") && p.contains("least"),
+      "length band residual missing from the candidate join")
+  }
+
+  test("t13: Screening.screen never shuffles the record side") {
+    // the streaming-screening contract: the watchlist key index BROADCASTS;
+    // the record flow reaches the alert set through explode + broadcast
+    // join + per-row filters only. Any shuffle exchange in this fragment
+    // would be a stateful/repartitioning step that (a) breaks append-mode
+    // legality and (b) moves the 100 TB side of the join. BroadcastExchange
+    // is the one allowed exchange.
+    val t = Tables(spark, sfDir)
+    val wl = t.customer.filter(col("c_custkey") % 101 === 0)
+      .select(col("c_custkey").as("wid"), col("c_name").as("wname"))
+    val p = graft.stream.Screening.screen(
+        t.customer.select(col("c_custkey").as("id"), col("c_name").as("name")), wl)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"key-index join is not a broadcast join:\n$p")
+    val shuffles = p.linesIterator.filter(l =>
+      l.trim.startsWith("Exchange") && !l.contains("BroadcastExchange")).toList
+    assert(shuffles.isEmpty, s"record side shuffles: $shuffles")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "a stateful aggregate crept into the stateless screen fragment")
+  }
+
   test("g47: every per-year snapshot branch pushes its validity bound to the scan") {
     // branch-per-snapshot design: each of the 7 year branches must push its
     // l_shipdate bound into ITS lineitem scan (row-group pruning per branch)
