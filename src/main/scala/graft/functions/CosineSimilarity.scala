@@ -107,6 +107,12 @@ object GraftFunctions {
       "poly_hash(s, seed, mult) - polynomial rolling hash of the bytes of s mod 1e9+7", ""),
     (children: Seq[Expression]) => PolyHash(children.head, children(1), children(2)))
 
+  private val jaroWinklerInfo = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, null, "jaro_winkler",
+      "jaro_winkler(s, t) - Jaro-Winkler similarity in [0,1] (textbook/DuckDB semantics)", ""),
+    (children: Seq[Expression]) => JaroWinkler(children.head, children(1)))
+
   /** Imperative registration for sessions not built with the extension.
     * Covers both custom-function kinds the library ships: the native
     * Catalyst expression (codegen'd) and the typed Aggregator UDAF —
@@ -116,6 +122,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(cosineInfo._1, cosineInfo._2, cosineInfo._3)
     spark.sessionState.functionRegistry.registerFunction(polyHashInfo._1, polyHashInfo._2, polyHashInfo._3)
+    spark.sessionState.functionRegistry.registerFunction(jaroWinklerInfo._1, jaroWinklerInfo._2, jaroWinklerInfo._3)
     spark.udf.register("hhi", org.apache.spark.sql.functions.udaf(HhiAggregator))
   }
 }
@@ -135,6 +142,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, null, "poly_hash",
         "poly_hash(s, seed, mult) - polynomial rolling hash of the bytes of s mod 1e9+7", ""),
       (children: Seq[Expression]) => PolyHash(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, null, "jaro_winkler",
+        "jaro_winkler(s, t) - Jaro-Winkler similarity in [0,1] (textbook/DuckDB semantics)", ""),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
     // the custom as-of join (plans/AsOfJoin) for extensions-configured
     // deployments; AsOf.join also self-registers via extraStrategies for
     // sessions built without extensions

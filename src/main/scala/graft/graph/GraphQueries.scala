@@ -208,6 +208,25 @@ object GraphQueries {
   private def g54Case(d: Seq[(String, String)]): String =
     d.map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
 
+  /** g54's linkage inputs — (registry id|raw abbreviated text, its
+    * normalized id|label view, canonical catalog id|label) — extracted so
+    * tools/FuzzyScaleProbe measures the EXACT graded inputs (the g07
+    * edge-list precedent: probe and query single-sourced). */
+  private[graft] def g54Inputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.rel.TokenSetJoin
+    val fwd = g54Abbrev.toMap                  // canonical -> registry form
+    val rev = g54Abbrev.map(_.swap).toMap      // the normalization pack
+    val labels = Tables(s, d).part
+      .groupBy(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("label"))
+      .agg(min(col("p_partkey")).cast("long").as("id"))
+      .select("id", "label")
+    val registry = labels.select((col("id") + lit(100000000L)).as("id"),
+      TokenSetJoin.mapTokens(col("label"), fwd).as("raw"))
+    val normalized = registry.select(col("id"),
+      TokenSetJoin.mapTokens(col("raw"), rev).as("label"))
+    (registry, normalized, labels)
+  }
+
   /** g07_cc_full's order-contracted edge list (see the entry's comment for
     * the contraction proof) — extracted so scale probes (tools/CcTierProbe)
     * measure the EXACT graded graph, single-sourced with the query. */
@@ -2257,17 +2276,8 @@ object GraphQueries {
     // single-sourced: one Seq generates both the Spark map literal and
     // the oracle's CASE chain, so engine and oracle cannot drift.
     E("g54_abbrev_linkage", (s, d) => {
-      import graft.rel.TokenSetJoin
-      val fwd = g54Abbrev.toMap                  // canonical -> registry form
-      val rev = g54Abbrev.map(_.swap).toMap      // the normalization pack
-      val labels = Tables(s, d).part
-        .groupBy(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("label"))
-        .agg(min(col("p_partkey")).cast("long").as("id"))
-      val registry = labels.select((col("id") + lit(100000000L)).as("id"),
-        TokenSetJoin.mapTokens(col("label"), fwd).as("raw"))
-      TokenSetJoin.joinJaccard(
-          registry.select(col("id"), TokenSetJoin.mapTokens(col("raw"), rev).as("label")),
-          labels.select("id", "label"), 0.6)
+      val (registry, normalized, labels) = g54Inputs(s, d)
+      graft.rel.TokenSetJoin.joinJaccard(normalized, labels, 0.6)
         .join(broadcast(registry.select(col("id").as("id_l"), col("raw"))), Seq("id_l"))
         .select(col("raw").as("registry_label"), col("label_r").as("catalog_label"),
                 col("n_common"), col("jacc"))
@@ -2307,6 +2317,48 @@ object GraphQueries {
              FROM rr WHERE ROUND(n_common * 1.0 / (sl + sr - n_common), 6) >= 0.6)
       SELECT registry_label, catalog_label, n_common, jacc
       FROM fp ORDER BY registry_label, catalog_label""")),
+
+    // G55 — SCORED name screening (README.md:15 fuzzy matching, ranked):
+    // the fuzzy-ER family so far answers set questions — "which pairs
+    // match at lev<=k / Jaccard>=t" — but operational screening ranks:
+    // an analyst reviewing a hit list wants the closest K roster names
+    // per watched name, ordered by a similarity SCORE that weights
+    // front-of-string agreement where registry names actually agree.
+    // That score is Jaro-Winkler, here the native codegen'd expression
+    // functions/JaroWinkler (semantics fuzz-pinned to the DuckDB oracle's
+    // jaro_winkler_similarity — integer-halved transpositions, strict
+    // 0.7 boost threshold, prefix cap 4; see its scaladoc). Shape: the
+    // 5-row probe set BROADCASTS into a nested-loop join against the
+    // name vocabulary — the 100 TB plan is "scan the roster once, score
+    // in codegen, rank per probe"; candidates never shuffle pairwise
+    // (the per-probe ranking window shuffles |probes|x|vocab| scored
+    // rows, the l05 cosine-top-k discipline). Scores round to 6 in both
+    // engines before ranking so rank ties break identically on name.
+    E("g55_jw_screen_rank", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val vocab = Tables(s, d).part.select(col("p_name").as("name")).distinct()
+      val probes = broadcast(
+        vocab.orderBy("name").limit(5).select(col("name").as("probe")))
+      val byProbe = Window.partitionBy("probe")
+        .orderBy(col("jw").desc, col("name"))
+      vocab.crossJoin(probes)
+        .withColumn("jw", round(expr("jaro_winkler(probe, name)"), 6))
+        .withColumn("rnk", row_number().over(byProbe).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("probe", "name", "jw", "rnk")
+        .orderBy("probe", "rnk")
+    }, Some("""
+      WITH v AS (SELECT DISTINCT p_name AS name FROM part),
+      pr AS (SELECT name AS probe FROM v ORDER BY name LIMIT 5),
+      sc AS (SELECT probe, name,
+                    ROUND(jaro_winkler_similarity(probe, name), 6) AS jw
+             FROM pr CROSS JOIN v),
+      rk AS (SELECT probe, name, jw,
+                    ROW_NUMBER() OVER (PARTITION BY probe
+                                       ORDER BY jw DESC, name) AS rnk
+             FROM sc)
+      SELECT probe, name, jw, rnk FROM rk
+      WHERE rnk <= 10 ORDER BY probe, rnk""")),
 
     // G52 — the ENTITY DOSSIER (README.md:4-6 "untangle complex corporate
     // webs... in seconds" — the product's core workflow: pick a target

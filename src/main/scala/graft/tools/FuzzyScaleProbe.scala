@@ -53,6 +53,44 @@ object FuzzyScaleProbe {
       f"lev1Cand=$c1%,d matchedPairs=$p1%,d")
     println(f"g51  lev2Cand=$c2%,d (x${c2.toDouble / math.max(c1, 1)}%.1f the lev1 tier) " +
       f"matchedPairs=$p2%,d")
+
+    // g54's exact linkage inputs (single-sourced via GraphQueries.g54Inputs):
+    // abbreviated registry, normalized back, linked against the catalog.
+    // The two-table candidate stream is the monitorable metric; all-pairs
+    // reference is |L|x|R| (no i<j cut — each side is a distinct collection).
+    val (_, normalized, catalog) = graft.graph.GraphQueries.g54Inputs(spark, sfDir)
+    val normM = normalized.transform(graft.graph.Materialize.apply)
+    val catM = catalog.transform(graft.graph.Materialize.apply)
+    val (nRl, nRr) = (normM.count(), catM.count())
+    val c54 = timed("g54 candidateCount")(
+      graft.rel.TokenSetJoin.candidateCount(normM, catM, 0.6))
+    val t54 = System.nanoTime()
+    val p54 = graft.rel.TokenSetJoin.joinJaccard(normM, catM, 0.6).count()
+    println(f"g54  registry=$nRl%,d catalog=$nRr%,d allPairs=${nRl * nRr}%,d " +
+      f"linkCand=$c54%,d (x${nRl * nRr / math.max(c54, 1).toDouble}%.1f below) " +
+      f"linkedPairs=$p54%,d wall=${(System.nanoTime() - t54) / 1e9}%.1f s")
+
+    // t13 screening throughput: roster rows screened per second against the
+    // broadcast deletion-key index (the stream-side cost model — the key
+    // fan-out is |name|+1 keys/row, the index is the watchlist's fan-out).
+    val cust = graft.Tables(spark, sfDir).customer
+    val roster = cust.select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .transform(graft.graph.Materialize.apply)
+    val wl = cust.filter(col("c_custkey") % 101 === 0)
+      .select(col("c_custkey").as("wid"), col("c_name").as("wname"))
+    val nRoster = roster.count()
+    val idxRows = wl.select(explode(graft.rel.FuzzyJoin.deletionKeys(col("wname")))).count()
+    val tScr = System.nanoTime()
+    val hits = graft.stream.Screening.screen(roster, wl).count()
+    val scrWall = (System.nanoTime() - tScr) / 1e9
+    println(f"t13  roster=$nRoster%,d idxRows=$idxRows%,d hits=$hits%,d " +
+      f"wall=$scrWall%.1f s (${nRoster / scrWall}%,.0f rows/s)")
+
+    // g55 scored screening: vocabulary-bound like g50 (5 probes x vocab
+    // jaro_winkler evaluations in codegen; the rank window is the shuffle)
+    val t55 = System.nanoTime()
+    val n55 = graft.SparkEntry.queries("g55_jw_screen_rank")(spark, sfDir).count()
+    println(f"g55  rows=$n55%,d wall=${(System.nanoTime() - t55) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -307,6 +307,22 @@ class PlanSpec extends SparkSpec {
       "a stateful aggregate crept into the stateless screen fragment")
   }
 
+  test("g55: probes broadcast against one vocabulary scan; jaro_winkler scores in codegen") {
+    // the scored-screening contract (l05 cosine-top-k discipline): the tiny
+    // probe set broadcasts (BroadcastNestedLoopJoin — a cross join, but of
+    // a 5-row side), the roster is scanned once, and the native expression
+    // stays inside a WholeStageCodegen span. CartesianProduct would mean
+    // the broadcast was lost (both sides shuffling at 100 TB).
+    val df = SparkEntry.queries("g55_jw_screen_rank")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "probe join degraded to a cartesian product")
+    val line = p.linesIterator.find(_.contains("jaro_winkler")).get
+    assert("""\*\(\d+\)""".r.findFirstIn(line).isDefined,
+      s"jaro_winkler projection not codegen'd: $line")
+  }
+
   test("g47: every per-year snapshot branch pushes its validity bound to the scan") {
     // branch-per-snapshot design: each of the 7 year branches must push its
     // l_shipdate bound into ITS lineitem scan (row-group pruning per branch)
