@@ -197,6 +197,77 @@ object Traversals {
     * partitions are ego-sized (bounded by the radius gate), never
     * board-sized.
     */
+  /** Batched multi-seed, multi-SNAPSHOT ego membership — the Time-Slider's
+    * data feed (reference: README.md:17, the slider renders the seed's
+    * neighborhood at each slider position). `seeds` carries (seed, as_of)
+    * pairs; one traversal answers EVERY slider position of every seed: the
+    * batch key is the PAIR, carried through the per-level join exactly the
+    * way [[egoMembers]] carries seed (the g53 "batch key is free" shape),
+    * and snapshot validity is a residual predicate on that join — so the
+    * edge table is scanned `radius` times TOTAL, not radius × positions
+    * (the branch-per-year alternative re-scans per position; on CUMULATIVE
+    * validity windows the late-year branches read almost everything, so
+    * Σ branch-scan ≈ positions/2 full scans per level — this form wins
+    * whenever the edge scan is the bottleneck, which at 100 TB it is).
+    * Parallel edge instances collapse to one traversal edge with
+    * `min(valid_from)` (NULL ⇒ always-active ⇒ epoch): a node is reachable
+    * at `as_of` iff SOME instance had started — `min ≤ as_of` is exactly
+    * that ∃, and the reduction shrinks the per-level join's left side to
+    * distinct pairs. Same measured broadcast gate and per-level
+    * materialization as [[egoMembers]].
+    */
+  def egoMembersAsOf(edges: DataFrame, seeds: DataFrame, radius: Int,
+                     broadcastMaxRows: Long = 4000000L): DataFrame = {
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
+    val epoch = lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    val e = edges
+      .select(col("src"), col("dst"), coalesce(col("valid_from"), epoch).as("vf"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        coalesce(col("valid_from"), epoch).as("vf")))
+      .groupBy("src", "dst").agg(min(col("vf")).as("active_from"))
+      .transform(Materialize.apply)
+    var visited = seeds.select(col("seed"), col("as_of")).distinct()
+      .select(col("seed"), col("as_of"), col("seed").as("id"), lit(0L).as("depth"))
+      .transform(Materialize.apply)
+    var frontier = visited.select("seed", "as_of", "id")
+    var frontierCount = visited.count()
+    var visitedCount = frontierCount
+    for (i <- 1 to radius) {
+      val next = e.join(gated(frontier.withColumnRenamed("id", "fid"), frontierCount),
+          col("src") === col("fid") && col("active_from") <= col("as_of"))
+        .select(col("seed"), col("as_of"), col("dst").as("id")).distinct()
+        .join(gated(visited.select("seed", "as_of", "id"), visitedCount),
+          Seq("seed", "as_of", "id"), "left_anti")
+        .transform(Materialize.apply)
+      frontierCount = next.count()
+      visitedCount += frontierCount
+      visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Per-(seed, as_of) induced edge lists for [[egoMembersAsOf]] members:
+    * both endpoints in the same slider position's member set AND the edge
+    * instance itself valid at that position (members collapse parallel
+    * instances for traversal; the DOCUMENT lists every valid instance).
+    * Same two gated equi-joins as [[inducedEdges]] — the edge table never
+    * shuffles under the gate; validity is a post-join filter on the
+    * already-joined as_of.
+    */
+  def inducedEdgesAsOf(edges: DataFrame, members: DataFrame,
+                       broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val m = members.select(col("seed"), col("as_of"), col("id")).distinct()
+      .transform(Materialize.apply)
+    val hint: DataFrame => DataFrame =
+      if (m.count() <= broadcastMaxRows) broadcast else identity
+    edges.join(hint(m.select(col("seed"), col("as_of"), col("id").as("src"))), Seq("src"))
+      .join(hint(m.select(col("seed"), col("as_of"), col("id").as("dst"))),
+        Seq("seed", "as_of", "dst"))
+      .filter(col("valid_from").isNull || col("valid_from") <= col("as_of"))
+  }
+
   def capEgoMembers(edges: DataFrame, members: DataFrame, cap: Int,
                     broadcastMaxRows: Long = 4000000L): DataFrame = {
     require(cap >= 1, s"cap must keep at least the seed, got $cap")

@@ -426,7 +426,105 @@ object SourceQueries {
              || nodes_xml || chr(10) || edges_xml || chr(10)
              || '  </graph>' || chr(10) || '</graphml>' AS graphml
       FROM nd JOIN ed ON ed.seed = nd.seed
-      ORDER BY nd.seed"""))
+      ORDER BY nd.seed""")),
+
+    // S9 — Time-Slider export (README.md:17 "visualize how corporate
+    // structures have evolved over years" — the slider's actual data feed,
+    // not one position of it): one Cytoscape node-link document per
+    // (seed, slider year), nodes/edges as byte-stable sorted JSON, the
+    // graph at each position being the validity snapshot (valid_from <=
+    // Dec-31 of that year). ONE batched traversal answers every position
+    // of every seed — the batch key is the (seed, as_of) PAIR carried
+    // through the per-level join (Traversals.egoMembersAsOf; the g53
+    // free-batch-key shape), with snapshot validity a residual predicate
+    // on that join, so the edge union is scanned radius times TOTAL
+    // instead of radius x positions (on cumulative validity windows the
+    // branch-per-year alternative's late branches re-read nearly the full
+    // edge set — see the egoMembersAsOf scaladoc for the scan arithmetic).
+    // Early-position documents can legitimately have zero temporal edges
+    // in range; the left join + '[]' coalesce keeps every slider position
+    // present (a slider with missing frames is a rendering bug). Same
+    // .json sink round-trip contract as s07.
+    E("s09_timeslider_export", (s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val g = graft.graph.GraphBuilder.edges(t)
+      val sy = (for { c <- 1 to 2; y <- Seq(1995, 1997, 1999, 2001) } yield
+          (graft.graph.GraphBuilder.CustomerBase + c, y.toLong, s"$y-12-31 23:59:59"))
+        .toDF("seed", "year", "ts")
+        .select(col("seed"), col("year"), col("ts").cast("timestamp_ntz").as("as_of"))
+      val members = graft.graph.Traversals.egoMembersAsOf(g, sy.select("seed", "as_of"), 2)
+      val nd = graft.graph.GraphBuilder.nodes(t)
+        .join(broadcast(members.select("seed", "as_of", "id")), Seq("id"))
+        .groupBy("seed", "as_of")
+        .agg(count(lit(1)).as("n_nodes"),
+             to_json(sort_array(collect_list(
+               struct(col("id"), col("label"), col("name"))))).as("nodes_json"))
+      val ed = graft.graph.Traversals.inducedEdgesAsOf(g, members)
+        .select(col("seed"), col("as_of"), col("src"), col("dst"), col("rel_type"),
+                floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
+        .groupBy("seed", "as_of")
+        .agg(count(lit(1)).as("n_edges"),
+             to_json(sort_array(collect_list(
+               struct(col("src"), col("dst"), col("rel_type"), col("w_ppm"))))).as("edges_json"))
+      val docs = nd.join(ed, Seq("seed", "as_of"), "left")
+        .join(broadcast(sy.select("seed", "year", "as_of")), Seq("seed", "as_of"))
+        .select(col("seed"), col("year"), col("n_nodes"),
+                coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+                col("nodes_json"),
+                coalesce(col("edges_json"), lit("[]")).as("edges_json"))
+      val path = tmpDir("timeslider_json")
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(StructType(Seq(
+          StructField("seed", LongType), StructField("year", LongType),
+          StructField("n_nodes", LongType), StructField("n_edges", LongType),
+          StructField("nodes_json", StringType), StructField("edges_json", StringType))))
+        .json(path)
+        .select("seed", "year", "n_nodes", "n_edges", "nodes_json", "edges_json")
+        .orderBy("seed", "year")
+    }, Some(s"""
+      WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
+      sy(seed, year, as_of) AS (
+        SELECT CAST(3000000000 + c.c AS BIGINT), CAST(y.y AS BIGINT),
+               CAST(CAST(y.y AS VARCHAR) || '-12-31 23:59:59' AS TIMESTAMP)
+        FROM (VALUES (1), (2)) c(c)
+        CROSS JOIN (VALUES (1995), (1997), (1999), (2001)) y(y)),
+      sym AS (
+        SELECT src, dst, MIN(COALESCE(valid_from, TIMESTAMP '1970-01-01')) AS active_from
+        FROM (SELECT src, dst, valid_from FROM graph_edges
+              UNION ALL SELECT dst, src, valid_from FROM graph_edges)
+        GROUP BY 1, 2),
+      reach(seed, as_of, id, depth) AS (
+        SELECT seed, as_of, seed, 0 FROM sy
+        UNION ALL
+        SELECT r.seed, r.as_of, s.dst, r.depth + 1
+        FROM reach r JOIN sym s ON s.src = r.id
+        WHERE r.depth < 2 AND s.active_from <= r.as_of),
+      rs AS (SELECT DISTINCT seed, as_of, id FROM reach),
+      ind AS (
+        SELECT a.seed, a.as_of, e.src, e.dst, e.rel_type,
+               CAST(FLOOR(e.weight * 1000000 + 0.5) AS BIGINT) AS w_ppm
+        FROM graph_edges e
+        JOIN rs a ON e.src = a.id
+        JOIN rs b ON b.seed = a.seed AND b.as_of = a.as_of AND e.dst = b.id
+        WHERE e.valid_from IS NULL OR e.valid_from <= a.as_of),
+      nd AS (
+        SELECT r.seed, r.as_of, COUNT(*) AS n_nodes,
+               to_json(list(struct_pack(id := n.id, label := n.label, name := n.name)
+                            ORDER BY n.id)) AS nodes_json
+        FROM rs r JOIN graph_nodes n ON n.id = r.id GROUP BY r.seed, r.as_of),
+      ed AS (
+        SELECT seed, as_of, COUNT(*) AS n_edges,
+               to_json(list(struct_pack(src := src, dst := dst, rel_type := rel_type, w_ppm := w_ppm)
+                            ORDER BY src, dst, rel_type, w_ppm)) AS edges_json
+        FROM ind GROUP BY seed, as_of)
+      SELECT sy.seed, sy.year, n_nodes,
+             COALESCE(n_edges, CAST(0 AS BIGINT)) AS n_edges, nodes_json,
+             COALESCE(edges_json, '[]') AS edges_json
+      FROM sy
+      JOIN nd ON nd.seed = sy.seed AND nd.as_of = sy.as_of
+      LEFT JOIN ed ON ed.seed = sy.seed AND ed.as_of = sy.as_of
+      ORDER BY sy.seed, sy.year"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -323,6 +323,21 @@ class PlanSpec extends SparkSpec {
       s"jaro_winkler projection not codegen'd: $line")
   }
 
+  test("s09: per-level slider frontier broadcasts with the validity residual on the join") {
+    // egoMembersAsOf's contract: every slider position of every seed rides
+    // ONE traversal — the per-level join broadcasts the (seed, as_of)
+    // frontier under the measured gate, and snapshot validity
+    // (active_from <= as_of) is a RESIDUAL on that broadcast join, never a
+    // per-position re-scan of the edge table. Like g02, the levels iterate
+    // through Materialize, so capture every executed plan of the run.
+    val ps = capturedPlans(s =>
+      SparkEntry.queries("s09_timeslider_export")(s, sfDir).collect())
+    assert(ps.nonEmpty, "listener captured no executed plans — capture path broke")
+    assert(ps.exists(p => p.contains("BroadcastHashJoin") && p.contains("active_from")),
+      s"no per-level plan shows the broadcast frontier join with the validity " +
+        s"residual (captured ${ps.size} plans)")
+  }
+
   test("g47: every per-year snapshot branch pushes its validity bound to the scan") {
     // branch-per-snapshot design: each of the 7 year branches must push its
     // l_shipdate bound into ITS lineitem scan (row-group pruning per branch)
