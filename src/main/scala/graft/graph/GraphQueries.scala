@@ -2555,6 +2555,127 @@ object GraphQueries {
       WHERE rnk <= 5
       ORDER BY supplier, rnk""")),
 
+    // G24 — UBO AS-OF: beneficial ownership AT each Time-Slider position
+    // (README.md:13 UBO × README.md:17 "evolved over years" — "who held
+    // supplier S in 1996 vs 2001?" is the audit question the slider
+    // renders). Semantics matter here: an as-of cone is NOT the current
+    // cone filtered — ownership SHARES RENORMALIZE among what existed by
+    // the date (a supplier's 1996 holder mix divides 1996's quantities by
+    // 1996's totals). Scale shape, in two moves: (1) all slider dates'
+    // layer weights come from ONE scan per layer — per-date conditional
+    // sums (sum(when(ship <= d, qty))) on the grouped keys, unpivoted to
+    // (as_of, src, dst, qty), window-normalized per (as_of, src) — dates
+    // add zero scans, only pre-agg-sized rows; the placed layer (per-order
+    // edges, nothing to pre-aggregate away) explodes dates per order row
+    // and filters, one scan likewise. (2) the propagation batches the date
+    // axis exactly the way g53 batches seeds: Ubo.propagateLayersAsOf
+    // carries as_of through the step join keys, so suppliers × dates cost
+    // the same three joins as one cone. Rank-truncated top-5 per
+    // (date, supplier) — the g03 dilution lesson.
+    E("g56_ubo_asof", (s, d) => {
+      val t = Tables(s, d)
+      val dates = Seq(1996, 1998, 2001).map(y => s"$y-12-31 23:59:59")
+      def asOf(ds: String) = lit(ds).cast("timestamp_ntz")
+      import graft.Tables.dec
+      // per-date conditional sums over one scan, unpivoted + normalized
+      def datedLayer(grouped: DataFrame, srcCol: org.apache.spark.sql.Column,
+                     dstCol: org.apache.spark.sql.Column): DataFrame =
+        grouped
+          .select(srcCol.as("src"), dstCol.as("dst"),
+            explode(array(dates.zipWithIndex.map { case (ds, i) =>
+              struct(asOf(ds).as("as_of"), col(s"q$i").as("qty")) }: _*)).as("x"))
+          .select(col("x.as_of").as("as_of"), col("src"), col("dst"), col("x.qty").as("qty"))
+          .filter(col("qty").isNotNull)
+          .withColumn("weight", col("qty").cast("double") /
+            sum(col("qty")).over(Window.partitionBy(col("as_of"), col("src"))).cast("double"))
+          .select("as_of", "src", "dst", "weight")
+      def qsums = dates.zipWithIndex.map { case (ds, i) =>
+        sum(when(col("l_shipdate") <= asOf(ds), dec(col("l_quantity")))).as(s"q$i") }
+      val contains = datedLayer(
+        t.lineitem.groupBy(col("l_orderkey"), col("l_partkey")).agg(qsums.head, qsums.tail: _*),
+        lit(GraphBuilder.OrderBase) + col("l_orderkey"),
+        lit(GraphBuilder.PartBase) + col("l_partkey"))
+      val supplied = datedLayer(
+        t.lineitem.groupBy(col("l_partkey"), col("l_suppkey")).agg(qsums.head, qsums.tail: _*),
+        lit(GraphBuilder.PartBase) + col("l_partkey"),
+        lit(GraphBuilder.SupplierBase) + col("l_suppkey"))
+      val placed = t.orders
+        .select((lit(GraphBuilder.CustomerBase) + col("o_custkey")).as("src"),
+                (lit(GraphBuilder.OrderBase) + col("o_orderkey")).as("dst"), col("o_orderdate"))
+        .select(explode(array(dates.map(asOf): _*)).as("as_of"),
+                col("src"), col("dst"), col("o_orderdate"))
+        .filter(col("o_orderdate") <= col("as_of"))
+        .withColumn("weight",
+          lit(1.0) / count(lit(1)).over(Window.partitionBy(col("as_of"), col("src"))))
+        .select("as_of", "src", "dst", "weight")
+      def rev(df: DataFrame) = df.select(col("as_of"),
+        col("dst").as("src"), col("src").as("dst"), col("weight"))
+      val init = s.range(1, 4)
+        .select((lit(GraphBuilder.SupplierBase) + col("id")).as("owner"))
+        .crossJoin(dates.map(Tuple1(_)).foldLeft(Option.empty[DataFrame]) { (acc, ds) =>
+          val one = s.range(1).select(asOf(ds._1).as("as_of"))
+          Some(acc.map(_.unionByName(one)).getOrElse(one))
+        }.get)
+        .select(col("owner"), col("as_of"), col("owner").as("entity"),
+                lit(1.0).cast("double").as("share"))
+      val cones = Ubo.propagateLayersAsOf(Seq(rev(supplied), rev(contains), rev(placed)), init)
+        .select(year(col("as_of")).cast("long").as("as_of_year"),
+                col("owner").as("supplier"), col("entity").as("holder"),
+                round(col("share"), 6).as("share6"))
+      val w = Window.partitionBy("as_of_year", "supplier")
+        .orderBy(col("share6").desc, col("holder"))
+      val custNames = t.customer.select(
+        (lit(GraphBuilder.CustomerBase) + col("c_custkey")).as("holder"),
+        col("c_name").as("holder_name"))
+      cones.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .join(broadcast(custNames), Seq("holder"))
+        .select(col("as_of_year"), col("supplier"), col("rnk"), col("holder"),
+                col("holder_name"), col("share6"))
+        .orderBy("as_of_year", "supplier", "rnk")
+    }, Some(s"""
+      WITH dates(as_of) AS (VALUES (TIMESTAMP '1996-12-31 23:59:59'),
+                                   (TIMESTAMP '1998-12-31 23:59:59'),
+                                   (TIMESTAMP '2001-12-31 23:59:59')),
+      placed_a AS (
+        SELECT d.as_of, CAST(3000000000 + o_custkey AS BIGINT) AS src,
+               CAST(6000000000 + o_orderkey AS BIGINT) AS dst,
+               CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY d.as_of, o_custkey) AS weight
+        FROM orders CROSS JOIN dates d WHERE o_orderdate <= d.as_of),
+      contains_a AS (
+        SELECT as_of, CAST(6000000000 + l_orderkey AS BIGINT) AS src,
+               CAST(5000000000 + l_partkey AS BIGINT) AS dst,
+               CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY as_of, l_orderkey) AS DOUBLE) AS weight
+        FROM (SELECT d.as_of, l_orderkey, l_partkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              FROM lineitem CROSS JOIN dates d WHERE l_shipdate <= d.as_of GROUP BY 1, 2, 3)),
+      supplied_a AS (
+        SELECT as_of, CAST(5000000000 + l_partkey AS BIGINT) AS src,
+               CAST(4000000000 + l_suppkey AS BIGINT) AS dst,
+               CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY as_of, l_partkey) AS DOUBLE) AS weight
+        FROM (SELECT d.as_of, l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              FROM lineitem CROSS JOIN dates d WHERE l_shipdate <= d.as_of GROUP BY 1, 2, 3)),
+      b0 AS (SELECT CAST(4000000000 + v.s AS BIGINT) AS supplier, d.as_of,
+                    CAST(4000000000 + v.s AS BIGINT) AS entity, CAST(1.0 AS DOUBLE) AS share
+             FROM (VALUES (1), (2), (3)) AS v(s) CROSS JOIN dates d),
+      b1 AS (SELECT p.supplier, p.as_of, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b0 p JOIN supplied_a e ON e.dst = p.entity AND e.as_of = p.as_of GROUP BY 1, 2, 3),
+      b2 AS (SELECT p.supplier, p.as_of, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b1 p JOIN contains_a e ON e.dst = p.entity AND e.as_of = p.as_of GROUP BY 1, 2, 3),
+      b3 AS (SELECT p.supplier, p.as_of, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b2 p JOIN placed_a e ON e.dst = p.entity AND e.as_of = p.as_of GROUP BY 1, 2, 3),
+      cone AS (SELECT supplier, as_of, entity AS holder, ROUND(share, 6) AS share6 FROM b3),
+      rk AS (SELECT supplier, as_of, holder, share6,
+                    ROW_NUMBER() OVER (PARTITION BY as_of, supplier
+                                       ORDER BY share6 DESC, holder) AS rnk
+             FROM cone)
+      SELECT CAST(EXTRACT(year FROM r.as_of) AS BIGINT) AS as_of_year, supplier,
+             CAST(rnk AS BIGINT) AS rnk, r.holder, c.c_name AS holder_name, share6
+      FROM rk r JOIN customer c ON 3000000000 + c.c_custkey = r.holder
+      WHERE rnk <= 5
+      ORDER BY as_of_year, supplier, rnk""")),
+
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics
     // by unioning per-year snapshot aggregates — edge count, active

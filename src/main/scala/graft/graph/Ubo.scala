@@ -111,6 +111,33 @@ object Ubo {
     own
   }
 
+  /** [[propagateLayers]] batched over SNAPSHOT DATES: layers and state both
+    * carry an `as_of` column and each step joins on (entity = src AND
+    * as_of = as_of) — every slider position's ownership cone propagates in
+    * the SAME three joins (the g53 free-batch-key argument extended from
+    * the owner column to the date axis: state is bounded by
+    * |owners| × |dates| × cone, and k dates never re-run the plan). The
+    * per-date layers themselves are built by the CALLER from conditional
+    * aggregates over one scan — this function only contracts that the
+    * join respects the date key, so share mass never leaks between
+    * slider positions.
+    */
+  def propagateLayersAsOf(layers: Seq[DataFrame], init: DataFrame): DataFrame = {
+    var own = init.select(col("owner"), col("as_of"), col("entity"), col("share"))
+    var i = 1
+    layers.foreach { layer =>
+      val e = layer.select(col("as_of").as("e_as_of"), col("src"), col("dst"), col("weight"))
+      own = graft.rel.Regroup.aggregateByNewKeys(
+          own.join(e, col("entity") === col("src") && col("as_of") === col("e_as_of")),
+          groupKeys = Seq(col("owner"), col("as_of"), col("dst")),
+          aggs = Seq(sum(col("share") * col("weight")).as("share")))
+        .select(col("owner"), col("as_of"), col("dst").as("entity"), col("share"))
+      if (i % 3 == 0) own = own.transform(Materialize.apply)
+      i += 1
+    }
+    own
+  }
+
   /** Strongest-ownership-chain DP (reference README.md:11,13 — showing THE
     * chain behind a UBO figure): per (owner, target), the maximum-product
     * path of ≤ maxHops edges, with the chain itself reconstructed as a

@@ -84,6 +84,65 @@ class EntityDossierSpec extends SparkSpec {
       s"batched cone diverged from the single-seed cone:\n$batched\nvs\n${single.toSeq}")
   }
 
+  test("g56: a slider date past all fixture data reproduces the g53 (undated) cone") {
+    // as-of semantics cross-check: with as_of beyond every o_orderdate /
+    // l_shipdate in the fixture, nothing is filtered and every per-date
+    // weight renormalizes over the SAME totals as the undated layers — the
+    // 2001 slice of g56 must therefore equal g53's cone (same holders in
+    // the same order, shares equal to the 6-decimal contract).
+    val asof = SparkEntry.queries("g56_ubo_asof")(spark, sfDir)
+      .filter(col("as_of_year") === 2001L)
+      .orderBy(col("supplier"), col("rnk"))
+      .collect().map(r => (r.getAs[Long]("supplier"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("holder"), r.getAs[Double]("share6")))
+    val undated = SparkEntry.queries("g53_watchlist_dossiers")(spark, sfDir)
+      .orderBy(col("supplier"), col("rnk"))
+      .collect().map(r => (r.getAs[Long]("supplier"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("holder"), r.getAs[Double]("share6")))
+    assert(asof.length === undated.length && asof.nonEmpty)
+    asof.zip(undated).foreach { case (a, u) =>
+      assert(a._1 == u._1 && a._2 == u._2 && a._3 == u._3,
+        s"holder ranking diverged: $a vs $u")
+      assert(math.abs(a._4 - u._4) <= 1e-6, s"share diverged beyond rounding: $a vs $u")
+    }
+  }
+
+  test("g56: earlier slider dates renormalize (not merely subset) the cone") {
+    // the semantic point of as-of UBO: at an earlier date the same holder's
+    // share is computed against that date's totals, so at least one holder
+    // common to both dates must carry a DIFFERENT share — a pure validity
+    // filter (no renormalization) would keep every common share identical.
+    val rows = SparkEntry.queries("g56_ubo_asof")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("as_of_year"), r.getAs[Long]("supplier"),
+        r.getAs[Long]("holder"), r.getAs[Double]("share6")))
+    val y1996 = rows.filter(_._1 == 1996L).map(t => (t._2, t._3) -> t._4).toMap
+    val y2001 = rows.filter(_._1 == 2001L).map(t => (t._2, t._3) -> t._4).toMap
+    val common = y1996.keySet.intersect(y2001.keySet)
+    assert(common.nonEmpty, "no holder survives from 1996 to 2001 — fixture too sparse")
+    assert(common.exists(k => math.abs(y1996(k) - y2001(k)) > 1e-6),
+      "every common holder kept an identical share — weights did not renormalize")
+  }
+
+  test("propagateLayersAsOf: no share mass leaks between slider dates") {
+    val d1 = "1996-12-31 23:59:59"
+    val d2 = "2001-12-31 23:59:59"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // at d1 only A→B exists (weight 1); at d2 the mass splits B=0.25, C=0.75
+    val layer = Seq((d1, 10L, 20L, 1.0), (d2, 10L, 20L, 0.25), (d2, 10L, 30L, 0.75))
+      .map { case (ds, a, b, w) => (ts(ds), a, b, w) }
+      .toDF("as_of", "src", "dst", "weight")
+      .withColumn("as_of", col("as_of").cast("timestamp_ntz"))
+    val init = Seq(d1, d2).map(ts).toDF("as_of")
+      .withColumn("as_of", col("as_of").cast("timestamp_ntz"))
+      .select(lit(10L).as("owner"), col("as_of"), lit(10L).as("entity"),
+              lit(1.0).cast("double").as("share"))
+    val out = graph.Ubo.propagateLayersAsOf(Seq(layer), init).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("as_of").getYear,
+        r.getAs[Long]("entity"), r.getAs[Double]("share"))).toSet
+    assert(out === Set((1996, 20L, 1.0), (2001, 20L, 0.25), (2001, 30L, 0.75)),
+      s"per-date propagation wrong or leaked across dates: $out")
+  }
+
   test("risk parts are the seed's own parts, flags follow g16 semantics") {
     val seedParts = graph.GraphBuilder.edges(Tables(spark, sfDir))
       .filter(col("rel_type") === "SUPPLIED_BY" && col("dst") === seed)

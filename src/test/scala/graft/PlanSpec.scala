@@ -338,6 +338,25 @@ class PlanSpec extends SparkSpec {
         s"residual (captured ${ps.size} plans)")
   }
 
+  test("g56: slider dates add ZERO scans — lineitem is read once per layer") {
+    // the as-of UBO scale contract: per-date layer weights come from
+    // conditional aggregates over ONE scan per layer (contains + supplied
+    // = 2 lineitem scans total for ANY number of slider dates); a
+    // branch-per-date formulation would show dates × layers scans. The
+    // propagation checkpoints at its last step, so count scans across
+    // every executed plan of the run.
+    val ps = capturedPlans(s => SparkEntry.queries("g56_ubo_asof")(s, sfDir).collect())
+    assert(ps.nonEmpty, "listener captured no executed plans — capture path broke")
+    // AQE plan strings append an "Initial Plan" section that repeats every
+    // scan node — count only the executed (final) section of each plan
+    val lineitemScans = ps
+      .map(_.split("Initial Plan").head)
+      .map("""lineitem\.parquet""".r.findAllIn(_).size).sum
+    assert(lineitemScans == 2,
+      s"expected both dated layers to scan lineitem once each (dates must add " +
+        s"zero scans), got $lineitemScans across ${ps.size} plans")
+  }
+
   test("g47: every per-year snapshot branch pushes its validity bound to the scan") {
     // branch-per-snapshot design: each of the 7 year branches must push its
     // l_shipdate bound into ITS lineitem scan (row-group pruning per branch)
