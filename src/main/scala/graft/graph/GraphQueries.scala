@@ -2676,6 +2676,64 @@ object GraphQueries {
       WHERE rnk <= 5
       ORDER BY as_of_year, supplier, rnk""")),
 
+    // G25 — CONNECTION FINDER: "how are entities X and Y connected?" — the
+    // first question an analyst asks when two names co-occur (README.md:4-6
+    // "untangle complex corporate webs", README.md:11 N-tier navigation).
+    // Bidirectional meet-in-the-middle over the TRANSACTIONAL web only
+    // (PLACED/CONTAINS/SUPPLIED_BY — geography edges connect everyone
+    // through nation hubs at distance 2 and drown the business signal):
+    // dist(s,t) = min over meeting nodes m of depth_s(m) + depth_t(m),
+    // exact for dist <= 4 with radius-2 cones; pairs beyond 4 hops report
+    // -1, the documented bound. Semantics, scale arithmetic (~2b^2 cone
+    // rows vs ~b^4 for a single-source radius-4 BFS), the one-traversal
+    // batching of ALL pair endpoints, and the n_meet width reading live in
+    // Traversals.connectionDistance's scaladoc; ConnectionSpec pins
+    // exactness, the -1 bound, and the meet-window semantics on a fixture.
+    E("g57_connection", (s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val ebiz = GraphBuilder.edges(t)
+        .filter(col("rel_type").isin("PLACED", "CONTAINS", "SUPPLIED_BY"))
+        .select("src", "dst")
+      val pairs = Seq(
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.CustomerBase + 2L),
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.SupplierBase + 1L),
+          (GraphBuilder.SupplierBase + 1L, GraphBuilder.SupplierBase + 2L))
+        .toDF("s_id", "t_id")
+      Traversals.connectionDistance(ebiz, pairs, 2).orderBy("s_id", "t_id")
+    }, Some(s"""
+      WITH RECURSIVE $edgesCte,
+      eb AS (SELECT src, dst FROM graph_edges
+             WHERE rel_type IN ('PLACED', 'CONTAINS', 'SUPPLIED_BY')),
+      sym AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+      pairs(s_id, t_id) AS (VALUES
+        (CAST(3000000001 AS BIGINT), CAST(3000000002 AS BIGINT)),
+        (CAST(3000000001 AS BIGINT), CAST(4000000001 AS BIGINT)),
+        (CAST(4000000001 AS BIGINT), CAST(4000000002 AS BIGINT))),
+      seeds(seed) AS (SELECT s_id FROM pairs UNION SELECT t_id FROM pairs),
+      reach(seed, id, depth) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, s2.dst, r.depth + 1 FROM reach r JOIN sym s2 ON s2.src = r.id
+        WHERE r.depth < 2),
+      fm AS (SELECT seed, id, MIN(depth) AS dmin FROM reach GROUP BY 1, 2),
+      meets AS (
+        SELECT p.s_id, p.t_id, f.id, f.dmin + b.dmin AS tot
+        FROM pairs p
+        JOIN fm f ON f.seed = p.s_id
+        JOIN fm b ON b.seed = p.t_id AND b.id = f.id),
+      best AS (SELECT s_id, t_id, MIN(tot) AS dist FROM meets GROUP BY 1, 2),
+      agg AS (
+        SELECT m.s_id, m.t_id, b.dist, COUNT(*) AS n_meet, MIN(m.id) AS meet_min
+        FROM meets m JOIN best b ON b.s_id = m.s_id AND b.t_id = m.t_id AND m.tot = b.dist
+        GROUP BY 1, 2, 3)
+      SELECT p.s_id, p.t_id,
+             CAST(COALESCE(a.dist, -1) AS BIGINT) AS dist,
+             CAST(COALESCE(a.n_meet, 0) AS BIGINT) AS n_meet,
+             CAST(COALESCE(a.meet_min, -1) AS BIGINT) AS meet_min
+      FROM pairs p LEFT JOIN agg a ON a.s_id = p.s_id AND a.t_id = p.t_id
+      ORDER BY p.s_id, p.t_id""")),
+
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics
     // by unioning per-year snapshot aggregates — edge count, active

@@ -268,6 +268,49 @@ object Traversals {
       .filter(col("valid_from").isNull || col("valid_from") <= col("as_of"))
   }
 
+  /** Batched s–t connection distance via bidirectional meet-in-the-middle:
+    * for every (s_id, t_id) row in `pairs`, the exact undirected shortest
+    * distance when it is ≤ 2·radius, else −1 (the documented bound). A
+    * path of length L ≤ 2·radius splits at its midpoint into halves of
+    * ≤ radius each, so min over meeting nodes m of depth_s(m) + depth_t(m)
+    * is exact within the bound — and because the search is undirected,
+    * forward and backward cones are the SAME computation: all pair
+    * endpoints batch as seeds of ONE [[egoMembers]] traversal (one
+    * symmetrize, `radius` edge scans total), and the meet is an equi-join
+    * of that single member table with itself on the node id. The 100 TB
+    * arithmetic: a radius-2k single-source frontier is ~b^2k rows; two
+    * radius-k cones are ~2·b^k.
+    *
+    * `n_meet` counts the meeting nodes — nodes inside BOTH radius cones
+    * with depth_s + depth_t = dist, i.e. the shortest-path nodes both
+    * cones can see: at dist = 2·radius that is exactly the path midpoints
+    * (1 = a single bottleneck entity, large = structurally entangled); at
+    * smaller distances the visible window widens toward the endpoints.
+    * `meet_min` is the least such node id, a deterministic witness.
+    */
+  def connectionDistance(edges: DataFrame, pairs: DataFrame, radius: Int,
+                         broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val seeds = pairs.select(col("s_id").as("seed"))
+      .unionByName(pairs.select(col("t_id").as("seed"))).distinct()
+    val m = egoMembers(edges, seeds, radius, broadcastMaxRows)
+      .transform(Materialize.apply) // reused as both cone sides of the meet
+    val meets = pairs
+      .join(m.select(col("seed").as("s_id"), col("id"), col("depth").as("df")), Seq("s_id"))
+      .join(m.select(col("seed").as("t_id"), col("id"), col("depth").as("db")),
+            Seq("t_id", "id"))
+      .select(col("s_id"), col("t_id"), col("id"), (col("df") + col("db")).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s_id", "t_id")
+    val best = meets.withColumn("dist", min(col("tot")).over(w))
+      .filter(col("tot") === col("dist"))
+      .groupBy("s_id", "t_id", "dist")
+      .agg(count(lit(1)).as("n_meet"), min(col("id")).as("meet_min"))
+    pairs.join(best, Seq("s_id", "t_id"), "left")
+      .select(col("s_id"), col("t_id"),
+              coalesce(col("dist"), lit(-1L)).as("dist"),
+              coalesce(col("n_meet"), lit(0L)).as("n_meet"),
+              coalesce(col("meet_min"), lit(-1L)).as("meet_min"))
+  }
+
   def capEgoMembers(edges: DataFrame, members: DataFrame, cap: Int,
                     broadcastMaxRows: Long = 4000000L): DataFrame = {
     require(cap >= 1, s"cap must keep at least the seed, got $cap")

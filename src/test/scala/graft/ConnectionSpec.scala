@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins Traversals.connectionDistance's contract on fixtures a hash can't
+  * argue from: exactness up to 2·radius, the −1 beyond-bound report, the
+  * per-dist-band meeting-node window, and undirectedness.
+  */
+class ConnectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conn(edges: Seq[(Long, Long)], pairs: Seq[(Long, Long)], radius: Int = 2) =
+    graph.Traversals.connectionDistance(
+        edges.toDF("src", "dst"), pairs.toDF("s_id", "t_id"), radius)
+      .collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id")) ->
+        (r.getAs[Long]("dist"), r.getAs[Long]("n_meet"), r.getAs[Long]("meet_min")))
+      .toMap
+
+  test("exact distances up to 2·radius; beyond-bound pairs report -1/0/-1") {
+    // chain 1-2-3-4-5-6 (directed edges; search must treat them undirected)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = conn(chain, Seq((1L, 5L), (1L, 6L), (5L, 1L), (2L, 2L)))
+    // dist 4 = the radius-2 bound: the only node BOTH cones see is the
+    // exact midpoint 3
+    assert(out((1L, 5L)) === ((4L, 1L, 3L)))
+    // dist 5 exceeds the bound
+    assert(out((1L, 6L)) === ((-1L, 0L, -1L)))
+    // undirected: reversed pair gives the same distance and midpoint
+    assert(out((5L, 1L)) === ((4L, 1L, 3L)))
+    // degenerate self-pair: distance 0, the node itself is the meet
+    assert(out((2L, 2L))._1 === 0L)
+  }
+
+  test("n_meet is the shortest-path node set both cones see (widens as dist shrinks)") {
+    // diamond 10-11-13 / 10-12-13: at dist 2 every shortest-path node
+    // (both endpoints + both middles) sits inside both radius-2 cones
+    val diamond = Seq((10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L))
+    val out = conn(diamond, Seq((10L, 13L)))
+    assert(out((10L, 13L)) === ((2L, 4L, 10L)),
+      "dist-2 meets must include endpoints and both parallel middles")
+    // same diamond stretched to dist 4 (each arm subdivided): only the two
+    // parallel midpoints are visible to both cones — width without endpoints
+    val stretched = Seq((10L, 21L), (21L, 11L), (11L, 22L), (22L, 13L),
+      (10L, 23L), (23L, 12L), (12L, 24L), (24L, 13L))
+    val out4 = conn(stretched, Seq((10L, 13L)))
+    assert(out4((10L, 13L)) === ((4L, 2L, 11L)),
+      "dist-4 meets must be exactly the parallel midpoints")
+  }
+
+  test("graded g57 invariants: dist within [-1, 4]; -1 implies empty meet") {
+    val rows = SparkEntry.queries("g57_connection")(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (dist, nMeet) = (r.getAs[Long]("dist"), r.getAs[Long]("n_meet"))
+      assert(dist == -1L || (dist >= 1L && dist <= 4L), s"dist out of contract: $dist")
+      assert((dist == -1L) == (nMeet == 0L), s"dist/meet inconsistency: $dist/$nMeet")
+    }
+    // the fixture's transactional web connects all three graded pairs
+    assert(rows.forall(_.getAs[Long]("dist") > 0L),
+      "fixture no longer exercises connected pairs")
+  }
+}
