@@ -2734,6 +2734,98 @@ object GraphQueries {
       FROM pairs p LEFT JOIN agg a ON a.s_id = p.s_id AND a.t_id = p.t_id
       ORDER BY p.s_id, p.t_id""")),
 
+    // G25b — the connection WITH its witness path: g57 answers "are they
+    // connected, how closely, through how many routes"; g58 draws ONE
+    // canonical route (README.md:11 "intuitive node-link diagrams" — the
+    // path is what the diagram renders when the analyst clicks two
+    // entities). Same one-traversal batching, now carrying a min-parent
+    // pointer per (seed, node); the path is rebuilt by radius conditional
+    // backtrack joins per side from the deterministic meet witness —
+    // path strings exist only on the |pairs| output rows, never in the
+    // frontier (the g05 path-enumeration cost is exactly what this
+    // avoids). Canonicality contract (min depth, then min parent) is
+    // argued in egoMembersParents' scaladoc and pinned byte-for-byte by
+    // the oracle's (depth, parent)-ranked walk enumeration.
+    E("g58_connection_path", (s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val ebiz = GraphBuilder.edges(t)
+        .filter(col("rel_type").isin("PLACED", "CONTAINS", "SUPPLIED_BY"))
+        .select("src", "dst")
+      val pairs = Seq(
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.CustomerBase + 2L),
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.SupplierBase + 1L),
+          (GraphBuilder.SupplierBase + 1L, GraphBuilder.SupplierBase + 2L))
+        .toDF("s_id", "t_id")
+      Traversals.connectionPaths(ebiz, pairs, 2).orderBy("s_id", "t_id")
+    }, Some(s"""
+      WITH RECURSIVE $edgesCte,
+      eb AS (SELECT src, dst FROM graph_edges
+             WHERE rel_type IN ('PLACED', 'CONTAINS', 'SUPPLIED_BY')),
+      sym AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+      pairs(s_id, t_id) AS (VALUES
+        (CAST(3000000001 AS BIGINT), CAST(3000000002 AS BIGINT)),
+        (CAST(3000000001 AS BIGINT), CAST(4000000001 AS BIGINT)),
+        (CAST(4000000001 AS BIGINT), CAST(4000000002 AS BIGINT))),
+      seeds(seed) AS (SELECT s_id FROM pairs UNION SELECT t_id FROM pairs),
+      reachp(seed, id, depth, parent) AS (
+        SELECT seed, seed, 0, CAST(-1 AS BIGINT) FROM seeds
+        UNION ALL
+        SELECT r.seed, s2.dst, r.depth + 1, r.id FROM reachp r JOIN sym s2 ON s2.src = r.id
+        WHERE r.depth < 2),
+      pm AS (SELECT seed, id, depth, parent FROM (
+               SELECT seed, id, depth, parent,
+                      ROW_NUMBER() OVER (PARTITION BY seed, id
+                                         ORDER BY depth, parent) AS rn
+               FROM reachp) WHERE rn = 1),
+      meets AS (
+        SELECT p.s_id, p.t_id, f.id, f.depth + b.depth AS tot
+        FROM pairs p
+        JOIN pm f ON f.seed = p.s_id
+        JOIN pm b ON b.seed = p.t_id AND b.id = f.id),
+      best AS (SELECT s_id, t_id, MIN(tot) AS dist FROM meets GROUP BY 1, 2),
+      witness AS (
+        SELECT m.s_id, m.t_id, b.dist, MIN(m.id) AS meet
+        FROM meets m JOIN best b ON b.s_id = m.s_id AND b.t_id = m.t_id AND m.tot = b.dist
+        GROUP BY 1, 2, 3),
+      w0 AS (SELECT s_id, t_id, dist,
+                    meet AS s_cur, CAST(meet AS VARCHAR) AS s_chain,
+                    meet AS t_cur, '' AS t_chain
+             FROM witness),
+      w1 AS (SELECT w.s_id, w.t_id, w.dist,
+                    CASE WHEN sp.parent IS NOT NULL AND sp.parent <> -1
+                         THEN sp.parent ELSE w.s_cur END AS s_cur,
+                    CASE WHEN sp.parent IS NOT NULL AND sp.parent <> -1
+                         THEN CAST(sp.parent AS VARCHAR) || '->' || w.s_chain
+                         ELSE w.s_chain END AS s_chain,
+                    CASE WHEN tp.parent IS NOT NULL AND tp.parent <> -1
+                         THEN tp.parent ELSE w.t_cur END AS t_cur,
+                    CASE WHEN tp.parent IS NOT NULL AND tp.parent <> -1
+                         THEN w.t_chain || '->' || CAST(tp.parent AS VARCHAR)
+                         ELSE w.t_chain END AS t_chain
+             FROM w0 w
+             LEFT JOIN pm sp ON sp.seed = w.s_id AND sp.id = w.s_cur
+             LEFT JOIN pm tp ON tp.seed = w.t_id AND tp.id = w.t_cur),
+      w2 AS (SELECT w.s_id, w.t_id, w.dist,
+                    CASE WHEN sp.parent IS NOT NULL AND sp.parent <> -1
+                         THEN sp.parent ELSE w.s_cur END AS s_cur,
+                    CASE WHEN sp.parent IS NOT NULL AND sp.parent <> -1
+                         THEN CAST(sp.parent AS VARCHAR) || '->' || w.s_chain
+                         ELSE w.s_chain END AS s_chain,
+                    CASE WHEN tp.parent IS NOT NULL AND tp.parent <> -1
+                         THEN tp.parent ELSE w.t_cur END AS t_cur,
+                    CASE WHEN tp.parent IS NOT NULL AND tp.parent <> -1
+                         THEN w.t_chain || '->' || CAST(tp.parent AS VARCHAR)
+                         ELSE w.t_chain END AS t_chain
+             FROM w1 w
+             LEFT JOIN pm sp ON sp.seed = w.s_id AND sp.id = w.s_cur
+             LEFT JOIN pm tp ON tp.seed = w.t_id AND tp.id = w.t_cur)
+      SELECT p.s_id, p.t_id,
+             CAST(COALESCE(w.dist, -1) AS BIGINT) AS dist,
+             COALESCE(w.s_chain || w.t_chain, '-') AS path_str
+      FROM pairs p LEFT JOIN w2 w ON w.s_id = p.s_id AND w.t_id = p.t_id
+      ORDER BY p.s_id, p.t_id""")),
+
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics
     // by unioning per-year snapshot aggregates — edge count, active

@@ -268,6 +268,99 @@ object Traversals {
       .filter(col("valid_from").isNull || col("valid_from") <= col("as_of"))
   }
 
+  /** [[egoMembers]] carrying a PARENT pointer: per (seed, id), the minimum
+    * frontier node that discovered id at its first BFS level (−1 for the
+    * seed row). The min makes the pointer deterministic, so a path
+    * reconstructed by following parents is canonical — the same path in
+    * any engine that picks (min depth, then min parent), which is exactly
+    * the tie rule the oracle mirror applies to its walk-enumerated reach
+    * (at radius ≤ 2 the two rules coincide: a length-d walk's last hop
+    * comes from a node whose OWN min depth is d−1, since no-self-loop
+    * symmetric graphs admit no shorter-walk padding inside the bound —
+    * the min over discovering-frontier parents equals the min over
+    * min-depth-row parents).
+    */
+  def egoMembersParents(edges: DataFrame, seeds: DataFrame, radius: Int,
+                        broadcastMaxRows: Long = 4000000L): DataFrame = {
+    def gated(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMaxRows) broadcast(df) else df
+    val e = symmetrize(edges).distinct().transform(Materialize.apply)
+    var visited = seeds.select(col("seed")).distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("depth"),
+              lit(-1L).as("parent"))
+      .transform(Materialize.apply)
+    var frontier = visited.select("seed", "id")
+    var frontierCount = visited.count()
+    var visitedCount = frontierCount
+    for (i <- 1 to radius) {
+      val next = e.join(gated(frontier.withColumnRenamed("id", "fid"), frontierCount),
+          col("src") === col("fid"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(min(col("fid")).as("parent"))
+        .withColumnRenamed("dst", "id")
+        .join(gated(visited.select("seed", "id"), visitedCount), Seq("seed", "id"), "left_anti")
+        .transform(Materialize.apply)
+      frontierCount = next.count()
+      visitedCount += frontierCount
+      visited = visited.unionByName(next.withColumn("depth", lit(i.toLong)))
+      frontier = next.select("seed", "id")
+    }
+    visited
+  }
+
+  /** [[connectionDistance]] plus the WITNESS PATH: for each connected
+    * (s_id, t_id) pair, one canonical shortest path rendered as an
+    * '->'-joined id string (g05's path convention) — the drawable answer
+    * to "how are X and Y connected?". The meet node is the distance
+    * query's deterministic witness (min id at min total depth); the path
+    * is reconstructed by following [[egoMembersParents]]' min-parent
+    * pointers from the meet toward BOTH seeds — `radius` conditional
+    * backtrack joins per side against the one materialized cone table,
+    * never a path-enumerating traversal (the frontier stays (seed, id)
+    * rows; path strings exist only for the ≤ |pairs| witness rows).
+    * Pairs beyond 2·radius report dist −1 and path '-'.
+    */
+  def connectionPaths(edges: DataFrame, pairs: DataFrame, radius: Int,
+                      broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val seeds = pairs.select(col("s_id").as("seed"))
+      .unionByName(pairs.select(col("t_id").as("seed"))).distinct()
+    val m = egoMembersParents(edges, seeds, radius, broadcastMaxRows)
+      .transform(Materialize.apply) // reused: both meet sides + 2·radius backtracks
+    val meets = pairs
+      .join(m.select(col("seed").as("s_id"), col("id"), col("depth").as("df")), Seq("s_id"))
+      .join(m.select(col("seed").as("t_id"), col("id"), col("depth").as("db")),
+            Seq("t_id", "id"))
+      .select(col("s_id"), col("t_id"), col("id"), (col("df") + col("db")).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s_id", "t_id")
+    var cur = meets.withColumn("dist", min(col("tot")).over(w))
+      .filter(col("tot") === col("dist"))
+      .groupBy("s_id", "t_id", "dist")
+      .agg(min(col("id")).as("meet"))
+      .select(col("s_id"), col("t_id"), col("dist"),
+              col("meet").as("s_cur"), col("meet").cast("string").as("s_chain"),
+              col("meet").as("t_cur"), lit("").as("t_chain"))
+    for (_ <- 1 to radius) {
+      val stepS = when(col("s_par").isNotNull && col("s_par") =!= -1L, true).otherwise(false)
+      val stepT = when(col("t_par").isNotNull && col("t_par") =!= -1L, true).otherwise(false)
+      cur = cur
+        .join(m.select(col("seed").as("s_id"), col("id").as("s_cur"),
+          col("parent").as("s_par")), Seq("s_id", "s_cur"), "left")
+        .join(m.select(col("seed").as("t_id"), col("id").as("t_cur"),
+          col("parent").as("t_par")), Seq("t_id", "t_cur"), "left")
+        .select(col("s_id"), col("t_id"), col("dist"),
+          when(stepS, col("s_par")).otherwise(col("s_cur")).as("s_cur"),
+          when(stepS, concat(col("s_par").cast("string"), lit("->"), col("s_chain")))
+            .otherwise(col("s_chain")).as("s_chain"),
+          when(stepT, col("t_par")).otherwise(col("t_cur")).as("t_cur"),
+          when(stepT, concat(col("t_chain"), lit("->"), col("t_par").cast("string")))
+            .otherwise(col("t_chain")).as("t_chain"))
+    }
+    pairs.join(cur, Seq("s_id", "t_id"), "left")
+      .select(col("s_id"), col("t_id"),
+              coalesce(col("dist"), lit(-1L)).as("dist"),
+              coalesce(concat(col("s_chain"), col("t_chain")), lit("-")).as("path_str"))
+  }
+
   /** Batched s–t connection distance via bidirectional meet-in-the-middle:
     * for every (s_id, t_id) row in `pairs`, the exact undirected shortest
     * distance when it is ≤ 2·radius, else −1 (the documented bound). A

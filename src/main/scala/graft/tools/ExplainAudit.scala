@@ -51,6 +51,7 @@ object ExplainAudit {
     "s09_timeslider_export" -> "final plan is post-checkpoint by design (the batched (seed, as_of) traversal iterates through Materialize); the ENFORCED pin is PlanSpec 's09: per-level slider frontier broadcasts with the validity residual on the join' — every slider position rides one traversal, validity never forces a per-position edge re-scan",
     "g56_ubo_asof" -> "final plan is post-checkpoint by design (the keyed propagation materializes at its last step); the ENFORCED pin is PlanSpec 'g56: slider dates add ZERO scans' — exactly 2 lineitem scans (one per dated layer, conditional per-date aggregates) across every executed plan of the run, for any number of slider dates",
     "g57_connection" -> "post-checkpoint final plan shows the meet: the single materialized cone table joined to ITSELF on the node id (two gated broadcast sides), the min-window + final aggregate above it, and the left join restoring beyond-bound pairs — no per-pair traversal, no radius-4 frontier anywhere",
+    "g58_connection_path" -> "same meet shape as g57 plus 2x radius conditional backtrack joins against the ONE materialized parent-cone table — path strings appear only above the witness aggregate (|pairs| rows), never below it; no path-enumerating join anywhere in the plan",
     "g55_jw_screen_rank" -> "the 5-row probe set must BROADCAST (BroadcastNestedLoopJoin) against the one vocabulary scan — scan-once/score-in-codegen; the jaro_winkler projection must sit inside a WholeStageCodegen span (executed-plan check in PlanSpec)")
 
   def main(args: Array[String]): Unit = {

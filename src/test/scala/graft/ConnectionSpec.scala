@@ -48,6 +48,47 @@ class ConnectionSpec extends SparkSpec {
       "dist-4 meets must be exactly the parallel midpoints")
   }
 
+  test("connectionPaths: canonical witness paths; beyond-bound pairs report '-'") {
+    def paths(edges: Seq[(Long, Long)], pairs: Seq[(Long, Long)]) =
+      graph.Traversals.connectionPaths(
+          edges.toDF("src", "dst"), pairs.toDF("s_id", "t_id"), 2)
+        .collect()
+        .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id")) ->
+          (r.getAs[Long]("dist"), r.getAs[String]("path_str")))
+        .toMap
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = paths(chain, Seq((1L, 5L), (1L, 6L)))
+    assert(out((1L, 5L)) === ((4L, "1->2->3->4->5")))
+    assert(out((1L, 6L)) === ((-1L, "-")))
+    // diamond: min-parent canonicality must pick the 11 arm, never 12
+    val diamond = Seq((10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L))
+    assert(paths(diamond, Seq((10L, 13L)))((10L, 13L)) === ((2L, "10->11->13")))
+  }
+
+  test("graded g58 paths are real walks consistent with g57's distances") {
+    val dists = SparkEntry.queries("g57_connection")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id")) -> r.getAs[Long]("dist"))
+      .toMap
+    val edges = graph.GraphBuilder.edges(Tables(spark, sfDir))
+      .filter(col("rel_type").isin("PLACED", "CONTAINS", "SUPPLIED_BY"))
+      .select("src", "dst").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val rows = SparkEntry.queries("g58_connection_path")(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (s, t) = (r.getAs[Long]("s_id"), r.getAs[Long]("t_id"))
+      val dist = r.getAs[Long]("dist")
+      assert(dist === dists((s, t)), "g58 distance diverged from g57")
+      val nodes = r.getAs[String]("path_str").split("->").map(_.toLong)
+      assert(nodes.length.toLong === dist + 1, s"path node count != dist+1 for ($s,$t)")
+      assert(nodes.head === s && nodes.last === t, s"path endpoints wrong for ($s,$t)")
+      nodes.sliding(2).foreach { hop =>
+        assert(edges.contains((hop(0), hop(1))),
+          s"($s,$t): path hop ${hop(0)}->${hop(1)} is not a real edge")
+      }
+    }
+  }
+
   test("graded g57 invariants: dist within [-1, 4]; -1 implies empty meet") {
     val rows = SparkEntry.queries("g57_connection")(spark, sfDir).collect()
     assert(rows.length === 3)
