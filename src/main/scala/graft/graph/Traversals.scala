@@ -404,6 +404,116 @@ object Traversals {
               coalesce(col("meet_min"), lit(-1L)).as("meet_min"))
   }
 
+  /** Batched s–t STRONGEST connection via bidirectional meet-in-the-middle
+    * on MAX-PRODUCT: for every (s_id, t_id) pair, the maximum-product chain
+    * of ≤ 2·radius undirected weighted edges (weights in (0, 1] — ownership
+    * shares), with the chain itself as a '->'-joined id string. The
+    * analyst's follow-up to [[connectionDistance]]'s hop count: not "how
+    * FAR apart are X and Y" but "how STRONG is the strongest link chain"
+    * (reference README.md:13 UBO percentages × README.md:28 weighted
+    * pathfinding).
+    *
+    * Exactness (the [[connectionDistance]] split argument carried to
+    * max-product): a simple path of length L ≤ 2·radius splits at its
+    * midpoint into halves of ≤ radius; each cone's per-cell value
+    * best(m) — the [[Ubo.strongestChain]] recurrence run from every pair
+    * endpoint as one batched owner set over the symmetrized edges —
+    * dominates its half, so max over m of best_s(m)·best_t(m) ≥ the best
+    * simple-path product. Conversely every meet value IS a walk product,
+    * and with weights ≤ 1 a walk is dominated by the simple path inside it
+    * (cycle factors only shrink the product), so the meet max EQUALS the
+    * best simple-path product within the bound. The reported witness chain
+    * is the deterministic argmax (strength DESC, chain ASC per pair — the
+    * g39 tie rule); on ties the concatenated halves can share an interior
+    * node (a walk), but its product still equals the simple-path optimum.
+    *
+    * Scale arithmetic as [[connectionDistance]]: two radius-k cones are
+    * ~2·b^k rows vs ~b^2k single-source, and the per-cell rn=1 prune caps
+    * each cone at |seeds| × |nodes| with ONE chain string per cell — never
+    * a path enumeration. Pairs with no ≤ 2·radius connection report
+    * strength 0, chain '-', hops −1.
+    */
+  def strongestConnections(edges: DataFrame, pairs: DataFrame, radius: Int): DataFrame = {
+    val symw = edges.select(col("src"), col("dst"), col("weight"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val seeds = pairs.select(col("s_id").as("owner"))
+      .unionByName(pairs.select(col("t_id").as("owner"))).distinct()
+    // level-0 rows join the DP output so a pair can meet AT an endpoint
+    // (hops_t = 0 ⇒ the whole chain lives in one cone); the re-rank uses
+    // the same (share DESC, chain ASC) order, where the seed's own 1.0 row
+    // wins every tie (its chain is a strict prefix, so it sorts first)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("owner"), col("entity"))
+      .orderBy(col("share").desc, col("chain"))
+    val lvl0 = seeds.select(col("owner"), col("owner").as("entity"),
+      lit(1.0).cast("double").as("share"), col("owner").cast("string").as("chain"),
+      lit(0).as("hops"))
+    val cones = lvl0.unionByName(Ubo.strongestChain(symw, seeds, radius))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .transform(Materialize.apply) // reused as both meet sides
+    val f = cones.select(col("owner").as("s_id"), col("entity").as("id"),
+      col("share").as("share_s"), col("chain").as("chain_s"), col("hops").as("hops_s"))
+    val b = cones.select(col("owner").as("t_id"), col("entity").as("id"),
+      col("share").as("share_t"), col("chain").as("chain_t"), col("hops").as("hops_t"))
+    // chain_t runs t→…→m; symmetric weights make its reversal m→…→t the
+    // same product, so the full chain is chain_s ++ reverse(chain_t)[2:]
+    // — string surgery on the ≤ |pairs|-dominated meet rows only, never
+    // in the frontier (the g58 discipline)
+    val rt = reverse(split(col("chain_t"), "->"))
+    val meets = pairs.join(f, Seq("s_id")).join(b, Seq("t_id", "id"))
+      .withColumn("strength", col("share_s") * col("share_t"))
+      .withColumn("chain", concat_ws("->",
+        concat(split(col("chain_s"), "->"), slice(rt, lit(2), size(rt) - 1))))
+      .withColumn("hops", (col("hops_s") + col("hops_t")).cast("long"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("s_id", "t_id").orderBy(col("strength").desc, col("chain"))
+    val best = meets.withColumn("rn", row_number().over(pw)).filter(col("rn") === 1)
+      .select(col("s_id"), col("t_id"), round(col("strength"), 6).as("strength6"),
+              col("chain"), col("hops"))
+    pairs.join(best, Seq("s_id", "t_id"), "left")
+      .select(col("s_id"), col("t_id"),
+              coalesce(col("strength6"), lit(0.0)).as("strength6"),
+              coalesce(col("chain"), lit("-")).as("chain"),
+              coalesce(col("hops"), lit(-1L)).as("hops"))
+  }
+
+  /** [[connectionDistance]] AT each Time-Slider position: pairs carry an
+    * `as_of` column and the answer is the shortest undirected distance
+    * over edges whose earliest instance had started by that date ("were X
+    * and Y connected in 1996?" — README.md:17's slider × README.md:11's
+    * navigation). The batch key grows from seed to the (seed, as_of) PAIR
+    * exactly as [[egoMembersAsOf]] extends [[egoMembers]] (the g56
+    * free-batch-key argument, verbatim): one traversal answers every
+    * (pair, position), `radius` edge scans TOTAL, and the meet equi-join
+    * gains as_of in its keys so no mass leaks between slider positions.
+    * Same −1 beyond-2·radius contract and deterministic (n_meet,
+    * meet_min) witnesses as the untimed form.
+    */
+  def connectionDistanceAsOf(edges: DataFrame, pairs: DataFrame, radius: Int,
+                             broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val seeds = pairs.select(col("s_id").as("seed"), col("as_of"))
+      .unionByName(pairs.select(col("t_id").as("seed"), col("as_of"))).distinct()
+    val m = egoMembersAsOf(edges, seeds, radius, broadcastMaxRows)
+      .transform(Materialize.apply) // reused as both cone sides of the meet
+    val meets = pairs
+      .join(m.select(col("seed").as("s_id"), col("as_of"), col("id"),
+        col("depth").as("df")), Seq("s_id", "as_of"))
+      .join(m.select(col("seed").as("t_id"), col("as_of"), col("id"),
+        col("depth").as("db")), Seq("t_id", "as_of", "id"))
+      .select(col("s_id"), col("t_id"), col("as_of"), col("id"),
+              (col("df") + col("db")).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s_id", "t_id", "as_of")
+    val best = meets.withColumn("dist", min(col("tot")).over(w))
+      .filter(col("tot") === col("dist"))
+      .groupBy("s_id", "t_id", "as_of", "dist")
+      .agg(count(lit(1)).as("n_meet"), min(col("id")).as("meet_min"))
+    pairs.join(best, Seq("s_id", "t_id", "as_of"), "left")
+      .select(col("s_id"), col("t_id"), col("as_of"),
+              coalesce(col("dist"), lit(-1L)).as("dist"),
+              coalesce(col("n_meet"), lit(0L)).as("n_meet"),
+              coalesce(col("meet_min"), lit(-1L)).as("meet_min"))
+  }
+
   def capEgoMembers(edges: DataFrame, members: DataFrame, cap: Int,
                     broadcastMaxRows: Long = 4000000L): DataFrame = {
     require(cap >= 1, s"cap must keep at least the seed, got $cap")
@@ -421,5 +531,36 @@ object Traversals {
       .withColumn("n_total", count(lit(1)).over(bySeed))
       .filter(col("rnk") <= cap)
       .select(col("seed"), col("id"), col("depth"), col("n_total"))
+  }
+
+  /** [[capEgoMembers]] for the Time-Slider's (seed, as_of) members
+    * ([[egoMembersAsOf]] output): same depth-then-induced-strength-then-id
+    * ranking, per (seed, as_of) WINDOW — a LOCATED_IN hub ego that grows
+    * linearly with the board (the SCALE.md s09 caveat) is truncated per
+    * slider position instead of emitting an unbounded document, and the
+    * pre-cap `n_total` rides along so a consumer can SEE the truncation.
+    * Strength is the member's incident edge weight within the position's
+    * OWN induced snapshot ([[inducedEdgesAsOf]] — validity-filtered), so
+    * prominence reflects the frame being drawn, not a later year's edges.
+    * The seed survives at every position (depth 0 dominates the ranking).
+    */
+  def capEgoMembersAsOf(edges: DataFrame, members: DataFrame, cap: Int,
+                        broadcastMaxRows: Long = 4000000L): DataFrame = {
+    require(cap >= 1, s"cap must keep at least the seed, got $cap")
+    val m = members.select(col("seed"), col("as_of"), col("id"), col("depth"))
+      .transform(Materialize.apply)
+    val ind = inducedEdgesAsOf(
+      edges.select(col("src"), col("dst"), col("weight"), col("valid_from")),
+      m, broadcastMaxRows)
+    val strength = ind.select(col("seed"), col("as_of"), col("src").as("id"), col("weight"))
+      .unionByName(ind.select(col("seed"), col("as_of"), col("dst").as("id"), col("weight")))
+      .groupBy("seed", "as_of", "id").agg(sum(col("weight")).as("strength"))
+    val byPos = org.apache.spark.sql.expressions.Window.partitionBy("seed", "as_of")
+    val rank = byPos.orderBy(col("depth").asc, col("strength").desc_nulls_last, col("id").asc)
+    m.join(strength, Seq("seed", "as_of", "id"), "left")
+      .withColumn("rnk", row_number().over(rank))
+      .withColumn("n_total", count(lit(1)).over(byPos))
+      .filter(col("rnk") <= cap)
+      .select(col("seed"), col("as_of"), col("id"), col("depth"), col("n_total"))
   }
 }

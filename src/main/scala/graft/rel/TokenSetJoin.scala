@@ -44,6 +44,19 @@ import org.apache.spark.sql.functions._
   */
 object TokenSetJoin {
 
+  /** Broadcast-hint gate (the Traversals contract, VERDICT r11 ADVICE):
+    * every broadcast here — the rerank label tables, the vocabulary df
+    * table — is hinted only under a MEASURED row count, never
+    * unconditionally. The counted frames are Materialize'd first, so the
+    * count is one cheap job over checkpointed blocks and the frame is
+    * computed once instead of once per reuse (the rerank previously
+    * recomputed the entity aggregation for each broadcast side). A caller
+    * passing an oversized entity table now degrades to shuffle joins
+    * instead of a driver/executor OOM.
+    */
+  private def gated(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** Distinct non-empty whitespace tokens of `label` — the set the
     * Jaccard is defined over. Pure builtins (split/filter/array_distinct),
     * whole-stage-codegen eligible.
@@ -98,8 +111,12 @@ object TokenSetJoin {
     * LONG and `jacc` rounded to 6 decimals (the engine-exact hash
     * contract used across the board).
     */
-  def selfJoinJaccard(entities: DataFrame, threshold: Double): DataFrame = {
-    val pfx = prefixTokens(entities, threshold)
+  def selfJoinJaccard(entities: DataFrame, threshold: Double,
+                      broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val ents = entities.select(col("id"), col("label"))
+      .transform(graft.graph.Materialize.apply) // reused: 2 rerank sides + prefix stream
+    val nEnts = ents.count()
+    val pfx = prefixTokens(ents, threshold, Seq("id"), broadcastMaxRows)
     val a = pfx.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
     val b = pfx.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
     // candidate pairs carry BARE ids through the dedup shuffle; labels AND
@@ -111,10 +128,11 @@ object TokenSetJoin {
     // and the rerank's 2 regex splits per candidate (8.4M at sf0.1)
     // collapse to one split per VOCABULARY row — array_intersect on the
     // prebuilt arrays is all that remains per pair. 42.7 → 24.4 s on the
-    // graded g50 (SCALE.md round 11).
-    def side(suffix: String) = broadcast(entities.select(
+    // graded g50 (SCALE.md round 11). The hint is gated on the measured
+    // entity count (see [[gated]]).
+    def side(suffix: String) = gated(ents.select(
       col("id").as(s"id_$suffix"), col("label").as(s"label_$suffix"),
-      tokens(col("label")).as(s"toks_$suffix")))
+      tokens(col("label")).as(s"toks_$suffix")), nEnts, broadcastMaxRows)
     val common = size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
     a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
@@ -161,24 +179,28 @@ object TokenSetJoin {
     * Unlike the self-join there is no id_a < id_b cut — (l, r) and the
     * symmetric catalog-side pair are distinct linkage facts.
     */
-  def joinJaccard(left: DataFrame, right: DataFrame, threshold: Double): DataFrame = {
-    val tagged = left.select(lit(0).as("side"), col("id"), col("label"))
-      .unionByName(right.select(lit(1).as("side"), col("id"), col("label")))
-    val pfx = prefixTokens(tagged, threshold, Seq("side", "id"))
+  def joinJaccard(left: DataFrame, right: DataFrame, threshold: Double,
+                  broadcastMaxRows: Long = 4000000L): DataFrame = {
+    val l = left.select(col("id"), col("label")).transform(graft.graph.Materialize.apply)
+    val r = right.select(col("id"), col("label")).transform(graft.graph.Materialize.apply)
+    val (nL, nR) = (l.count(), r.count())
+    val tagged = l.select(lit(0).as("side"), col("id"), col("label"))
+      .unionByName(r.select(lit(1).as("side"), col("id"), col("label")))
+    val pfx = prefixTokens(tagged, threshold, Seq("side", "id"), broadcastMaxRows)
     val a = pfx.filter(col("side") === 0)
       .select(col("id").as("id_l"), col("sz").as("sz_l"), col("tok"))
     val b = pfx.filter(col("side") === 1)
       .select(col("id").as("id_r"), col("sz").as("sz_r"), col("tok"))
-    def side(df: DataFrame, suffix: String) = broadcast(df.select(
+    def side(df: DataFrame, n: Long, suffix: String) = gated(df.select(
       col("id").as(s"id_$suffix"), col("label").as(s"label_$suffix"),
-      tokens(col("label")).as(s"toks_$suffix")))
+      tokens(col("label")).as(s"toks_$suffix")), n, broadcastMaxRows)
     val common = size(array_intersect(col("toks_l"), col("toks_r"))).cast("long")
     a.join(b, Seq("tok"))
       .filter(lengthCompatible(col("sz_l"), col("sz_r"), threshold))
       .select("id_l", "id_r")
       .distinct()
-      .join(side(left, "l"), Seq("id_l"))
-      .join(side(right, "r"), Seq("id_r"))
+      .join(side(l, nL, "l"), Seq("id_l"))
+      .join(side(r, nR, "r"), Seq("id_r"))
       .withColumn("n_common", common)
       .withColumn("jacc",
         round(col("n_common") / (size(col("toks_l")) + size(col("toks_r")) - col("n_common")), 6))
@@ -194,12 +216,19 @@ object TokenSetJoin {
     * shuffle on the record key.
     */
   private def prefixTokens(entities: DataFrame, threshold: Double,
-                           keys: Seq[String] = Seq("id")): DataFrame = {
+                           keys: Seq[String] = Seq("id"),
+                           broadcastMaxRows: Long = 4000000L): DataFrame = {
     val tok = entities.select(
       keys.map(col) :+ explode(tokens(col("label"))).as("tok"): _*)
+    // Materialize the vocabulary so its gate count is one cheap job over
+    // checkpointed blocks and the aggregate never recomputes for the join.
+    // A pathological corpus where every token is unique (vocabulary ≈ row
+    // count × tokens) now falls back to a shuffle join instead of
+    // broadcasting an unbounded table.
     val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .transform(graft.graph.Materialize.apply)
     val byId = Window.partitionBy(keys.map(col): _*)
-    tok.join(broadcast(df), Seq("tok"))
+    tok.join(gated(df, df.count(), broadcastMaxRows), Seq("tok"))
       .withColumn("rk", row_number().over(byId.orderBy(col("df"), col("tok"))))
       .withColumn("sz", count(lit(1)).over(byId))
       .filter(col("rk") <= prefixLen(col("sz"), threshold))

