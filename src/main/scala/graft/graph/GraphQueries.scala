@@ -232,6 +232,26 @@ object GraphQueries {
     (registry, normalized, labels)
   }
 
+  /** g61's screening inputs — the g54 registry with a TYPO leg layered on:
+    * every 5th record (by the partkey the id carries — 9e9 % 5 = 0, so
+    * id % 5 ≡ partkey % 5, the same test in both engines) drops its 3rd
+    * character AFTER abbreviation. The raw then arrives abbreviated AND
+    * typo'd; re-normalization leaves the typo'd token untouched (it is
+    * outside the pack), so the normalized view carries PARTIAL evidence —
+    * exactly the independent-failure shape the fused score exists for.
+    * Returns (registry(id, raw, norm), catalog(id, label)).
+    */
+  private[graft] def g61Inputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (registry, _, labels) = g54Inputs(s, d)
+    val rev = g54Abbrev.map(_.swap).toMap
+    val reg2 = registry.select(col("id"),
+        when(col("id") % 5 === 0,
+          concat(expr("substring(raw, 1, 2)"), expr("substring(raw, 4)")))
+          .otherwise(col("raw")).as("raw"))
+      .withColumn("norm", graft.rel.TokenSetJoin.mapTokens(col("raw"), rev))
+    (reg2, labels)
+  }
+
   /** g07_cc_full's order-contracted edge list (see the entry's comment for
     * the contraction proof) — extracted so scale probes (tools/CcTierProbe)
     * measure the EXACT graded graph, single-sourced with the query. */
@@ -2962,6 +2982,93 @@ object GraphQueries {
              CAST(COALESCE(a.meet_min, -1) AS BIGINT) AS meet_min
       FROM pr p LEFT JOIN agg a ON a.s_id = p.s_id AND a.t_id = p.t_id AND a.as_of = p.as_of
       ORDER BY p.s_id, p.t_id, as_of_year""")),
+
+    // G28 — COMPOSITE ER screening queue (VERDICT r11 #3; README.md:15
+    // lists name + director + address evidence TOGETHER): the four
+    // matchers are graded separately (g49 lev, g50 token-Jaccard, g54
+    // abbreviation-normalized, g55 Jaro–Winkler); a real screening queue
+    // ranks ONE Fellegi–Sunter-style fused score per candidate pair.
+    // ErScore.screeningQueue: candidates = prefix-filter pairs at block
+    // threshold 0.5 on the NORMALIZED text ∪ deletion-key lev≤1 pairs on
+    // the RAW text (each blocker lossless for its class — the union is
+    // provably wider than either, ErScoreSpec plants both one-sided
+    // shapes); score = 0.45·jacc + 0.35·jw + 0.20·lev_sim over ROUNDED
+    // components (weights documented in ErScore's scaladoc), top-3 per
+    // registry record with every component surfaced as evidence. The
+    // fixture's typo leg (g61Inputs) makes fusion load-bearing: typo'd
+    // rows lose Jaccard AND Jaro–Winkler mass yet still rank their true
+    // catalog match first on the fused score.
+    E("g61_er_screening_queue", (s, d) => {
+      val (reg, labels) = g61Inputs(s, d)
+      graft.rel.ErScore.screeningQueue(reg, labels, blockThreshold = 0.5)
+        .orderBy("registry_id", "rnk")
+    }, Some(s"""
+      WITH nm AS (SELECT CAST(MIN(p_partkey) AS BIGINT) AS id,
+                         concat(p_name, ' ', p_brand, ' ', p_type) AS label
+                  FROM part GROUP BY 2),
+      reg AS (SELECT id + 9000000000 AS id,
+                     array_to_string(list_transform(string_split(label, ' '),
+                       t -> CASE t ${g54Case(g54Abbrev)} ELSE t END), ' ') AS raw
+              FROM nm),
+      reg2 AS (SELECT id, CASE WHEN id % 5 = 0 THEN substr(raw, 1, 2) || substr(raw, 4)
+                               ELSE raw END AS raw
+               FROM reg),
+      regn AS (SELECT id, raw,
+                      array_to_string(list_transform(string_split(raw, ' '),
+                        t -> CASE t ${g54Case(g54Abbrev.map(_.swap))} ELSE t END), ' ') AS norm
+               FROM reg2),
+      au AS (SELECT id, norm AS label FROM regn UNION ALL SELECT id, label FROM nm),
+      tok AS (SELECT id, UNNEST(list_distinct(string_split(label, ' '))) AS tok FROM au),
+      tdf AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+      ranked AS (SELECT t.id, t.tok,
+                        ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rk,
+                        COUNT(*) OVER (PARTITION BY t.id) AS sz
+                 FROM tok t JOIN tdf d ON d.tok = t.tok),
+      pfx AS (SELECT id, sz, tok FROM ranked WHERE rk <= sz - CEIL(0.5 * sz) + 1),
+      ca0 AS (SELECT DISTINCT a.id AS id_l, b.id AS id_r
+              FROM pfx a JOIN pfx b ON a.tok = b.tok
+              WHERE a.id >= 9000000000 AND b.id < 9000000000
+                AND 0.5 * greatest(a.sz, b.sz) <= least(a.sz, b.sz)),
+      ca AS (SELECT id_l, id_r
+             FROM ca0 c JOIN regn rn ON rn.id = c.id_l JOIN nm ON nm.id = c.id_r
+             WHERE ROUND(len(list_intersect(list_distinct(string_split(rn.norm, ' ')),
+                                            list_distinct(string_split(nm.label, ' ')))) * 1.0 /
+                   (len(list_distinct(string_split(rn.norm, ' ')))
+                    + len(list_distinct(string_split(nm.label, ' ')))
+                    - len(list_intersect(list_distinct(string_split(rn.norm, ' ')),
+                                         list_distinct(string_split(nm.label, ' '))))), 6) >= 0.5),
+      rkeys AS (SELECT id, raw, raw AS key FROM reg2
+                UNION
+                SELECT id, raw, substr(raw, 1, CAST(i AS INT)) || substr(raw, CAST(i AS INT) + 2)
+                FROM reg2, UNNEST(range(length(raw))) AS t(i)),
+      wkeys AS (SELECT id, label, label AS key FROM nm
+                UNION
+                SELECT id, label, substr(label, 1, CAST(i AS INT)) || substr(label, CAST(i AS INT) + 2)
+                FROM nm, UNNEST(range(length(label))) AS t(i)),
+      cb AS (SELECT DISTINCT r.id AS id_l, w.id AS id_r
+             FROM rkeys r JOIN wkeys w ON r.key = w.key
+             WHERE levenshtein(r.raw, w.label) <= 1),
+      cands AS (SELECT id_l, id_r FROM ca UNION SELECT id_l, id_r FROM cb),
+      sc AS (SELECT c.id_l, rn.raw AS registry_label, nm.label AS catalog_label,
+                    CAST(len(list_intersect(list_distinct(string_split(rn.norm, ' ')),
+                                            list_distinct(string_split(nm.label, ' ')))) AS BIGINT) AS n_common,
+                    len(list_distinct(string_split(rn.norm, ' '))) AS sl,
+                    len(list_distinct(string_split(nm.label, ' '))) AS sr
+             FROM cands c JOIN regn rn ON rn.id = c.id_l JOIN nm ON nm.id = c.id_r),
+      comp AS (SELECT id_l, registry_label, catalog_label,
+                      ROUND(n_common * 1.0 / (sl + sr - n_common), 6) AS jacc6,
+                      ROUND(jaro_winkler_similarity(registry_label, catalog_label), 6) AS jw6,
+                      ROUND(1.0 - levenshtein(registry_label, catalog_label) * 1.0 /
+                            greatest(length(registry_label), length(catalog_label)), 6) AS lev_sim6
+               FROM sc),
+      fz AS (SELECT *, ROUND(0.45 * jacc6 + 0.35 * jw6 + 0.2 * lev_sim6, 6) AS score6 FROM comp),
+      rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_l
+                                           ORDER BY score6 DESC, catalog_label) AS rnk
+              FROM fz)
+      SELECT id_l AS registry_id, registry_label, catalog_label,
+             jacc6, jw6, lev_sim6, score6, CAST(rnk AS BIGINT) AS rnk
+      FROM rk2 WHERE rnk <= 3
+      ORDER BY registry_id, rnk""")),
 
     // G12b — snapshot TIME-SERIES (README.md:17 "evolved over years": the
     // Time-Slider as data, not one position of it): per-year graph metrics

@@ -104,6 +104,33 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
   }
 
+  /** RECORD-LINKAGE (two-table R-S) form: pairs (id_l, id_r, name_l,
+    * name_r, dist) with lev ≤ maxDist, left × right — the two-collection
+    * analogue of [[selfJoinLev]] and the lev-tier sibling of
+    * [[TokenSetJoin.joinJaccard]]. Both sides explode their own deletion
+    * neighborhoods and equi-join on the shared key (the same pigeonhole
+    * proofs apply verbatim — they never used the self-join structure);
+    * no id_l < id_r cut, because (l, r) is a directed linkage fact. This
+    * is the BATCH shape: candidate dedup is an ordinary distinct and
+    * neither side is forced to broadcast — use
+    * [[graft.stream.Screening.screen]] when one side is a stream (its
+    * broadcast index + stateless dedup are the streaming constraints,
+    * paid only where required).
+    */
+  def joinLev(left: DataFrame, right: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"unsupported tier: lev<=$maxDist")
+    def keys(c: Column) = if (maxDist == 1) deletionKeys(c) else deletionKeys2(c)
+    val a = left.select(col("id").as("id_l"), col("name").as("name_l"),
+      explode(keys(col("name"))).as("key"))
+    val b = right.select(col("id").as("id_r"), col("name").as("name_r"),
+      explode(keys(col("name"))).as("key"))
+    a.join(b, Seq("key"))
+      .select("id_l", "id_r", "name_l", "name_r")
+      .distinct() // dedup-before-rerank: a pair can share several keys
+      .withColumn("dist", levenshtein(col("name_l"), col("name_r")).cast("int"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Candidate volume of the blocked join (pre-rerank, post-dedup) — the
     * adjudicated cost metric for the blocker (what a spec asserts prunes
     * vs N·(N−1)/2, and what a 100 TB run monitors instead of wall-clock).
