@@ -90,6 +90,66 @@ object SourceQueries {
       .orderBy("seed")
   }
 
+  /** GraphML documents for a seed set (the s08 body, extracted so s10's
+    * IMPORT round-trip reads the exact graded export): batched ego
+    * extraction → per-seed well-formed GraphML (sorted nodes/edges,
+    * XML-escaped text, integer-ppm weights — byte-stable, see the s08
+    * entry comment) → actual .json sink round-trip. `leaf` keeps each
+    * caller's sink directory distinct.
+    */
+  private[graft] def graphmlDocs(s: SparkSession, d: String, seeds: DataFrame,
+                                 radius: Int, leaf: String): DataFrame = {
+    val t = Tables(s, d)
+    val g = graft.graph.GraphBuilder.edges(t)
+    val members = graft.graph.Traversals.egoMembers(g, seeds, radius)
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val nd = graft.graph.GraphBuilder.nodes(t)
+      .join(broadcast(members.select("seed", "id")), Seq("id"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_nodes"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("id"), col("label"), col("name")))),
+          x => concat(lit("    <node id=\"n"), x.getField("id").cast("string"),
+            lit("\"><data key=\"label\">"), esc(x.getField("label")),
+            lit("</data><data key=\"name\">"), esc(x.getField("name")),
+            lit("</data></node>"))), "\n").as("nodes_xml"))
+    val ed = graft.graph.Traversals.inducedEdges(g, members)
+      .select(col("seed"), col("src"), col("dst"), col("rel_type"),
+              floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_edges"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("src"), col("dst"), col("rel_type"), col("w_ppm")))),
+          x => concat(lit("    <edge source=\"n"), x.getField("src").cast("string"),
+            lit("\" target=\"n"), x.getField("dst").cast("string"),
+            lit("\"><data key=\"rel\">"), esc(x.getField("rel_type")),
+            lit("</data><data key=\"w\">"), x.getField("w_ppm").cast("string"),
+            lit("</data></edge>"))), "\n").as("edges_xml"))
+    val header = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n" +
+      "  <key id=\"label\" for=\"node\" attr.name=\"label\" attr.type=\"string\"/>\n" +
+      "  <key id=\"name\" for=\"node\" attr.name=\"name\" attr.type=\"string\"/>\n" +
+      "  <key id=\"rel\" for=\"edge\" attr.name=\"rel_type\" attr.type=\"string\"/>\n" +
+      "  <key id=\"w\" for=\"edge\" attr.name=\"w_ppm\" attr.type=\"long\"/>\n"
+    val docs = nd.join(ed, Seq("seed"))
+      .select(col("seed"), col("n_nodes"), col("n_edges"),
+        concat(lit(header),
+          lit("  <graph id=\"ego_"), col("seed").cast("string"),
+          lit("\" edgedefault=\"directed\">\n"),
+          col("nodes_xml"), lit("\n"), col("edges_xml"),
+          lit("\n  </graph>\n</graphml>")).as("graphml"))
+    val path = tmpDir(leaf)
+    docs.write.mode("overwrite").json(path)
+    s.read.schema(StructType(Seq(
+        StructField("seed", LongType), StructField("n_nodes", LongType),
+        StructField("n_edges", LongType), StructField("graphml", StringType))))
+      .json(path)
+      .select("seed", "n_nodes", "n_edges", "graphml")
+      .orderBy("seed")
+  }
+
   private val entries: Seq[E] = Seq(
 
     // S1/S5 — CSV sink + schema'd CSV source round-trip (quoted fields
@@ -333,57 +393,9 @@ object SourceQueries {
     // every document with the JDK's namespace-aware XML parser — a
     // well-formedness check no byte hash expresses.
     E("s08_graphml_export", (s, d) => {
-      val t = Tables(s, d)
-      val g = graft.graph.GraphBuilder.edges(t)
-      val seeds = s.range(1, 4)
-        .select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed"))
-      val members = graft.graph.Traversals.egoMembers(g, seeds, 2)
-      def esc(c: Column): Column =
-        regexp_replace(regexp_replace(regexp_replace(
-          c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-      val nd = graft.graph.GraphBuilder.nodes(t)
-        .join(broadcast(members.select("seed", "id")), Seq("id"))
-        .groupBy("seed")
-        .agg(count(lit(1)).as("n_nodes"),
-          array_join(transform(
-            sort_array(collect_list(struct(col("id"), col("label"), col("name")))),
-            x => concat(lit("    <node id=\"n"), x.getField("id").cast("string"),
-              lit("\"><data key=\"label\">"), esc(x.getField("label")),
-              lit("</data><data key=\"name\">"), esc(x.getField("name")),
-              lit("</data></node>"))), "\n").as("nodes_xml"))
-      val ed = graft.graph.Traversals.inducedEdges(g, members)
-        .select(col("seed"), col("src"), col("dst"), col("rel_type"),
-                floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
-        .groupBy("seed")
-        .agg(count(lit(1)).as("n_edges"),
-          array_join(transform(
-            sort_array(collect_list(struct(col("src"), col("dst"), col("rel_type"), col("w_ppm")))),
-            x => concat(lit("    <edge source=\"n"), x.getField("src").cast("string"),
-              lit("\" target=\"n"), x.getField("dst").cast("string"),
-              lit("\"><data key=\"rel\">"), esc(x.getField("rel_type")),
-              lit("</data><data key=\"w\">"), x.getField("w_ppm").cast("string"),
-              lit("</data></edge>"))), "\n").as("edges_xml"))
-      val header = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
-        "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n" +
-        "  <key id=\"label\" for=\"node\" attr.name=\"label\" attr.type=\"string\"/>\n" +
-        "  <key id=\"name\" for=\"node\" attr.name=\"name\" attr.type=\"string\"/>\n" +
-        "  <key id=\"rel\" for=\"edge\" attr.name=\"rel_type\" attr.type=\"string\"/>\n" +
-        "  <key id=\"w\" for=\"edge\" attr.name=\"w_ppm\" attr.type=\"long\"/>\n"
-      val docs = nd.join(ed, Seq("seed"))
-        .select(col("seed"), col("n_nodes"), col("n_edges"),
-          concat(lit(header),
-            lit("  <graph id=\"ego_"), col("seed").cast("string"),
-            lit("\" edgedefault=\"directed\">\n"),
-            col("nodes_xml"), lit("\n"), col("edges_xml"),
-            lit("\n  </graph>\n</graphml>")).as("graphml"))
-      val path = tmpDir("graphml_json")
-      docs.write.mode("overwrite").json(path)
-      s.read.schema(StructType(Seq(
-          StructField("seed", LongType), StructField("n_nodes", LongType),
-          StructField("n_edges", LongType), StructField("graphml", StringType))))
-        .json(path)
-        .select("seed", "n_nodes", "n_edges", "graphml")
-        .orderBy("seed")
+      graphmlDocs(s, d,
+        s.range(1, 4).select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed")),
+        radius = 2, leaf = "graphml_json")
     }, Some(s"""
       WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
       seeds(seed) AS (VALUES (CAST(3000000001 AS BIGINT)), (CAST(3000000002 AS BIGINT)), (CAST(3000000003 AS BIGINT))),
@@ -524,7 +536,58 @@ object SourceQueries {
       FROM sy
       JOIN nd ON nd.seed = sy.seed AND nd.as_of = sy.as_of
       LEFT JOIN ed ON ed.seed = sy.seed AND ed.as_of = sy.as_of
-      ORDER BY sy.seed, sy.year"""))
+      ORDER BY sy.seed, sy.year""")),
+
+    // S10 — GraphML IMPORT (VERDICT r11 #7; README.md:25 ecosystem): the
+    // round-trip's missing half. The query re-exports the s08 documents
+    // (through the real .json sink), parses them BACK into node/edge
+    // DataFrames with GraphImport's xpath plumbing — ids un-prefixed,
+    // entities unescaped by the XML parser, weights re-integered — and
+    // re-aggregates the imported graph; the ORACLE computes the same
+    // aggregate from the BASE TABLES, so the hash proves export → XML →
+    // sink → parse loses nothing: node membership, per-type edge counts,
+    // weight mass, and label vocabulary all survive byte-exactly.
+    // GraphImportSpec additionally proves row-level identity (parsed
+    // nodes/edges == the pre-export member/induced sets) and the
+    // entity-unescape path on adversarial names.
+    E("s10_graphml_import", (s, d) => {
+      val docs = graphmlDocs(s, d,
+        s.range(1, 4).select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed")),
+        radius = 2, leaf = "graphml_json_s10")
+      val nodes = GraphImport.graphmlNodes(docs)
+      val edges = GraphImport.graphmlEdges(docs)
+      val nAgg = nodes.groupBy("seed")
+        .agg(count(lit(1)).as("n_nodes"), countDistinct(col("label")).as("n_labels"))
+      val eAgg = edges.groupBy("seed", "rel_type")
+        .agg(count(lit(1)).as("n_edges"), sum(col("w_ppm")).as("sum_w_ppm"),
+             countDistinct(col("src")).as("n_src"))
+      eAgg.join(broadcast(nAgg), Seq("seed"))
+        .select("seed", "rel_type", "n_edges", "sum_w_ppm", "n_src", "n_nodes", "n_labels")
+        .orderBy("seed", "rel_type")
+    }, Some(s"""
+      WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
+      seeds(seed) AS (VALUES (CAST(3000000001 AS BIGINT)), (CAST(3000000002 AS BIGINT)), (CAST(3000000003 AS BIGINT))),
+      sym AS (SELECT src, dst FROM graph_edges UNION SELECT dst, src FROM graph_edges),
+      reach(seed, id, depth) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, s.dst, r.depth + 1 FROM reach r JOIN sym s ON s.src = r.id WHERE r.depth < 2),
+      rs AS (SELECT DISTINCT seed, id FROM reach),
+      ind AS (
+        SELECT a.seed, e.src, e.dst, e.rel_type,
+               CAST(FLOOR(e.weight * 1000000 + 0.5) AS BIGINT) AS w_ppm
+        FROM graph_edges e
+        JOIN rs a ON e.src = a.id
+        JOIN rs b ON b.seed = a.seed AND e.dst = b.id),
+      na AS (SELECT r.seed, COUNT(*) AS n_nodes, COUNT(DISTINCT n.label) AS n_labels
+             FROM rs r JOIN graph_nodes n ON n.id = r.id GROUP BY 1),
+      ea AS (SELECT seed, rel_type, COUNT(*) AS n_edges,
+                    CAST(SUM(w_ppm) AS BIGINT) AS sum_w_ppm,
+                    COUNT(DISTINCT src) AS n_src
+             FROM ind GROUP BY 1, 2)
+      SELECT ea.seed, rel_type, n_edges, sum_w_ppm, n_src, n_nodes, n_labels
+      FROM ea JOIN na ON na.seed = ea.seed
+      ORDER BY ea.seed, rel_type"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

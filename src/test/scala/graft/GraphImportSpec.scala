@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** GraphImport's round-trip contract at ROW level (the graded s10 hash
+  * checks aggregates; this proves the parsed frames themselves): nodes
+  * and edges read back from the s08 GraphML documents must equal the
+  * pre-export member/induced sets exactly, and the XML entity path must
+  * invert the exporter's escaping on adversarial text.
+  */
+class GraphImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parsed nodes and edges equal the pre-export ego extraction row-for-row") {
+    val seeds = spark.range(1, 4)
+      .select((lit(graph.GraphBuilder.CustomerBase) + col("id")).as("seed"))
+    val docs = sources.SourceQueries.graphmlDocs(spark, sfDir, seeds, 2, "graphml_json_spec")
+    val t = Tables(spark, sfDir)
+    val g = graph.GraphBuilder.edges(t)
+    val members = graph.Traversals.egoMembers(g, seeds, 2)
+
+    val gotNodes = sources.GraphImport.graphmlNodes(docs)
+      .select("seed", "id", "label", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val wantNodes = graph.GraphBuilder.nodes(t)
+      .join(broadcast(members.select("seed", "id")), Seq("id"))
+      .select("seed", "id", "label", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(gotNodes === wantNodes, "imported node set diverged from the exported membership")
+
+    val gotEdges = sources.GraphImport.graphmlEdges(docs)
+      .select("seed", "src", "dst", "rel_type", "w_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val wantEdges = graph.Traversals.inducedEdges(g, members)
+      .select(col("seed"), col("src"), col("dst"), col("rel_type"),
+              floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(gotEdges === wantEdges,
+      "imported edge multiset diverged from the exported induced edges")
+  }
+
+  test("entity unescaping inverts the exporter's escaping on adversarial names") {
+    val doc = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="label" for="node" attr.name="label" attr.type="string"/>
+  <graph id="ego_1" edgedefault="directed">
+    <node id="n7"><data key="label">customer</data><data key="name">A &amp; B &lt;Ltd&gt;</data></node>
+    <node id="n8"><data key="label">order</data><data key="name">plain</data></node>
+    <edge source="n7" target="n8"><data key="rel">R&amp;D</data><data key="w">500000</data></edge>
+  </graph>
+</graphml>"""
+    val docs = Seq((1L, doc)).toDF("seed", "graphml")
+    val n = sources.GraphImport.graphmlNodes(docs).orderBy("id").collect()
+    assert(n.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq
+      === Seq((7L, "A & B <Ltd>"), (8L, "plain")))
+    val e = sources.GraphImport.graphmlEdges(docs).collect()
+    assert(e.length === 1)
+    assert(e.head.getAs[Long]("src") === 7L && e.head.getAs[Long]("dst") === 8L)
+    assert(e.head.getAs[String]("rel_type") === "R&D")
+    assert(e.head.getAs[Long]("w_ppm") === 500000L)
+  }
+
+  test("an edgeless document imports zero edges, not a crash") {
+    val doc = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <graph id="ego_2" edgedefault="directed">
+    <node id="n9"><data key="label">user</data><data key="name">solo</data></node>
+  </graph>
+</graphml>"""
+    val docs = Seq((2L, doc)).toDF("seed", "graphml")
+    assert(sources.GraphImport.graphmlEdges(docs).count() === 0L)
+    assert(sources.GraphImport.graphmlNodes(docs).count() === 1L)
+  }
+}
