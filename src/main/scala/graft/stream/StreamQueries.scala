@@ -310,7 +310,64 @@ object StreamQueries {
                WHERE levenshtein(name, wname) <= 1)
       SELECT o.o_orderkey AS order_id, h.name AS cust_name, h.wid, h.wname, h.dist
       FROM orders o JOIN hits h ON o.o_custkey = h.id
-      ORDER BY order_id, wid"""))
+      ORDER BY order_id, wid""")),
+
+    // T14 — DOSSIER-ON-ALERT enrichment (VERDICT r11 #8): t13 flags a
+    // watchlist hit; the operational next step is the dossier — the
+    // nightly-batch + streaming-alert architecture a compliance
+    // deployment actually runs (README.md:4-6 "untangle ... in seconds"
+    // AT ALERT TIME, because the expensive aggregation ran overnight).
+    // A precomputed per-watched-entity dossier table (order count, exact
+    // decimal spend, last order date — left join so listed entities with
+    // NO orders still carry a dossier) stream-static joins the hit
+    // stream on the matched entity key: the dossier is broadcast, the
+    // hit stream is t13's never-shuffles screen output, so the composed
+    // plan keeps the record side shuffle-free end to end and is fully
+    // stateless (append-legal, no watermark). StreamingSpec proves the
+    // SAME composition incrementally on a MemoryStream; this twin grades
+    // its semantics via the key-mirror SQL.
+    E("t14_alert_dossier", (s, d) => {
+      import graft.stream.Screening
+      val t = Tables(s, d)
+      val wl = t.customer.filter(col("c_custkey") % 101 === 0)
+        .select(col("c_custkey").as("wid"), col("c_name").as("wname"))
+      val dossier = wl.join(t.orders, col("o_custkey") === col("wid"), "left")
+        .groupBy(col("wid"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             round(coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)), 2)
+               .as("total_spent"),
+             coalesce(date_format(max(col("o_orderdate")), "yyyy-MM-dd"), lit("never"))
+               .as("last_order"))
+      Screening.screen(
+          t.customer.select(col("c_custkey").as("id"), col("c_name").as("name")), wl)
+        .join(broadcast(dossier), Seq("wid"))
+        .select(col("id"), col("name"), col("wid"), col("wname"), col("dist"),
+                col("n_orders"), col("total_spent"), col("last_order"))
+        .orderBy("id", "wid")
+    }, Some("""
+      WITH rec AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      wl AS (SELECT c_custkey AS wid, c_name AS wname FROM customer WHERE c_custkey % 101 = 0),
+      rkeys AS (SELECT id, name, name AS key FROM rec
+                UNION
+                SELECT id, name, substr(name, 1, CAST(i AS INT)) || substr(name, CAST(i AS INT) + 2)
+                FROM rec, UNNEST(range(length(name))) AS t(i)),
+      wkeys AS (SELECT wid, wname, wname AS key FROM wl
+                UNION
+                SELECT wid, wname, substr(wname, 1, CAST(i AS INT)) || substr(wname, CAST(i AS INT) + 2)
+                FROM wl, UNNEST(range(length(wname))) AS t(i)),
+      hits AS (SELECT id, name, wid, wname, CAST(levenshtein(name, wname) AS INT) AS dist
+               FROM (SELECT DISTINCT r.id, r.name, w.wid, w.wname
+                     FROM rkeys r JOIN wkeys w ON r.key = w.key) c
+               WHERE levenshtein(name, wname) <= 1),
+      dossier AS (SELECT w.wid, COUNT(o.o_orderkey) AS n_orders,
+                         ROUND(COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0), 2) AS total_spent,
+                         COALESCE(strftime(MAX(o.o_orderdate), '%Y-%m-%d'), 'never') AS last_order
+                  FROM wl w LEFT JOIN orders o ON o.o_custkey = w.wid
+                  GROUP BY 1)
+      SELECT h.id, h.name, h.wid, h.wname, h.dist,
+             d.n_orders, d.total_spent, d.last_order
+      FROM hits h JOIN dossier d ON d.wid = h.wid
+      ORDER BY id, h.wid"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

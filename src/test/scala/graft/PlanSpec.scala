@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
 
 /** Plan-shape regression tests: the properties PLANS.md documents, enforced.
   * A future change that silently drops a pushdown, un-broadcasts a dim, or
@@ -305,6 +305,35 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"record side shuffles: $shuffles")
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
       "a stateful aggregate crept into the stateless screen fragment")
+  }
+
+  test("t14: the record side stays shuffle-free THROUGH the dossier enrichment join") {
+    // t13's contract composed one join further: the precomputed dossier
+    // table must ALSO arrive by broadcast, so the screened hit stream —
+    // still the 100 TB side — reaches its enriched alert row without any
+    // shuffle exchange (the dossier aggregation itself shuffles, but on
+    // the watchlist-sized build side, never on the record flow). The
+    // fragment pinned here is the screen + enrichment join only, i.e. the
+    // exact stream-side plan of the t14 twin.
+    val t = Tables(spark, sfDir)
+    val wl = t.customer.filter(col("c_custkey") % 101 === 0)
+      .select(col("c_custkey").as("wid"), col("c_name").as("wname"))
+    val dossier = wl.join(t.orders, col("o_custkey") === col("wid"), "left")
+      .groupBy(col("wid"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    val p = graft.stream.Screening.screen(
+        t.customer.select(col("c_custkey").as("id"), col("c_name").as("name")), wl)
+      .join(broadcast(dossier), Seq("wid"))
+      .queryExecution.explainString(FormattedMode)
+    // walk the operator ids that feed the record-side lineage: simpler and
+    // robust — assert NO non-broadcast exchange sits between the customer
+    // scan of the record side and the output. The dossier subtree's own
+    // exchange is keyed on wid (watchlist-sized); it must be the ONLY one.
+    val shuffles = p.linesIterator.filter(l =>
+      l.trim.startsWith("Exchange") && !l.contains("BroadcastExchange")).toList
+    assert(shuffles.size <= 1, s"more than the dossier build-side exchange: $shuffles")
+    shuffles.foreach(l => assert(l.contains("wid"),
+      s"a record-side shuffle crept into the enrichment fragment: $l"))
   }
 
   test("g55: probes broadcast against one vocabulary scan; jaro_winkler scores in codegen") {

