@@ -91,16 +91,38 @@ object Bench {
     * 5.5; g03_exposure 4.2/4.7/5.1 → 4.5; g11 2.7/3.3/3.4 → 3.0;
     * l03 2.2/2.3 → 2.2) so the 2× band keeps meaning on the machine
     * the driver will measure; queries within 1.25× kept their pins.
+    *
+    * 2026-08-15 round-12 full re-pin (VERDICT r11 #4): THREE independent
+    * quiet JVMs same day (a Bench passes:3 probe, a Bench min-of-2, a
+    * MicroBench 3-rep sweep; all contended:false, external cpu < 1 core,
+    * PSI-io 0) read the drift BROAD this time — most shuffle-light
+    * queries 1.2–1.5× their pins across all three JVMs while
+    * g03_exposure/l02/l03 sat at-or-below pin. Every headline code path
+    * is byte-untouched in round 12, so per the drift protocol every pin
+    * moves to the MIDDLE of its same-day three-JVM spread (readings in
+    * probe/bench/micro order): r01 1.64/1.20/1.57 → 1.57; r06
+    * 2.11/1.74/2.01 → 2.01; r09 1.26/1.05/1.65 → 1.26; r13
+    * 0.72/0.61/1.05 → 0.72; g02 4.84/4.83/3.94 → 4.83; g03_cyclic
+    * 3.23/3.55/3.07 → 3.23; g06 0.59/0.63/0.67 → 0.63; g07
+    * 3.31/3.07/3.60 → 3.31; g09 1.44/1.89/2.67 → 1.89; g11
+    * 3.27/3.50/4.56 → 3.50; l05 0.29/0.20/0.22 → 0.22; t03
+    * 0.81/0.65/0.55 → 0.65; l02 5.95/4.36/5.01 → 5.01 (down — two of
+    * three sessions below the r11 pin); g03_exposure 4.70/4.58/5.14
+    * and l03 2.81/2.13/2.05 keep their pins (middle within ~5%).
+    * t01 (the r11 #4 flag, recorded 0.59 = 2.19× pin): three fresh JVMs
+    * read 0.51/0.35/0.33 → pinned 0.35; the 0.59 never reproduced and
+    * is adjudicated as late-JVM state in a 190-query run — the new pin
+    * absorbs the honest floor shift, the band keeps catching the rest.
     */
   val quietMediansSec: Map[String, Double] = Map(
-    "r01_projection" -> 1.02, "r06_range_join" -> 1.20,
-    "r09_agg" -> 0.89, "r13_window_rank" -> 0.48,
-    "g02_khop" -> 3.35, "g03_ubo_exposure" -> 4.50,
-    "g03_ubo_cyclic" -> 2.36, "g06_scc" -> 0.51,
-    "g07_cc_full" -> 2.21, "g09_pagerank" -> 1.24,
-    "g11_conflict_shared_part" -> 3.00, "l02_minhash_lsh" -> 5.50,
-    "l03_ngram_jaccard" -> 2.20, "l05_cosine_topk_native" -> 0.15,
-    "t01_tumbling_window" -> 0.27, "t03_session_window" -> 0.48)
+    "r01_projection" -> 1.57, "r06_range_join" -> 2.01,
+    "r09_agg" -> 1.26, "r13_window_rank" -> 0.72,
+    "g02_khop" -> 4.83, "g03_ubo_exposure" -> 4.50,
+    "g03_ubo_cyclic" -> 3.23, "g06_scc" -> 0.63,
+    "g07_cc_full" -> 3.31, "g09_pagerank" -> 1.89,
+    "g11_conflict_shared_part" -> 3.50, "l02_minhash_lsh" -> 5.01,
+    "l03_ngram_jaccard" -> 2.20, "l05_cosine_topk_native" -> 0.22,
+    "t01_tumbling_window" -> 0.35, "t03_session_window" -> 0.65)
 
   /** A succeeded query whose min-of-N exceeds bandFactor × its quiet median
     * is a per-query band violation → escalate to a third pass. Tightened

@@ -623,7 +623,130 @@ object SourceQueries {
              FROM ind GROUP BY 1, 2)
       SELECT ea.seed, rel_type, n_edges, sum_w_ppm, n_src, n_nodes, n_labels
       FROM ea JOIN na ON na.seed = ea.seed
-      ORDER BY ea.seed, rel_type"""))
+      ORDER BY ea.seed, rel_type""")),
+
+    // S11 — Time-Slider DELTA export (README.md:17): what the slider
+    // ANIMATES when it advances one position — per (seed, position), the
+    // nodes and edge instances that appear relative to the previous
+    // position, with totals for reconciliation. This is the incremental
+    // feed a slider UI actually fetches (s09 ships full frames; re-sending
+    // a 95%-unchanged frame per tick is the waste). Membership under this
+    // data model is MONOTONE along the slider (validity is cumulative —
+    // edges activate and never expire, so a radius-k reach can only grow;
+    // TimesliderExportSpec pins it), which makes the delta exactly the
+    // additions; the first position's delta is its full frame (documented
+    // convention — the slider's initial render). Edge instances are keyed
+    // (src, dst, rel_type, valid_from): an instance is "added" at the
+    // first position where both endpoints are members AND the instance
+    // has activated. Scale shape: ONE batched traversal for every (seed,
+    // position) (egoMembersAsOf — positions ride the batch key, the s09
+    // argument verbatim), then the delta is a self-anti-join on the
+    // position axis SHIFTED BY ONE — the shift is a when-chain over the
+    // literal position list, not a join, so the whole delta costs two
+    // anti-joins over already-materialized member/instance tables: slider
+    // positions add zero edge scans, and the delta tables are strictly
+    // smaller than s09's frames (deltas, not documents).
+    E("s11_timeslider_delta", (s, d) => {
+      import s.implicits._
+      val years = Seq(1995L, 1997L, 1999L, 2001L)
+      val sy = (for { c <- 1 to 2; y <- years } yield
+          (graft.graph.GraphBuilder.CustomerBase + c, y, s"$y-12-31 23:59:59"))
+        .toDF("seed", "year", "ts")
+        .select(col("seed"), col("year"), col("ts").cast("timestamp_ntz").as("as_of"))
+      val t = Tables(s, d)
+      val g = graft.graph.GraphBuilder.edges(t)
+      val members = graft.graph.Traversals.egoMembersAsOf(g, sy.select("seed", "as_of"), 2)
+        .join(broadcast(sy.select("seed", "as_of", "year")), Seq("seed", "as_of"))
+        .select("seed", "year", "as_of", "id")
+        .transform(graft.graph.Materialize.apply)
+      // shift each position's sets one slider step forward: at position p
+      // they become "the previous frame" for p+1 (literal list ⇒ when-chain)
+      val nextYear = years.zip(years.tail).foldLeft(lit(null).cast("long")) {
+        case (acc, (y, ny)) => when(col("year") === y, lit(ny)).otherwise(acc) }
+      val prevM = members.select(col("seed"), nextYear.as("year"), col("id"))
+        .filter(col("year").isNotNull)
+      val nodeAgg = members.groupBy("seed", "year").agg(count(lit(1)).as("n_nodes"))
+      val addAgg = members.join(prevM, Seq("seed", "year", "id"), "left_anti")
+        .groupBy("seed", "year")
+        .agg(count(lit(1)).as("n_nodes_added"), min(col("id")).as("first_new_node"))
+      val ind = graft.graph.Traversals.inducedEdgesAsOf(g, members)
+        .join(broadcast(sy.select("seed", "as_of", "year")), Seq("seed", "as_of"))
+        .select(col("seed"), col("year"), col("src"), col("dst"), col("rel_type"),
+                // ntz → ltz in the UTC session, so epoch micros match the
+                // oracle's epoch_us over the same instants
+                coalesce(unix_micros(col("valid_from").cast("timestamp")), lit(0L)).as("vf_us"))
+        .transform(graft.graph.Materialize.apply)
+      val prevE = ind.select(col("seed"), nextYear.as("year"), col("src"), col("dst"),
+                             col("rel_type"), col("vf_us"))
+        .filter(col("year").isNotNull)
+      val eAgg = ind.groupBy("seed", "year").agg(count(lit(1)).as("n_edges"))
+      val eAddAgg = ind
+        .join(prevE, Seq("seed", "year", "src", "dst", "rel_type", "vf_us"), "left_anti")
+        .groupBy("seed", "year").agg(count(lit(1)).as("n_edges_added"))
+      nodeAgg
+        .join(addAgg, Seq("seed", "year"), "left")
+        .join(eAgg, Seq("seed", "year"), "left")
+        .join(eAddAgg, Seq("seed", "year"), "left")
+        .select(col("seed"), col("year"), col("n_nodes"),
+                coalesce(col("n_nodes_added"), lit(0L)).as("n_nodes_added"),
+                coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+                coalesce(col("n_edges_added"), lit(0L)).as("n_edges_added"),
+                coalesce(col("first_new_node"), lit(-1L)).as("first_new_node"))
+        .orderBy("seed", "year")
+    }, Some(s"""
+      WITH RECURSIVE ${graft.graph.GraphSql.edgesCte},
+      sy(seed, year, as_of) AS (
+        SELECT CAST(3000000000 + c.c AS BIGINT), CAST(y.y AS BIGINT),
+               CAST(CAST(y.y AS VARCHAR) || '-12-31 23:59:59' AS TIMESTAMP)
+        FROM (VALUES (1), (2)) c(c)
+        CROSS JOIN (VALUES (1995), (1997), (1999), (2001)) y(y)),
+      sym AS (
+        SELECT src, dst, MIN(COALESCE(valid_from, TIMESTAMP '1970-01-01')) AS active_from
+        FROM (SELECT src, dst, valid_from FROM graph_edges
+              UNION ALL SELECT dst, src, valid_from FROM graph_edges)
+        GROUP BY 1, 2),
+      reach(seed, as_of, id, depth) AS (
+        SELECT seed, as_of, seed, 0 FROM sy
+        UNION ALL
+        SELECT r.seed, r.as_of, s.dst, r.depth + 1
+        FROM reach r JOIN sym s ON s.src = r.id
+        WHERE r.depth < 2 AND s.active_from <= r.as_of),
+      rs AS (SELECT DISTINCT r.seed, sy.year, sy.as_of, r.id
+             FROM reach r JOIN sy ON sy.seed = r.seed AND sy.as_of = r.as_of),
+      prevy(year, prev_year) AS (VALUES (1995, NULL), (1997, 1995), (1999, 1997), (2001, 1999)),
+      na AS (SELECT seed, year, COUNT(*) AS n_nodes FROM rs GROUP BY 1, 2),
+      adds AS (
+        SELECT m.seed, m.year, COUNT(*) AS n_nodes_added, MIN(m.id) AS first_new_node
+        FROM rs m JOIN prevy py ON py.year = m.year
+        WHERE NOT EXISTS (SELECT 1 FROM rs p
+                          WHERE p.seed = m.seed AND p.year = py.prev_year AND p.id = m.id)
+        GROUP BY 1, 2),
+      ind AS (
+        SELECT a.seed, a.year, e.src, e.dst, e.rel_type,
+               COALESCE(epoch_us(e.valid_from), 0) AS vf_us
+        FROM graph_edges e
+        JOIN rs a ON e.src = a.id
+        JOIN rs b ON b.seed = a.seed AND b.year = a.year AND e.dst = b.id
+        WHERE e.valid_from IS NULL OR e.valid_from <= a.as_of),
+      ea AS (SELECT seed, year, COUNT(*) AS n_edges FROM ind GROUP BY 1, 2),
+      eadds AS (
+        SELECT m.seed, m.year, COUNT(*) AS n_edges_added
+        FROM ind m JOIN prevy py ON py.year = m.year
+        WHERE NOT EXISTS (SELECT 1 FROM ind p
+                          WHERE p.seed = m.seed AND p.year = py.prev_year
+                            AND p.src = m.src AND p.dst = m.dst
+                            AND p.rel_type = m.rel_type AND p.vf_us = m.vf_us)
+        GROUP BY 1, 2)
+      SELECT na.seed, na.year, n_nodes,
+             COALESCE(n_nodes_added, CAST(0 AS BIGINT)) AS n_nodes_added,
+             COALESCE(n_edges, CAST(0 AS BIGINT)) AS n_edges,
+             COALESCE(n_edges_added, CAST(0 AS BIGINT)) AS n_edges_added,
+             COALESCE(first_new_node, CAST(-1 AS BIGINT)) AS first_new_node
+      FROM na
+      LEFT JOIN adds ON adds.seed = na.seed AND adds.year = na.year
+      LEFT JOIN ea ON ea.seed = na.seed AND ea.year = na.year
+      LEFT JOIN eadds ON eadds.seed = na.seed AND eadds.year = na.year
+      ORDER BY na.seed, na.year"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -50,6 +50,28 @@ object EventOps {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
 
+  /** T15 — fan-in alert: targets contacted by ≥ `minDistinct` DISTINCT
+    * sources within one tumbling 6 h window (the structuring/funnel signal;
+    * g63 is the sliding-precision batch sibling). Streaming aggregation
+    * cannot COUNT(DISTINCT), so the op uses the append-legal
+    * DEDUP-THEN-COUNT decomposition: dropDuplicates on (window, src, dst)
+    * — a chained stateful op whose state the watermark bounds (the window
+    * column carries the event-time attribute) — then a plain windowed
+    * count, which now counts exactly the distinct sources. The SAME code
+    * runs the graded batch twin (watermark added by the streaming caller;
+    * in batch, dedup-then-count ≡ countDistinct — StreamingSpec proves
+    * streaming ≡ batch on a MemoryStream).
+    */
+  def faninAlerts(transitions: DataFrame, minDistinct: Long = 3L): DataFrame =
+    transitions
+      .withColumn("win", window(col("ts"), "6 hours"))
+      .dropDuplicates("win", "src", "dst")
+      .groupBy(col("win"), col("dst"))
+      .agg(count(lit(1)).as("n_distinct_src"))
+      .filter(col("n_distinct_src") >= minDistinct)
+      .select(unix_timestamp(col("win.start")).as("win_start_s"),
+              col("dst").as("user"), col("n_distinct_src"))
+
   /** T9 — stream-stream interval join: each event paired with the same
     * user's follow-up events in (ts, ts + 1h]. Both sides are watermarked
     * and the range predicate is what lets the symmetric hash join EVICT
@@ -177,6 +199,10 @@ object RunningUserStateV2 {
 
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
               event_type: String, value: Double)
+/** An interaction/transition record — [[EventOps.faninAlerts]]'s input unit
+  * (in production the transition feed arrives as such; the graded batch
+  * twin derives it via GraphBuilder.userTransitions). */
+case class Trn(src: Long, dst: Long, ts: java.sql.Timestamp)
 case class UserState(n: Long, lastType: String)
 case class UserUpdate(user_id: Long, n_events: Long, last_type: String)
 case class ActiveUpdate(user_id: Long, n_events: Long, expired: Boolean)

@@ -367,7 +367,36 @@ object StreamQueries {
       SELECT h.id, h.name, h.wid, h.wname, h.dist,
              d.n_orders, d.total_spent, d.last_order
       FROM hits h JOIN dossier d ON d.wid = h.wid
-      ORDER BY id, h.wid"""))
+      ORDER BY id, h.wid""")),
+
+    // T15 — FAN-IN ALERT, the streaming form of g63's velocity signal
+    // (README.md:6 "hidden risks" × README.md:17 temporal): targets
+    // contacted by ≥3 DISTINCT counterparties inside one tumbling 6 h
+    // window. The load-bearing design point is the DEDUP-THEN-COUNT
+    // decomposition in EventOps.faninAlerts — streaming aggregation
+    // cannot COUNT(DISTINCT), so the op chains a watermark-bounded
+    // dropDuplicates on (window, src, dst) into a plain windowed count
+    // (Spark's chained-stateful-operator support); in batch the same
+    // code is exactly countDistinct, which is what this twin grades.
+    // StreamingSpec runs the identical function over a MemoryStream and
+    // pins streaming ≡ batch. Tumbling (not sliding) is the streaming
+    // budget: one state row per (window, src, dst) — the sliding
+    // trailing-interval precision lives in g63 where the investigator
+    // reads the case file.
+    E("t15_fanin_alert", (s, d) => {
+      val tr = graft.graph.GraphBuilder.userTransitions(Tables(s, d))
+      EventOps.faninAlerts(tr, minDistinct = 3L).orderBy("win_start_s", "user")
+    }, Some("""
+      WITH tr AS (
+        SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst, ts
+        FROM (SELECT user_id, ts, event_id,
+                     LAG(user_id) OVER (ORDER BY ts, event_id) AS prev FROM events)
+        WHERE prev IS NOT NULL AND prev <> user_id),
+      b AS (SELECT DISTINCT (epoch_us(ts) // 21600000000) * 21600 AS win_start_s, src, dst
+            FROM tr)
+      SELECT win_start_s, dst AS "user", COUNT(*) AS n_distinct_src
+      FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY win_start_s, "user""""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

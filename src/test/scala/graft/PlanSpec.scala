@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
+import org.apache.spark.sql.functions.{array_distinct, broadcast, col, collect_list,
+  count, lit, max, size, struct, unix_micros, when}
 
 /** Plan-shape regression tests: the properties PLANS.md documents, enforced.
   * A future change that silently drops a pushdown, un-broadcasts a dim, or
@@ -394,5 +395,49 @@ class PlanSpec extends SparkSpec {
     assert(pushed >= 7, s"only $pushed of 7 branches push the l_shipdate bound:\n$p")
     assert("""LessThanOrEqual\(o_orderdate""".r.findAllIn(p).size >= 7,
       "PLACED-branch o_orderdate validity bound not pushed in every year branch")
+  }
+
+  test("g63: the peak aggregation reuses the velocity window's target partitioning") {
+    // one hash shuffle on dst feeds BOTH the range-frame window and the
+    // per-target peak aggregation (same key ⇒ Catalyst reuses the
+    // partitioning); a second hashpartitioning(dst) exchange would mean
+    // the plan re-shuffles what is already co-located. Pinned on the
+    // SCALE-tier transitions derivation (OrderedLag) — the graded sf0.001
+    // plan takes the single-window tier, whose SinglePartition satisfies
+    // every distribution and shows no dst exchange at all.
+    val t = Tables(spark, sfDir)
+    val tr = graft.graph.GraphBuilder.userTransitionsAtScale(t)
+      .select(col("src"), col("dst"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dst")
+      .orderBy(col("ts_us")).rangeBetween(-6L * 3600L * 1000000L, 0)
+    val p = tr
+      .withColumn("v", size(array_distinct(collect_list(col("src")).over(w))).cast("long"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("v"), (-col("ts_us")).as("nts"))).as("pk"))
+      .queryExecution.explainString(FormattedMode)
+    val exchanges = """\) Exchange""".r.findAllIn(p).size
+    val dstHash = """hashpartitioning\(dst""".r.findAllIn(p).size
+    assert(exchanges == 1 && dstHash >= 1,
+      s"expected ONE exchange (hash on dst) shared by window and agg, " +
+        s"got $exchanges exchanges / $dstHash dst-hash args:\n$p")
+  }
+
+  test("g62: slider dates and dossier sections hold lineitem at 4 scans") {
+    // the g56 scan contract carried to the composed dossier: the dated
+    // supplied layer is materialized once (THREE consumers — ownership,
+    // concentration, seed linkage — read the checkpoint), contains is
+    // scanned once, and the ego section's full-graph build (whose
+    // CONTAINS/SUPPLIED_BY edges also derive from lineitem) is
+    // materialized so traversal + induced join share its 2 branch scans:
+    // 4 lineitem scans total, regardless of slider positions or sections
+    val ps = capturedPlans(s => SparkEntry.queries("g62_dossier_asof")(s, sfDir).collect())
+    assert(ps.nonEmpty, "listener captured no executed plans — capture path broke")
+    val lineitemScans = ps
+      .map(_.split("Initial Plan").head)
+      .map("""lineitem\.parquet""".r.findAllIn(_).size).sum
+    assert(lineitemScans == 4,
+      s"expected 4 lineitem scans (2 dated layers + 2 materialized edge-union " +
+        s"branches), got $lineitemScans across ${ps.size} plans")
   }
 }

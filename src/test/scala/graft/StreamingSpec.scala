@@ -465,6 +465,38 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Int, Option[Long], Option[Double])].collect().toSet
     assert(batch === got, "streaming and batch dossier enrichment must agree")
   }
+
+  test("T15: fan-in alert — chained dedup-then-count across batches equals batch") {
+    import graft.stream.Trn
+    val source = MemoryStream[Trn](spark)
+    val out = EventOps.faninAlerts(
+      source.toDF().withWatermark("ts", "10 minutes"), minDistinct = 2L)
+    val q = out.writeStream.format("memory").queryName("fanin15")
+      .outputMode(OutputMode.Append()).start()
+    // window [6h, 12h): dst 100 sees sources {1, 2} (src 1 twice, ACROSS
+    // batches — the dedup state must carry over); dst 300 sees only {9}
+    val rows = Seq(
+      Trn(1, 100, ts(0)), Trn(2, 100, ts(5)),
+      Trn(1, 100, ts(10)), Trn(9, 300, ts(15)))
+    source.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    source.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    // push the watermark far past the window end so append emits it
+    val flush = Trn(7, 999, new Timestamp(3600000L * 40))
+    source.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fanin15").collect()
+      .map(r => (r.getAs[Long]("win_start_s"), r.getAs[Long]("user"),
+        r.getAs[Long]("n_distinct_src"))).toSet
+    val batch = EventOps.faninAlerts((rows :+ flush).toDF(), minDistinct = 2L).collect()
+      .map(r => (r.getAs[Long]("win_start_s"), r.getAs[Long]("user"),
+        r.getAs[Long]("n_distinct_src"))).toSet
+    assert(got === Set((21600L, 100L, 2L)),
+      s"cross-batch dedup must count src 1 once and flush the closed window: $got")
+    assert(got === batch, "streaming and batch fan-in alerts must agree on closed windows")
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
