@@ -2997,6 +2997,97 @@ object GraphQueries {
       FROM pr p LEFT JOIN agg a ON a.s_id = p.s_id AND a.t_id = p.t_id AND a.as_of = p.as_of
       ORDER BY p.s_id, p.t_id, as_of_year""")),
 
+    // G31 — STRONGEST connection AS-OF: "how strong was the strongest
+    // ownership chain between X and Y in mid-1997?" — completes the
+    // {distance, strength} × {now, as-of} matrix (g57 distance-now, g59
+    // strength-now, g60 distance-as-of; README.md:13 UBO percentages ×
+    // README.md:17 the slider). The web is the DATED, per-position-
+    // RENORMALIZED UBO web (datedUboLayers — 1997's chain strengths
+    // divide 1997's quantities by 1997's totals, the g56 semantics; a
+    // validity filter over today's weights would be wrong the same way a
+    // filtered cone is), and the DP batches the date axis through
+    // (owner, as_of) state (Ubo.strongestChainAsOf). Spec pins the 2001
+    // slice ≡ g59 (date past all data ⇒ dated web ≡ undated web) and
+    // cross-date strength divergence.
+    E("g64_strongest_asof", (s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val dates = Seq("1997-06-30 23:59:59", "2001-12-31 23:59:59")
+      val web = datedUboLayers(t, dates).reduce(_.unionByName(_))
+      val base = Seq(
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.CustomerBase + 2L),
+          (GraphBuilder.CustomerBase + 1L, GraphBuilder.SupplierBase + 1L),
+          (GraphBuilder.SupplierBase + 1L, GraphBuilder.SupplierBase + 2L))
+        .toDF("s_id", "t_id")
+      val pairs = base.crossJoin(dates.map(Tuple1(_)).toDF("ds")
+        .select(col("ds").cast("timestamp_ntz").as("as_of")))
+      Traversals.strongestConnectionsAsOf(web, pairs, 2)
+        .select(col("s_id"), col("t_id"), year(col("as_of")).cast("long").as("as_of_year"),
+                col("strength6"), col("chain"), col("hops"))
+        .orderBy("s_id", "t_id", "as_of_year")
+    }, Some(s"""
+      WITH dates(as_of) AS (VALUES (TIMESTAMP '1997-06-30 23:59:59'),
+                                   (TIMESTAMP '2001-12-31 23:59:59')),
+      placed_a AS (
+        SELECT d.as_of, CAST(3000000000 + o_custkey AS BIGINT) AS src,
+               CAST(6000000000 + o_orderkey AS BIGINT) AS dst,
+               CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY d.as_of, o_custkey) AS weight
+        FROM orders CROSS JOIN dates d WHERE o_orderdate <= d.as_of),
+      contains_a AS (
+        SELECT as_of, CAST(6000000000 + l_orderkey AS BIGINT) AS src,
+               CAST(5000000000 + l_partkey AS BIGINT) AS dst,
+               CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY as_of, l_orderkey) AS DOUBLE) AS weight
+        FROM (SELECT d.as_of, l_orderkey, l_partkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              FROM lineitem CROSS JOIN dates d WHERE l_shipdate <= d.as_of GROUP BY 1, 2, 3)),
+      supplied_a AS (
+        SELECT as_of, CAST(5000000000 + l_partkey AS BIGINT) AS src,
+               CAST(4000000000 + l_suppkey AS BIGINT) AS dst,
+               CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY as_of, l_partkey) AS DOUBLE) AS weight
+        FROM (SELECT d.as_of, l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              FROM lineitem CROSS JOIN dates d WHERE l_shipdate <= d.as_of GROUP BY 1, 2, 3)),
+      web AS (SELECT * FROM supplied_a UNION ALL SELECT * FROM contains_a
+              UNION ALL SELECT * FROM placed_a),
+      symw AS (SELECT as_of, src, dst, weight FROM web
+               UNION ALL SELECT as_of, dst, src, weight FROM web),
+      bp(s_id, t_id) AS (VALUES
+        (CAST(3000000001 AS BIGINT), CAST(3000000002 AS BIGINT)),
+        (CAST(3000000001 AS BIGINT), CAST(4000000001 AS BIGINT)),
+        (CAST(4000000001 AS BIGINT), CAST(4000000002 AS BIGINT))),
+      pr AS (SELECT s_id, t_id, as_of FROM bp CROSS JOIN dates),
+      c0 AS (SELECT seed AS owner, as_of, seed AS entity, CAST(1.0 AS DOUBLE) AS share,
+                    CAST(seed AS VARCHAR) AS chain
+             FROM (SELECT s_id AS seed, as_of FROM pr UNION SELECT t_id, as_of FROM pr)),
+      ${UboSql.chainStepAsOf("c0", "c1", "symw")},
+      ${UboSql.chainStepAsOf("c1", "c2", "symw")},
+      allc AS (SELECT owner, as_of, entity, share, chain, 0 AS hops FROM c0
+               UNION ALL SELECT owner, as_of, entity, share, chain, 1 FROM c1
+               UNION ALL SELECT owner, as_of, entity, share, chain, 2 FROM c2),
+      cones AS (SELECT owner, as_of, entity, share, chain, hops FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY owner, as_of, entity
+                                               ORDER BY share DESC, chain) AS rn
+                  FROM allc) WHERE rn = 1),
+      meets AS (SELECT p.s_id, p.t_id, p.as_of, f.share * b.share AS strength,
+                       array_to_string(list_concat(string_split(f.chain, '->'),
+                         list_reverse(string_split(b.chain, '->'))[2:]), '->') AS chain,
+                       f.hops + b.hops AS hops
+                FROM pr p
+                JOIN cones f ON f.owner = p.s_id AND f.as_of = p.as_of
+                JOIN cones b ON b.owner = p.t_id AND b.as_of = p.as_of
+                  AND b.entity = f.entity),
+      best AS (SELECT s_id, t_id, as_of, strength, chain, hops,
+                      ROW_NUMBER() OVER (PARTITION BY s_id, t_id, as_of
+                                         ORDER BY strength DESC, chain) AS rn
+               FROM meets)
+      SELECT p.s_id, p.t_id, CAST(EXTRACT(year FROM p.as_of) AS BIGINT) AS as_of_year,
+             ROUND(COALESCE(b.strength, 0), 6) AS strength6,
+             COALESCE(b.chain, '-') AS chain,
+             CAST(COALESCE(b.hops, -1) AS BIGINT) AS hops
+      FROM pr p LEFT JOIN best b ON b.s_id = p.s_id AND b.t_id = p.t_id
+        AND b.as_of = p.as_of AND b.rn = 1
+      ORDER BY p.s_id, p.t_id, as_of_year""")),
+
     // G28 — COMPOSITE ER screening queue (VERDICT r11 #3; README.md:15
     // lists name + director + address evidence TOGETHER): the four
     // matchers are graded separately (g49 lev, g50 token-Jaccard, g54

@@ -477,6 +477,55 @@ object Traversals {
               coalesce(col("hops"), lit(-1L)).as("hops"))
   }
 
+  /** [[strongestConnections]] AT each Time-Slider position: pairs carry an
+    * `as_of` column; `edges` are a DATED per-position-renormalized
+    * weighted web (as_of, src, dst, weight) — "how STRONG was the
+    * strongest chain between X and Y in 1996?", completing the
+    * {distance, strength} × {now, as-of} matrix with g57/g59/g60. The
+    * batch key grows from owner to (owner, as_of) through
+    * [[Ubo.strongestChainAsOf]] (the g56 free-batch-key argument on the
+    * Viterbi recurrence), the meet joins gain as_of in their keys so no
+    * strength leaks between positions, and the exactness argument is
+    * [[strongestConnections]]'s walk-dominance split applied per position
+    * (each as_of is an independent weighted graph with weights ≤ 1).
+    */
+  def strongestConnectionsAsOf(edges: DataFrame, pairs: DataFrame, radius: Int): DataFrame = {
+    val symw = edges.select(col("as_of"), col("src"), col("dst"), col("weight"))
+      .unionByName(edges.select(col("as_of"), col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+    val seeds = pairs.select(col("s_id").as("owner"), col("as_of"))
+      .unionByName(pairs.select(col("t_id").as("owner"), col("as_of"))).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("owner"), col("as_of"), col("entity"))
+      .orderBy(col("share").desc, col("chain"))
+    val lvl0 = seeds.select(col("owner"), col("as_of"), col("owner").as("entity"),
+      lit(1.0).cast("double").as("share"), col("owner").cast("string").as("chain"),
+      lit(0).as("hops"))
+    val cones = lvl0.unionByName(Ubo.strongestChainAsOf(symw, seeds, radius))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .transform(Materialize.apply) // reused as both meet sides
+    val f = cones.select(col("owner").as("s_id"), col("as_of"), col("entity").as("id"),
+      col("share").as("share_s"), col("chain").as("chain_s"), col("hops").as("hops_s"))
+    val b = cones.select(col("owner").as("t_id"), col("as_of"), col("entity").as("id"),
+      col("share").as("share_t"), col("chain").as("chain_t"), col("hops").as("hops_t"))
+    val rt = reverse(split(col("chain_t"), "->"))
+    val meets = pairs.join(f, Seq("s_id", "as_of")).join(b, Seq("t_id", "as_of", "id"))
+      .withColumn("strength", col("share_s") * col("share_t"))
+      .withColumn("chain", concat_ws("->",
+        concat(split(col("chain_s"), "->"), slice(rt, lit(2), size(rt) - 1))))
+      .withColumn("hops", (col("hops_s") + col("hops_t")).cast("long"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("s_id", "t_id", "as_of").orderBy(col("strength").desc, col("chain"))
+    val best = meets.withColumn("rn", row_number().over(pw)).filter(col("rn") === 1)
+      .select(col("s_id"), col("t_id"), col("as_of"),
+              round(col("strength"), 6).as("strength6"), col("chain"), col("hops"))
+    pairs.join(best, Seq("s_id", "t_id", "as_of"), "left")
+      .select(col("s_id"), col("t_id"), col("as_of"),
+              coalesce(col("strength6"), lit(0.0)).as("strength6"),
+              coalesce(col("chain"), lit("-")).as("chain"),
+              coalesce(col("hops"), lit(-1L)).as("hops"))
+  }
+
   /** [[connectionDistance]] AT each Time-Slider position: pairs carry an
     * `as_of` column and the answer is the shortest undirected distance
     * over edges whose earliest instance had started by that date ("were X

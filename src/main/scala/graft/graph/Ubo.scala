@@ -188,6 +188,40 @@ object Ubo {
     best.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** [[strongestChain]] AT each Time-Slider position: `edges` carry an
+    * `as_of` column (a DATED, per-date-renormalized web — see
+    * GraphQueries.datedUboLayers) and `owners` carry (owner, as_of); the
+    * DP runs per position by adding as_of to the step-join and argmax-
+    * window keys — the g56 free-batch-key argument applied to the Viterbi
+    * recurrence: positions ride the state width, never extra passes. The
+    * per-step rn=1 prune and its optimal-substructure proof are unchanged
+    * (each position is an independent weighted graph). Mirrored by
+    * [[UboSql.chainStepAsOf]].
+    */
+  def strongestChainAsOf(edges: DataFrame, owners: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("as_of").as("e_as_of"), col("src"), col("dst"), col("weight"))
+      .transform(Materialize.apply)
+    val w = Window.partitionBy(col("owner"), col("as_of"), col("entity"))
+      .orderBy(col("share").desc, col("chain"))
+    var frontier = owners.select(col("owner"), col("as_of")).distinct()
+      .select(col("owner"), col("as_of"), col("owner").as("entity"),
+              lit(1.0).as("share"), col("owner").cast("string").as("chain"))
+    var best: DataFrame = null
+    for (i <- 1 to maxHops) {
+      frontier = frontier.join(e,
+          col("entity") === col("src") && col("as_of") === col("e_as_of"))
+        .select(col("owner"), col("as_of"), col("dst").as("entity"),
+                (col("share") * col("weight")).as("share"),
+                concat(col("chain"), lit("->"), col("dst").cast("string")).as("chain"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .transform(Materialize.apply) // reused: level output + next join
+      val lvl = frontier.withColumn("hops", lit(i))
+      best = if (best == null) lvl else best.unionByName(lvl)
+    }
+    best.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** One propagation step. The step is the canonical
     * [[graft.rel.Regroup.aggregateByNewKeys]] case — all three conditions
     * of its decision rule hold here: the join fans out (130M rows from a
@@ -263,5 +297,17 @@ object UboSql {
        |    FROM (SELECT p.owner, e.dst AS entity, p.share * e.weight AS share,
        |                 p.chain || '->' || CAST(e.dst AS VARCHAR) AS chain
        |          FROM $prev p JOIN $edges e ON e.src = p.entity))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** [[chainStep]] with the slider position in the join and window keys —
+    * the mirror of [[Ubo.strongestChainAsOf]]'s step. */
+  def chainStepAsOf(prev: String, cur: String, edges: String): String =
+    s"""$cur AS (
+       |  SELECT owner, as_of, entity, share, chain FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY owner, as_of, entity
+       |                                 ORDER BY share DESC, chain) AS rn
+       |    FROM (SELECT p.owner, p.as_of, e.dst AS entity, p.share * e.weight AS share,
+       |                 p.chain || '->' || CAST(e.dst AS VARCHAR) AS chain
+       |          FROM $prev p JOIN $edges e ON e.src = p.entity AND e.as_of = p.as_of))
        |  WHERE rn = 1)""".stripMargin
 }

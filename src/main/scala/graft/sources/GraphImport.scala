@@ -50,6 +50,32 @@ object GraphImport {
         element_at(col("_names"), col("pos") + 1).as("name")): _*)
   }
 
+  private val nodeLinkNodeSchema = org.apache.spark.sql.types.DataType.fromDDL(
+    "array<struct<id:bigint,label:string,name:string>>")
+  private val nodeLinkEdgeSchema = org.apache.spark.sql.types.DataType.fromDDL(
+    "array<struct<src:bigint,dst:bigint,rel_type:string,w_ppm:bigint>>")
+
+  /** (…keyCols, id, label, name) — the nodes of each Cytoscape NODE-LINK
+    * document (s07's format: a `nodes_json` array column), one row per
+    * node. `from_json` with an explicit schema + `explode` — the JSON
+    * sibling of [[graphmlNodes]]; the JSON parser owns escape handling
+    * the way the XML parser does for GraphML. Documents with an empty
+    * array contribute zero rows (explode semantics — the edgeless-doc
+    * contract shared with the GraphML path). */
+  def nodeLinkNodes(docs: DataFrame, keyCols: Seq[String] = Seq("seed")): DataFrame =
+    docs.select(keyCols.map(col) :+
+        explode(from_json(col("nodes_json"), nodeLinkNodeSchema)).as("n"): _*)
+      .select(keyCols.map(col) ++ Seq(col("n.id").as("id"),
+        col("n.label").as("label"), col("n.name").as("name")): _*)
+
+  /** (…keyCols, src, dst, rel_type, w_ppm) — the edges of each Cytoscape
+    * node-link document (`edges_json`), one row per edge instance. */
+  def nodeLinkEdges(docs: DataFrame, keyCols: Seq[String] = Seq("seed")): DataFrame =
+    docs.select(keyCols.map(col) :+
+        explode(from_json(col("edges_json"), nodeLinkEdgeSchema)).as("e"): _*)
+      .select(keyCols.map(col) ++ Seq(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.rel_type").as("rel_type"), col("e.w_ppm").as("w_ppm")): _*)
+
   /** (…keyCols, src LONG, dst LONG, rel_type, w_ppm LONG) — the edges of
     * each GraphML doc in `docCol`, one row per `<edge>`. */
   def graphmlEdges(docs: DataFrame, docCol: String = "graphml",

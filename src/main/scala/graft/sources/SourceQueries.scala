@@ -746,7 +746,58 @@ object SourceQueries {
       LEFT JOIN adds ON adds.seed = na.seed AND adds.year = na.year
       LEFT JOIN ea ON ea.seed = na.seed AND ea.year = na.year
       LEFT JOIN eadds ON eadds.seed = na.seed AND eadds.year = na.year
-      ORDER BY na.seed, na.year"""))
+      ORDER BY na.seed, na.year""")),
+
+    // S12 — Cytoscape NODE-LINK import: the JSON sibling of s10 (the
+    // visualization layer's own format, README.md:27 Cytoscape.js —
+    // round-tripping the s07 artifact proves a document the frontend
+    // renders can be re-ingested for analysis). Same shape as s10:
+    // re-export through the real .json sink, parse back with
+    // GraphImport.nodeLinkNodes/Edges (from_json with explicit schema +
+    // explode — the JSON parser owns escapes the way the XML parser does
+    // for GraphML), re-aggregate; the oracle computes the identical
+    // aggregate from the BASE tables, so the hash proves export → JSON →
+    // sink → parse loses nothing. Same 3 customer egos as s10, so the
+    // two round-trips are value-identical by construction — one detects
+    // what the other's format would silently drop.
+    E("s12_nodelink_import", (s, d) => {
+      val docs = cytoscapeDocs(s, d,
+        s.range(1, 4).select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed")),
+        radius = 2)
+      val nodes = GraphImport.nodeLinkNodes(docs)
+      val edges = GraphImport.nodeLinkEdges(docs)
+      val nAgg = nodes.groupBy("seed")
+        .agg(count(lit(1)).as("n_nodes"), countDistinct(col("label")).as("n_labels"))
+      val eAgg = edges.groupBy("seed", "rel_type")
+        .agg(count(lit(1)).as("n_edges"), sum(col("w_ppm")).as("sum_w_ppm"),
+             countDistinct(col("src")).as("n_src"))
+      eAgg.join(broadcast(nAgg), Seq("seed"))
+        .select("seed", "rel_type", "n_edges", "sum_w_ppm", "n_src", "n_nodes", "n_labels")
+        .orderBy("seed", "rel_type")
+    }, Some(s"""
+      WITH RECURSIVE ${graft.graph.GraphSql.edgesCte}, ${graft.graph.GraphSql.nodesCte},
+      seeds(seed) AS (VALUES (CAST(3000000001 AS BIGINT)), (CAST(3000000002 AS BIGINT)), (CAST(3000000003 AS BIGINT))),
+      sym AS (SELECT src, dst FROM graph_edges UNION SELECT dst, src FROM graph_edges),
+      reach(seed, id, depth) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, s.dst, r.depth + 1 FROM reach r JOIN sym s ON s.src = r.id WHERE r.depth < 2),
+      rs AS (SELECT DISTINCT seed, id FROM reach),
+      ind AS (
+        SELECT a.seed, e.src, e.dst, e.rel_type,
+               CAST(FLOOR(e.weight * 1000000 + 0.5) AS BIGINT) AS w_ppm
+        FROM graph_edges e
+        JOIN rs a ON e.src = a.id
+        JOIN rs b ON b.seed = a.seed AND e.dst = b.id),
+      na AS (SELECT r.seed, COUNT(*) AS n_nodes, COUNT(DISTINCT n.label) AS n_labels
+             FROM rs r JOIN graph_nodes n ON n.id = r.id GROUP BY 1),
+      ea AS (SELECT seed, rel_type, COUNT(*) AS n_edges,
+                    CAST(SUM(w_ppm) AS BIGINT) AS sum_w_ppm,
+                    COUNT(DISTINCT src) AS n_src
+             FROM ind GROUP BY 1, 2)
+      SELECT ea.seed, rel_type, n_edges, sum_w_ppm, n_src, n_nodes, n_labels
+      FROM ea JOIN na ON na.seed = ea.seed
+      ORDER BY ea.seed, rel_type"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

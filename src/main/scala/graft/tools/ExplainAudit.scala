@@ -52,7 +52,19 @@ object ExplainAudit {
     "g56_ubo_asof" -> "final plan is post-checkpoint by design (the keyed propagation materializes at its last step); the ENFORCED pin is PlanSpec 'g56: slider dates add ZERO scans' — exactly 2 lineitem scans (one per dated layer, conditional per-date aggregates) across every executed plan of the run, for any number of slider dates",
     "g57_connection" -> "post-checkpoint final plan shows the meet: the single materialized cone table joined to ITSELF on the node id (two gated broadcast sides), the min-window + final aggregate above it, and the left join restoring beyond-bound pairs — no per-pair traversal, no radius-4 frontier anywhere",
     "g58_connection_path" -> "same meet shape as g57 plus 2x radius conditional backtrack joins against the ONE materialized parent-cone table — path strings appear only above the witness aggregate (|pairs| rows), never below it; no path-enumerating join anywhere in the plan",
-    "g55_jw_screen_rank" -> "the 5-row probe set must BROADCAST (BroadcastNestedLoopJoin) against the one vocabulary scan — scan-once/score-in-codegen; the jaro_winkler projection must sit inside a WholeStageCodegen span (executed-plan check in PlanSpec)")
+    "g55_jw_screen_rank" -> "the 5-row probe set must BROADCAST (BroadcastNestedLoopJoin) against the one vocabulary scan — scan-once/score-in-codegen; the jaro_winkler projection must sit inside a WholeStageCodegen span (executed-plan check in PlanSpec)",
+    // round 12
+    "g59_strongest_connection" -> "post-checkpoint final plan shows the max-product meet: the ONE materialized per-cell-argmax cone table joined to itself on the node id, the (strength DESC, chain ASC) rank window above it, chain string surgery only above the rank (|pairs| rows) — never in the frontier; no per-pair DP anywhere",
+    "g60_connection_asof" -> "the g57 meet shape with as_of in BOTH meet join key sets — one (seed, as_of)-batched traversal feeds the self-join, no per-position edge re-scan (the s09 argument; enforced for the shared primitive in PlanSpec)",
+    "g61_er_screening_queue" -> "candidates must be the UNION of the prefix-token equi-join (block threshold) and the deletion-key equi-join — both lossless blockers, neither a CartesianProduct; the three scorers (array_intersect Jaccard, jaro_winkler, levenshtein) project above the candidate dedup with measured-gate broadcasts on the label rejoin",
+    "t14_alert_dossier" -> "the record side must stay shuffle-free THROUGH the dossier enrichment: Screening.screen's broadcast key index + ONE BroadcastExchange of the watchlist-sized dossier aggregate — the only HashAggregate sits on the dossier build (wid keys), never on the stream side — enforced in PlanSpec",
+    "g62_dossier_asof" -> "final plan is post-checkpoint by design (dated supplied layer + graph build + propagation all materialize); the ENFORCED pin is PlanSpec 'g62: slider dates and dossier sections hold lineitem at 4 scans' — 2 dated layers + 2 materialized edge-union branches, for any number of slider positions or sections",
+    "g63_fanin_velocity" -> "ONE hash exchange on the target feeds BOTH the value-bounded RANGE-frame window and the per-target peak aggregation (same key ⇒ partitioning reuse; enforced on the scale-tier derivation in PlanSpec); no self-join, no bucket duplication",
+    "t15_fanin_alert" -> "dedup-then-count: HashAggregate-free dropDuplicates (window, src, dst) feeding the windowed count — in batch Catalyst plans both as aggregates over ONE exchange sequence; the streaming form chains two watermark-bounded stateful operators (StreamingSpec)",
+    "s11_timeslider_delta" -> "post-checkpoint final plan joins the materialized member/instance tables to their position-SHIFTED selves (left_anti) — the shift is a when-chain projection, NOT a join; slider positions add zero edge scans (the shared egoMembersAsOf primitive is PlanSpec-pinned via s09)",
+    "s10_graphml_import" -> "the xpath extraction must stay a per-row projection over the document column (posexplode realignment — no shuffle introduced by the parse); aggregation above it is ordinary partial/final",
+    "g64_strongest_asof" -> "the g59 meet shape with as_of in the DP state and BOTH meet join key sets — dated layers feed one (owner, as_of)-batched Viterbi recurrence; positions ride state width, never extra passes",
+    "s12_nodelink_import" -> "from_json + explode must stay per-row projections over the document columns (JsonToStructs then Generate — no shuffle from the parse); same re-aggregation shape as s10")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

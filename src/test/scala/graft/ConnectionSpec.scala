@@ -170,6 +170,31 @@ class ConnectionSpec extends SparkSpec {
     }
   }
 
+  test("g64: the date-past-all-data slice equals g59; earlier dates renormalize strengths") {
+    // 2001 is past every o_orderdate/l_shipdate, so the dated web equals
+    // the undated web and the as-of answer must reproduce g59 exactly
+    // (strengths to the 6-decimal contract, identical witness chains)
+    val g59 = SparkEntry.queries("g59_strongest_connection")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id")) ->
+        (r.getAs[Double]("strength6"), r.getAs[String]("chain"), r.getAs[Long]("hops")))
+      .toMap
+    val g64 = SparkEntry.queries("g64_strongest_asof")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("s_id"), r.getAs[Long]("t_id"),
+                 r.getAs[Long]("as_of_year")) ->
+        (r.getAs[Double]("strength6"), r.getAs[String]("chain"), r.getAs[Long]("hops")))
+      .toMap
+    g59.foreach { case ((s0, t0), (st, ch, h)) =>
+      val (st2, ch2, h2) = g64((s0, t0, 2001L))
+      assert(math.abs(st2 - st) <= 1e-6 && ch2 == ch && h2 == h,
+        s"2001 slice diverged from g59 at ($s0,$t0): ($st2,$ch2,$h2) vs ($st,$ch,$h)")
+    }
+    // the 1997 position must DIFFER somewhere (weaker graph, renormalized
+    // weights) — otherwise the slider axis is decorative on this fixture
+    assert(g59.keys.exists { case (s0, t0) =>
+      g64((s0, t0, 1997L)) != g64((s0, t0, 2001L)) },
+      "1997 and 2001 strongest connections identical for every pair")
+  }
+
   test("graded g57 invariants: dist within [-1, 4]; -1 implies empty meet") {
     val rows = SparkEntry.queries("g57_connection")(spark, sfDir).collect()
     assert(rows.length === 3)

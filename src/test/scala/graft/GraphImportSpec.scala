@@ -73,4 +73,25 @@ class GraphImportSpec extends SparkSpec {
     assert(sources.GraphImport.graphmlEdges(docs).count() === 0L)
     assert(sources.GraphImport.graphmlNodes(docs).count() === 1L)
   }
+
+  test("node-link import: parsed rows equal the pre-export extraction; JSON escapes invert") {
+    // quotes/backslashes are the JSON escape surface (the XML path's &<>
+    // analogue); the JSON parser must invert what to_json wrote
+    val docs = Seq((1L,
+      """[{"id":7,"label":"company","name":"A \"B\" \\ Ltd"},{"id":8,"label":"user","name":"plain"}]""",
+      """[{"src":7,"dst":8,"rel_type":"R\"D","w_ppm":500000}]"""))
+      .toDF("seed", "nodes_json", "edges_json")
+    val n = sources.GraphImport.nodeLinkNodes(docs).orderBy("id").collect()
+    assert(n.map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq
+      === Seq((7L, "A \"B\" \\ Ltd"), (8L, "plain")))
+    val e = sources.GraphImport.nodeLinkEdges(docs).collect()
+    assert(e.length === 1)
+    assert(e.head.getAs[Long]("src") === 7L && e.head.getAs[String]("rel_type") === "R\"D"
+      && e.head.getAs[Long]("w_ppm") === 500000L)
+    // empty edges array -> zero rows, not a crash (the s10 contract)
+    val empty = Seq((2L, """[{"id":9,"label":"user","name":"solo"}]""", "[]"))
+      .toDF("seed", "nodes_json", "edges_json")
+    assert(sources.GraphImport.nodeLinkEdges(empty).count() === 0L)
+    assert(sources.GraphImport.nodeLinkNodes(empty).count() === 1L)
+  }
 }
