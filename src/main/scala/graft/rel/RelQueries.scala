@@ -1051,7 +1051,61 @@ object RelQueries {
              CAST(SUM(CASE WHEN d.absdev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
                AS n_outliers
       FROM dev d JOIN mad USING (event_type)
-      GROUP BY 1 ORDER BY event_type"""))
+      GROUP BY 1 ORDER BY event_type""")),
+
+    // R27-family — SCD TYPE-2 APPLY-CHANGES: the warehouse MERGE that
+    // produces the validity intervals every Time-Slider query consumes
+    // (g12/g56/s09 READ (valid_from, valid_to) histories; this is the
+    // operator that WRITES one from a current dimension + a change feed —
+    // README.md:17's "how structures have evolved" needs someone to have
+    // recorded the evolution). Change events: every 7th customer's
+    // segment moves to TIER_<year> at their first order date of each
+    // active year (derived from the order feed — a real change-data
+    // shape, multi-row chains per entity). The merge is declarative:
+    // union current-dim rows (valid_from = epoch) with changes, ONE
+    // per-entity window assigns each row's valid_to = lead(valid_from)
+    // (open rows → 9999-12-31) — no MERGE statement, no per-row
+    // mutation; at 100 TB this is one shuffle on the entity key, and
+    // the output is exactly the slider's input contract. Deterministic:
+    // at most one row per (entity, valid_from) by construction.
+    E("r42_scd2_apply", (s, d) => {
+      val t = Tables(s, d)
+      val dim = t.customer.select(col("c_custkey").as("id"),
+        col("c_mktsegment").as("segment"),
+        lit("1970-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"))
+      val chg = t.orders.filter(col("o_custkey") % 7 === 0)
+        .groupBy(col("o_custkey").as("id"),
+                 year(col("o_orderdate")).as("y"))
+        .agg(min(col("o_orderdate")).as("valid_from"))
+        .select(col("id"), concat(lit("TIER_"), col("y").cast("string")).as("segment"),
+                col("valid_from"))
+      val w = Window.partitionBy("id").orderBy("valid_from")
+      dim.unionByName(chg)
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .select(col("id"), col("segment"),
+          unix_timestamp(col("valid_from").cast("timestamp")).as("valid_from_s"),
+          coalesce(unix_timestamp(col("valid_to").cast("timestamp")),
+            lit(253402300799L)).as("valid_to_s"),
+          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy("id", "valid_from_s")
+    }, Some("""
+      WITH dim AS (SELECT c_custkey AS id, c_mktsegment AS segment,
+                          TIMESTAMP '1970-01-01 00:00:00' AS valid_from
+                   FROM customer),
+      chg AS (SELECT o_custkey AS id,
+                     'TIER_' || CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS segment,
+                     MIN(o_orderdate) AS valid_from
+              FROM orders WHERE o_custkey % 7 = 0
+              GROUP BY 1, EXTRACT(year FROM o_orderdate)),
+      m AS (SELECT * FROM dim UNION ALL SELECT * FROM chg),
+      v AS (SELECT id, segment, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from) AS valid_to
+            FROM m)
+      SELECT id, segment,
+             CAST(epoch(valid_from) AS BIGINT) AS valid_from_s,
+             CAST(COALESCE(epoch(valid_to), 253402300799) AS BIGINT) AS valid_to_s,
+             CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM v ORDER BY id, valid_from_s"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

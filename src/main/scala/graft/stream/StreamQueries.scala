@@ -396,7 +396,38 @@ object StreamQueries {
             FROM tr)
       SELECT win_start_s, dst AS "user", COUNT(*) AS n_distinct_src
       FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 3
-      ORDER BY win_start_s, "user""""))
+      ORDER BY win_start_s, "user"""")),
+
+    // T16 — FIRST-CONTACT detection (incremental graph maintenance):
+    // per source, every counterparty it touches for the FIRST time, with
+    // its running distinct-degree (nth) at that moment — the screening
+    // signal ("A just paid someone new") that doubles as the incremental
+    // build of the interaction graph; EventOps.firstContacts maintains
+    // the adjacency itself as flatMapGroupsWithState state. This twin
+    // grades the batch semantics: first contact = min ts per (src, dst),
+    // nth = the (first_ts, dst) rank per source — exactly the order the
+    // streaming form emits when the feed arrives in time order
+    // (StreamingSpec proves cross-batch suppression + nth continuity).
+    // One groupBy + one per-source window: two shuffles on the same key
+    // at any scale.
+    E("t16_first_contact", (s, d) => {
+      val tr = graft.graph.GraphBuilder.userTransitions(Tables(s, d))
+      val firsts = tr.groupBy("src", "dst").agg(min(col("ts")).as("first_ts"))
+      val w = Window.partitionBy("src").orderBy(col("first_ts"), col("dst"))
+      firsts.withColumn("nth", row_number().over(w).cast("long"))
+        .select(col("src"), col("dst"),
+                unix_micros(col("first_ts")).as("first_ts_us"), col("nth"))
+        .orderBy("src", "nth")
+    }, Some("""
+      WITH tr AS (
+        SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst, ts
+        FROM (SELECT user_id, ts, event_id,
+                     LAG(user_id) OVER (ORDER BY ts, event_id) AS prev FROM events)
+        WHERE prev IS NOT NULL AND prev <> user_id),
+      f AS (SELECT src, dst, MIN(ts) AS first_ts FROM tr GROUP BY 1, 2)
+      SELECT src, dst, epoch_us(first_ts) AS first_ts_us,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY first_ts, dst) AS nth
+      FROM f ORDER BY src, nth"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -497,6 +497,34 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch dedup must count src 1 once and flush the closed window: $got")
     assert(got === batch, "streaming and batch fan-in alerts must agree on closed windows")
   }
+
+  test("T16: first-contact maintenance — repeats suppressed across batches, nth continues") {
+    import graft.stream.{FirstContact, Trn}
+    val source = MemoryStream[Trn](spark)
+    val out = EventOps.firstContacts(source.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("t16fc")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(Trn(1, 10, ts(0)), Trn(1, 11, ts(1)), Trn(2, 10, ts(2)))
+    q.processAllAvailable()
+    // 1→10 repeats (must NOT re-emit — the adjacency state carried over);
+    // 1→12 is new and must continue the count at 3
+    source.addData(Trn(1, 10, ts(3)), Trn(1, 12, ts(4)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t16fc").as[FirstContact].collect()
+      .map(f => (f.src, f.dst, f.nth)).toSet
+    assert(got === Set((1L, 10L, 1L), (1L, 11L, 2L), (2L, 10L, 1L), (1L, 12L, 3L)),
+      s"first-contact stream wrong: $got")
+    // the graded batch twin ranks the same contacts identically
+    val batchRanks = Seq((1L, 10L, ts(0)), (1L, 11L, ts(1)), (2L, 10L, ts(2)),
+        (1L, 10L, ts(3)), (1L, 12L, ts(4))).toDF("src", "dst", "ts")
+      .groupBy("src", "dst").agg(min(col("ts")).as("first_ts"))
+      .withColumn("nth", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("first_ts"), col("dst"))).cast("long"))
+      .select("src", "dst", "nth").as[(Long, Long, Long)].collect().toSet
+    assert(batchRanks === got, "streaming first contacts must equal the batch ranking")
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
