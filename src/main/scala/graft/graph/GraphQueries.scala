@@ -3166,7 +3166,12 @@ object GraphQueries {
                       ROUND(1.0 - levenshtein(registry_label, catalog_label) * 1.0 /
                             greatest(length(registry_label), length(catalog_label)), 6) AS lev_sim6
                FROM sc),
-      fz AS (SELECT *, ROUND(0.45 * jacc6 + 0.35 * jw6 + 0.2 * lev_sim6, 6) AS score6 FROM comp),
+      fz AS (SELECT *,
+               FLOOR((450000 * FLOOR(jacc6 * 1000000 + 0.5)
+                    + 350000 * FLOOR(jw6 * 1000000 + 0.5)
+                    + 200000 * FLOOR(lev_sim6 * 1000000 + 0.5)
+                    + 500000) / 1000000.0) / 1000000.0 AS score6
+             FROM comp),
       rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_l
                                            ORDER BY score6 DESC, catalog_label) AS rnk
               FROM fz)

@@ -60,10 +60,11 @@ import org.apache.spark.sql.functions._
   */
 object ErScore {
 
-  /** The documented weight pack (see object doc). Convex: sums to 1. */
-  val wJacc = 0.45
-  val wJw = 0.35
-  val wLev = 0.20
+  /** The documented weight pack (see object doc). Convex: sums to 1.
+    * Held as exact PPM integers so the fusion arithmetic is integral. */
+  val wJaccPpm = 450000L
+  val wJwPpm = 350000L
+  val wLevPpm = 200000L
 
   /** Normalized Levenshtein similarity in [0, 1]: 1 − dist/max length.
     * Exact integer-ratio arithmetic — bit-identical across engines.
@@ -72,13 +73,27 @@ object ErScore {
     lit(1.0) - levenshtein(a, b).cast("double") /
       greatest(length(a), length(b)).cast("double")
 
-  /** The fused score over ROUNDED components (each round(·, 6) first, so
-    * the fusion consumes exactly the numbers the queue displays — and the
-    * oracle mirror is trivially bit-identical). Left-to-right sum order
-    * is part of the contract.
+  /** The fused score over ROUNDED components, computed in integer
+    * MICRO-space: each rounded component is an exact decimal multiple of
+    * 1e-6, so its ppm (floor(x·1e6 + 0.5)) recovers an exact Long in
+    * both engines, and the convex combination + final half-up rounding
+    * happen on Longs — bit-identical cross-engine BY CONSTRUCTION.
+    * (The prior double-space form round(0.45a + 0.35b + 0.20c, 6) hit
+    * half-ulp ties at sf0.1 — 14 of ~160k candidate rows differed in
+    * the 6th decimal between Spark and DuckDB because the last ulp of
+    * the double sum fell on different sides of the rounding boundary;
+    * integer arithmetic has no ties for the engines to break
+    * differently.) The final FLOOR-of-quotient is exact: the Long
+    * numerator ≤ 4.5e11 is exactly representable, and any non-integer
+    * quotient sits ≥ 1e-6 from an integer — orders of magnitude above
+    * the division's rounding error.
     */
-  def fused(jacc6: Column, jw6: Column, levSim6: Column): Column =
-    round(lit(wJacc) * jacc6 + lit(wJw) * jw6 + lit(wLev) * levSim6, 6)
+  def fused(jacc6: Column, jw6: Column, levSim6: Column): Column = {
+    def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val sumPpm = lit(wJaccPpm) * ppm(jacc6) + lit(wJwPpm) * ppm(jw6) +
+      lit(wLevPpm) * ppm(levSim6) + lit(500000L)
+    floor(sumPpm / lit(1000000.0)).cast("double") / lit(1e6)
+  }
 
   /** The ranked screening queue: for every registry record (id, raw,
     * norm — raw as it arrived, norm after abbreviation normalization,

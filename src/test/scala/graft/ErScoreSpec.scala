@@ -65,11 +65,13 @@ class ErScoreSpec extends SparkSpec {
     // …while the fused score clears a review threshold with margin
     assert(top.getAs[Double]("score6") > 0.55,
       s"fused score ${top.getAs[Double]("score6")} no longer separates the true match")
-    // and fusion's arithmetic is exactly the documented pack over rounded components
-    val expect = BigDecimal(0.45 * top.getAs[Double]("jacc6")
-        + 0.35 * top.getAs[Double]("jw6") + 0.20 * top.getAs[Double]("lev_sim6"))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(math.abs(top.getAs[Double]("score6") - expect) < 1e-9)
+    // and fusion's arithmetic is exactly the documented pack over rounded
+    // components — recomputed here in the same integer micro-space
+    def ppm(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val expect = ((450000L * ppm(top.getAs[Double]("jacc6"))
+        + 350000L * ppm(top.getAs[Double]("jw6"))
+        + 200000L * ppm(top.getAs[Double]("lev_sim6")) + 500000L) / 1000000L) / 1e6
+    assert(math.abs(top.getAs[Double]("score6") - expect) < 1e-12)
   }
 
   test("queue shape: topK per registry record, deterministic rank order") {
