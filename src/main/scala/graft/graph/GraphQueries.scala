@@ -297,6 +297,80 @@ object GraphQueries {
     Seq(supplied, contains, placed)
   }
 
+  /** The g62 dossier-as-of long-format rows (as_of, supplier, section,
+    * key, detail, score) over the fixed 1996/2001 slider positions —
+    * extracted so g62 (the per-position dossier) and g65 (the dossier
+    * DELTA between positions) build the SAME rows; the composition
+    * notes live on the g62 entry, the scan contract (4 lineitem scans,
+    * dates and sections add zero) is plan-pinned via g62.
+    */
+  private def dossierAsOfRows(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    val dates = Seq(1996, 2001).map(y => s"$y-12-31 23:59:59")
+    def asOf(ds: String) = lit(ds).cast("timestamp_ntz")
+    // the dated supplied layer feeds THREE consumers (ownership layer,
+    // part concentration, seed-part linkage) — materialize it so the
+    // lineitem scan behind it happens once, keeping the g56 scan
+    // contract (dates AND sections add zero scans; plan-pinned)
+    val Seq(supplied0, contains, placed) = datedUboLayers(t, dates)
+    val supplied = supplied0.transform(Materialize.apply)
+    def rev(df: DataFrame) = df.select(col("as_of"),
+      col("dst").as("src"), col("src").as("dst"), col("weight"))
+    val seeds = s.range(1, 3)
+      .select((lit(GraphBuilder.SupplierBase) + col("id")).as("owner"))
+    val dateDf = dates.map(ds => s.range(1).select(asOf(ds).as("as_of")))
+      .reduce(_.unionByName(_))
+    val init = seeds.crossJoin(dateDf)
+      .select(col("owner"), col("as_of"), col("owner").as("entity"),
+              lit(1.0).cast("double").as("share"))
+    val cones = Ubo.propagateLayersAsOf(Seq(rev(supplied), rev(contains), rev(placed)), init)
+      .select(col("as_of"), col("owner").as("supplier"), col("entity").as("holder"),
+              round(col("share"), 6).as("share6"))
+    val w = Window.partitionBy("as_of", "supplier")
+      .orderBy(col("share6").desc, col("holder"))
+    val custNames = t.customer.select(
+      (lit(GraphBuilder.CustomerBase) + col("c_custkey")).as("holder"),
+      col("c_name").as("cname"))
+    val ownerRows = cones.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(custNames), Seq("holder"))
+      .select(col("as_of"), col("supplier"), lit("owner").as("section"),
+              col("holder").as("key"), col("cname").as("detail"),
+              col("share6").as("score"))
+    val pAgg = supplied.groupBy(col("as_of"), col("src").as("pid"))
+      .agg(count(lit(1)).as("n"), max(col("weight")).as("mx"))
+      .withColumn("ratio", col("mx") * col("n"))
+    val seedParts = supplied
+      .join(broadcast(seeds.withColumnRenamed("owner", "supplier")),
+            col("dst") === col("supplier"))
+      .select(col("as_of"), col("supplier"), col("src").as("pid")).distinct()
+    val riskRows = seedParts.join(pAgg, Seq("as_of", "pid"))
+      .filter(col("ratio") >= 2.5)
+      .select(col("as_of"), col("supplier"), lit("risk_part").as("section"),
+              col("pid").as("key"),
+              when(col("ratio") >= 3.0, lit("dominant_supplier,highly_concentrated"))
+                .otherwise(lit("dominant_supplier")).as("detail"),
+              round(col("ratio"), 6).as("score"))
+    // the ego section needs the FULL graph (its CONTAINS/SUPPLIED_BY
+    // edges also derive from lineitem); materialize the build so the
+    // traversal and the induced-edge join read one edge table, not two
+    // fresh lineitem scans each (plan-pinned: 4 lineitem scans total —
+    // 2 dated layers + 2 edge-union branches — however many dates)
+    val g = GraphBuilder.edges(t).transform(Materialize.apply)
+    val sy = seeds.crossJoin(dateDf).select(col("owner").as("seed"), col("as_of"))
+    val mem = Traversals.egoMembersAsOf(g, sy, 2).transform(Materialize.apply)
+    val egoNodeRows = mem.groupBy(col("seed"), col("as_of"))
+      .agg(count(lit(1)).cast("double").as("score"))
+      .select(col("as_of"), col("seed").as("supplier"), lit("ego_nodes").as("section"),
+              lit(0L).as("key"), lit("nodes").as("detail"), col("score"))
+    val egoEdgeRows = Traversals.inducedEdgesAsOf(g, mem)
+      .groupBy(col("seed"), col("as_of"), col("rel_type"))
+      .agg(count(lit(1)).cast("double").as("score"))
+      .select(col("as_of"), col("seed").as("supplier"), lit("ego_edges").as("section"),
+              lit(0L).as("key"), col("rel_type").as("detail"), col("score"))
+    ownerRows.unionByName(riskRows).unionByName(egoNodeRows).unionByName(egoEdgeRows)
+  }
+
   /** g07_cc_full's order-contracted edge list (see the entry's comment for
     * the contraction proof) — extracted so scale probes (tools/CcTierProbe)
     * measure the EXACT graded graph, single-sourced with the query. */
@@ -2997,6 +3071,144 @@ object GraphQueries {
       FROM pr p LEFT JOIN agg a ON a.s_id = p.s_id AND a.t_id = p.t_id AND a.as_of = p.as_of
       ORDER BY p.s_id, p.t_id, as_of_year""")),
 
+    // G29b — DOSSIER DELTA between Time-Slider positions: "what CHANGED
+    // in supplier S's dossier between 1996 and 2001?" — the slider
+    // animates the dossier too, and unlike s11's monotone node
+    // membership the dossier genuinely REMOVES rows as the slider moves
+    // (a top-3 owner displaced by a later holder, a part whose
+    // concentration ratio renormalizes back under the flag threshold),
+    // so added/removed/changed are all load-bearing. Row identity is
+    // (supplier, section, key) with detail folded in for the ego
+    // sections (their key is the section constant; the rel_type IS the
+    // identity); "changed" = same identity, different detail or score.
+    // One full-outer self-diff over the SAME materialized rows g62
+    // builds (dossierAsOfRows — the diff adds zero scans), aggregated
+    // to per-(supplier, section, status) counts with a deterministic
+    // min-key witness.
+    E("g65_dossier_delta", (s, d) => {
+      val rows = dossierAsOfRows(s, d).transform(Materialize.apply)
+      def side(y: Int, suffix: String) = rows
+        .filter(year(col("as_of")) === y)
+        .select(col("supplier"), col("section"), col("key"),
+                when(col("section").startsWith("ego"), col("detail"))
+                  .otherwise(lit("")).as("ident"),
+                col("detail").as("detail" + suffix),
+                col("score").as("score" + suffix),
+                lit(1).as("in" + suffix))
+      val j = side(1996, "_a").join(side(2001, "_b"),
+        Seq("supplier", "section", "key", "ident"), "full_outer")
+      j.withColumn("status",
+          when(col("in_a").isNull, lit("added"))
+            .when(col("in_b").isNull, lit("removed"))
+            .when(col("detail_a") =!= col("detail_b") ||
+                  col("score_a") =!= col("score_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy("supplier", "section", "status")
+        .agg(count(lit(1)).as("n"), min(col("key")).as("sample_key"))
+        .orderBy("supplier", "section", "status")
+    }, Some(s"""
+      WITH RECURSIVE dates(as_of) AS (VALUES (TIMESTAMP '1996-12-31 23:59:59'),
+                                             (TIMESTAMP '2001-12-31 23:59:59')),
+      placed_a AS (
+        SELECT d.as_of, CAST(3000000000 + o_custkey AS BIGINT) AS src,
+               CAST(6000000000 + o_orderkey AS BIGINT) AS dst,
+               CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY d.as_of, o_custkey) AS weight
+        FROM orders CROSS JOIN dates d WHERE o_orderdate <= d.as_of),
+      contains_a AS (
+        SELECT as_of, CAST(6000000000 + l_orderkey AS BIGINT) AS src,
+               CAST(5000000000 + l_partkey AS BIGINT) AS dst,
+               CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY as_of, l_orderkey) AS DOUBLE) AS weight
+        FROM (SELECT d.as_of, l_orderkey, l_partkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              FROM lineitem CROSS JOIN dates d WHERE l_shipdate <= d.as_of GROUP BY 1, 2, 3)),
+      supplied_a AS (
+        SELECT as_of, CAST(5000000000 + l_partkey AS BIGINT) AS src,
+               CAST(4000000000 + l_suppkey AS BIGINT) AS dst,
+               CAST(qty AS DOUBLE) / CAST(SUM(qty) OVER (PARTITION BY as_of, l_partkey) AS DOUBLE) AS weight
+        FROM (SELECT d.as_of, l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              FROM lineitem CROSS JOIN dates d WHERE l_shipdate <= d.as_of GROUP BY 1, 2, 3)),
+      b0 AS (SELECT CAST(4000000000 + v.s AS BIGINT) AS supplier, d.as_of,
+                    CAST(4000000000 + v.s AS BIGINT) AS entity, CAST(1.0 AS DOUBLE) AS share
+             FROM (VALUES (1), (2)) AS v(s) CROSS JOIN dates d),
+      b1 AS (SELECT p.supplier, p.as_of, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b0 p JOIN supplied_a e ON e.dst = p.entity AND e.as_of = p.as_of GROUP BY 1, 2, 3),
+      b2 AS (SELECT p.supplier, p.as_of, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b1 p JOIN contains_a e ON e.dst = p.entity AND e.as_of = p.as_of GROUP BY 1, 2, 3),
+      b3 AS (SELECT p.supplier, p.as_of, e.src AS entity, SUM(p.share * e.weight) AS share
+             FROM b2 p JOIN placed_a e ON e.dst = p.entity AND e.as_of = p.as_of GROUP BY 1, 2, 3),
+      cone AS (SELECT supplier, as_of, entity AS holder, ROUND(share, 6) AS share6 FROM b3),
+      rk AS (SELECT supplier, as_of, holder, share6,
+                    ROW_NUMBER() OVER (PARTITION BY as_of, supplier
+                                       ORDER BY share6 DESC, holder) AS rnk
+             FROM cone),
+      owner_rows AS (
+        SELECT r.as_of, r.supplier, 'owner' AS section, r.holder AS "key",
+               c.c_name AS detail, r.share6 AS score
+        FROM rk r JOIN customer c ON 3000000000 + c.c_custkey = r.holder
+        WHERE r.rnk <= 3),
+      pagg AS (SELECT as_of, src AS pid, COUNT(*) AS n, MAX(weight) AS mx,
+                      MAX(weight) * COUNT(*) AS ratio
+               FROM supplied_a GROUP BY 1, 2),
+      seed_parts AS (SELECT DISTINCT as_of, dst AS supplier, src AS pid FROM supplied_a
+                     WHERE dst IN (4000000001, 4000000002)),
+      risk_rows AS (
+        SELECT sp.as_of, sp.supplier, 'risk_part' AS section, sp.pid AS "key",
+               CASE WHEN p.ratio >= 3.0 THEN 'dominant_supplier,highly_concentrated'
+                    ELSE 'dominant_supplier' END AS detail,
+               ROUND(p.ratio, 6) AS score
+        FROM seed_parts sp JOIN pagg p ON p.as_of = sp.as_of AND p.pid = sp.pid
+        WHERE p.ratio >= 2.5),
+      ${edgesCte},
+      sy(seed, as_of) AS (SELECT CAST(4000000000 + v.s AS BIGINT), d.as_of
+                          FROM (VALUES (1), (2)) v(s) CROSS JOIN dates d),
+      sym AS (SELECT src, dst, MIN(COALESCE(valid_from, TIMESTAMP '1970-01-01')) AS active_from
+              FROM (SELECT src, dst, valid_from FROM graph_edges
+                    UNION ALL SELECT dst, src, valid_from FROM graph_edges) GROUP BY 1, 2),
+      reach(seed, as_of, id, depth) AS (
+        SELECT seed, as_of, seed, 0 FROM sy
+        UNION ALL
+        SELECT r.seed, r.as_of, s2.dst, r.depth + 1
+        FROM reach r JOIN sym s2 ON s2.src = r.id
+        WHERE r.depth < 2 AND s2.active_from <= r.as_of),
+      rs AS (SELECT DISTINCT seed, as_of, id FROM reach),
+      ego_nodes AS (SELECT as_of, seed AS supplier, 'ego_nodes' AS section,
+                           CAST(0 AS BIGINT) AS "key", 'nodes' AS detail,
+                           CAST(COUNT(*) AS DOUBLE) AS score
+                    FROM rs GROUP BY 1, 2),
+      ind AS (SELECT a.seed, a.as_of, e.rel_type
+              FROM graph_edges e
+              JOIN rs a ON e.src = a.id
+              JOIN rs b ON b.seed = a.seed AND b.as_of = a.as_of AND e.dst = b.id
+              WHERE e.valid_from IS NULL OR e.valid_from <= a.as_of),
+      ego_edges AS (SELECT as_of, seed AS supplier, 'ego_edges' AS section,
+                           CAST(0 AS BIGINT) AS "key", rel_type AS detail,
+                           CAST(COUNT(*) AS DOUBLE) AS score
+                    FROM ind GROUP BY 1, 2, 5),
+      allrows AS (SELECT * FROM owner_rows UNION ALL SELECT * FROM risk_rows
+                  UNION ALL SELECT * FROM ego_nodes UNION ALL SELECT * FROM ego_edges),
+      sa AS (SELECT supplier, section, "key",
+                    CASE WHEN section LIKE 'ego%' THEN detail ELSE '' END AS ident,
+                    detail, score
+             FROM allrows WHERE EXTRACT(year FROM as_of) = 1996),
+      sb AS (SELECT supplier, section, "key",
+                    CASE WHEN section LIKE 'ego%' THEN detail ELSE '' END AS ident,
+                    detail, score
+             FROM allrows WHERE EXTRACT(year FROM as_of) = 2001),
+      dj AS (SELECT COALESCE(sa.supplier, sb.supplier) AS supplier,
+                    COALESCE(sa.section, sb.section) AS section,
+                    COALESCE(sa."key", sb."key") AS "key",
+                    CASE WHEN sa.supplier IS NULL THEN 'added'
+                         WHEN sb.supplier IS NULL THEN 'removed'
+                         WHEN sa.detail <> sb.detail OR sa.score <> sb.score THEN 'changed'
+                         ELSE 'unchanged' END AS status
+             FROM sa FULL OUTER JOIN sb
+               ON sa.supplier = sb.supplier AND sa.section = sb.section
+              AND sa."key" = sb."key" AND sa.ident = sb.ident)
+      SELECT supplier, section, status, COUNT(*) AS n, MIN("key") AS sample_key
+      FROM dj GROUP BY 1, 2, 3
+      ORDER BY supplier, section, status""")),
+
     // G31 — STRONGEST connection AS-OF: "how strong was the strongest
     // ownership chain between X and Y in mid-1997?" — completes the
     // {distance, strength} × {now, as-of} matrix (g57 distance-now, g59
@@ -3296,70 +3508,7 @@ object GraphQueries {
     // prepended. Top-3 owners per (date, supplier), rank-truncated (the
     // g03 dilution lesson).
     E("g62_dossier_asof", (s, d) => {
-      val t = Tables(s, d)
-      val dates = Seq(1996, 2001).map(y => s"$y-12-31 23:59:59")
-      def asOf(ds: String) = lit(ds).cast("timestamp_ntz")
-      // the dated supplied layer feeds THREE consumers (ownership layer,
-      // part concentration, seed-part linkage) — materialize it so the
-      // lineitem scan behind it happens once, keeping the g56 scan
-      // contract (dates AND sections add zero scans; plan-pinned)
-      val Seq(supplied0, contains, placed) = datedUboLayers(t, dates)
-      val supplied = supplied0.transform(Materialize.apply)
-      def rev(df: DataFrame) = df.select(col("as_of"),
-        col("dst").as("src"), col("src").as("dst"), col("weight"))
-      val seeds = s.range(1, 3)
-        .select((lit(GraphBuilder.SupplierBase) + col("id")).as("owner"))
-      val dateDf = dates.map(ds => s.range(1).select(asOf(ds).as("as_of")))
-        .reduce(_.unionByName(_))
-      val init = seeds.crossJoin(dateDf)
-        .select(col("owner"), col("as_of"), col("owner").as("entity"),
-                lit(1.0).cast("double").as("share"))
-      val cones = Ubo.propagateLayersAsOf(Seq(rev(supplied), rev(contains), rev(placed)), init)
-        .select(col("as_of"), col("owner").as("supplier"), col("entity").as("holder"),
-                round(col("share"), 6).as("share6"))
-      val w = Window.partitionBy("as_of", "supplier")
-        .orderBy(col("share6").desc, col("holder"))
-      val custNames = t.customer.select(
-        (lit(GraphBuilder.CustomerBase) + col("c_custkey")).as("holder"),
-        col("c_name").as("cname"))
-      val ownerRows = cones.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .join(broadcast(custNames), Seq("holder"))
-        .select(col("as_of"), col("supplier"), lit("owner").as("section"),
-                col("holder").as("key"), col("cname").as("detail"),
-                col("share6").as("score"))
-      val pAgg = supplied.groupBy(col("as_of"), col("src").as("pid"))
-        .agg(count(lit(1)).as("n"), max(col("weight")).as("mx"))
-        .withColumn("ratio", col("mx") * col("n"))
-      val seedParts = supplied
-        .join(broadcast(seeds.withColumnRenamed("owner", "supplier")),
-              col("dst") === col("supplier"))
-        .select(col("as_of"), col("supplier"), col("src").as("pid")).distinct()
-      val riskRows = seedParts.join(pAgg, Seq("as_of", "pid"))
-        .filter(col("ratio") >= 2.5)
-        .select(col("as_of"), col("supplier"), lit("risk_part").as("section"),
-                col("pid").as("key"),
-                when(col("ratio") >= 3.0, lit("dominant_supplier,highly_concentrated"))
-                  .otherwise(lit("dominant_supplier")).as("detail"),
-                round(col("ratio"), 6).as("score"))
-      // the ego section needs the FULL graph (its CONTAINS/SUPPLIED_BY
-      // edges also derive from lineitem); materialize the build so the
-      // traversal and the induced-edge join read one edge table, not two
-      // fresh lineitem scans each (plan-pinned: 4 lineitem scans total —
-      // 2 dated layers + 2 edge-union branches — however many dates)
-      val g = GraphBuilder.edges(t).transform(Materialize.apply)
-      val sy = seeds.crossJoin(dateDf).select(col("owner").as("seed"), col("as_of"))
-      val mem = Traversals.egoMembersAsOf(g, sy, 2).transform(Materialize.apply)
-      val egoNodeRows = mem.groupBy(col("seed"), col("as_of"))
-        .agg(count(lit(1)).cast("double").as("score"))
-        .select(col("as_of"), col("seed").as("supplier"), lit("ego_nodes").as("section"),
-                lit(0L).as("key"), lit("nodes").as("detail"), col("score"))
-      val egoEdgeRows = Traversals.inducedEdgesAsOf(g, mem)
-        .groupBy(col("seed"), col("as_of"), col("rel_type"))
-        .agg(count(lit(1)).cast("double").as("score"))
-        .select(col("as_of"), col("seed").as("supplier"), lit("ego_edges").as("section"),
-                lit(0L).as("key"), col("rel_type").as("detail"), col("score"))
-      ownerRows.unionByName(riskRows).unionByName(egoNodeRows).unionByName(egoEdgeRows)
+      dossierAsOfRows(s, d)
         .select(year(col("as_of")).cast("long").as("as_of_year"), col("supplier"),
                 col("section"), col("key"), col("detail"), col("score"))
         .orderBy("as_of_year", "supplier", "section", "key", "detail")
