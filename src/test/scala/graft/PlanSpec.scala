@@ -440,4 +440,19 @@ class PlanSpec extends SparkSpec {
       s"expected 4 lineitem scans (2 dated layers + 2 materialized edge-union " +
         s"branches), got $lineitemScans across ${ps.size} plans")
   }
+
+  test("g65: the dossier delta adds ZERO lineitem scans over g62's 4-scan pin") {
+    // the diff is a full-outer self-join + groupBy over the SAME
+    // materialized dossierAsOfRows frame g62 reads — both slider frames
+    // come out of one build, so the delta costs g62's 4 pinned scans and
+    // nothing more (VERDICT r12 #2: assert the reuse, don't just claim it)
+    val ps = capturedPlans(s => SparkEntry.queries("g65_dossier_delta")(s, sfDir).collect())
+    assert(ps.nonEmpty, "listener captured no executed plans — capture path broke")
+    val lineitemScans = ps
+      .map(_.split("Initial Plan").head)
+      .map("""lineitem\.parquet""".r.findAllIn(_).size).sum
+    assert(lineitemScans == 4,
+      s"expected the g62 pin unchanged (4 lineitem scans, the diff adds none), " +
+        s"got $lineitemScans across ${ps.size} plans")
+  }
 }

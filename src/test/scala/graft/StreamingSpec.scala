@@ -525,6 +525,41 @@ class StreamingSpec extends SparkSpec {
       .select("src", "dst", "nth").as[(Long, Long, Long)].collect().toSet
     assert(batchRanks === got, "streaming first contacts must equal the batch ranking")
   }
+
+  test("T16b: TTL-bounded first contacts — suppression holds within the horizon, expiry is observable, re-contact restarts") {
+    import graft.stream.{FirstContactTtl, Trn}
+    val source = MemoryStream[Trn](spark)
+    // 1h TTL, zero-delay watermark: the watermark is exactly max event time
+    val out = EventOps.firstContactsTtl(source.toDS(), ttlMs = 3600000L,
+      watermarkDelay = "0 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("t16ttl")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("t16ttl").as[FirstContactTtl].collect()
+      .map(f => (f.src, f.dst, f.nth, f.expired)).toSeq
+    def collected() = rows().toSet
+    // batch 1: two contacts for src 1
+    source.addData(Trn(1, 10, ts(0)), Trn(1, 11, ts(1)))
+    q.processAllAvailable()
+    // batch 2 (within horizon): repeat suppressed, new contact continues nth
+    source.addData(Trn(1, 10, ts(2)), Trn(1, 12, ts(3)))
+    q.processAllAvailable()
+    assert(collected() === Set((1L, 10L, 1L, false), (1L, 11L, 2L, false),
+      (1L, 12L, 3L, false)), s"within-horizon behavior diverged: ${collected()}")
+    // push the watermark past src 1's timeout (last activity ts(3) + 1h)
+    // via another key's event at ts(120) = +2h -> expiry marker carrying
+    // the dropped adjacency size
+    source.addData(Trn(2, 20, ts(120)))
+    q.processAllAvailable()
+    assert(collected().contains((1L, -1L, 3L, true)),
+      s"expiry must be observable with the dropped adjacency size: ${collected()}")
+    // re-contact AFTER expiry legitimately re-emits with nth restarting
+    // at 1 — the tuple equals batch 1's first emission, so count it
+    source.addData(Trn(1, 10, ts(121)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().count(_ == (1L, 10L, 1L, false)) === 2,
+      s"post-expiry re-contact must re-emit as a first contact: ${rows()}")
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
