@@ -142,6 +142,16 @@ object Bench {
     * is adjudicated as late-JVM state in a 190-query run — the new pin
     * absorbs the honest floor shift, the band keeps catching the rest.
     */
+  /** RATCHET REFERENCE (ADVICE r12): the round-11 pins, taken BEFORE the
+    * round-12 broad machine drift raised most pins 20–60% on untouched
+    * code. If host readings recover to this neighborhood, re-pin DOWN
+    * (tools/RePin mechanizes the sweep); until then, judge a suspected
+    * genuine ~1.5× regression in a shuffle-light query against THESE
+    * numbers, not the drift-widened ones: r01 1.02, r06 1.20, r09 0.89,
+    * r13 0.48, g02 3.35, g03_exposure 4.50, g03_cyclic 2.36, g06 0.51,
+    * g07 2.21, g09 1.24, g11 3.00, l02 5.50, l03 2.20, l05 0.15,
+    * t01 0.27, t03 0.48 (sum 29.4 s).
+    */
   val quietMediansSec: Map[String, Double] = Map(
     "r01_projection" -> 1.57, "r06_range_join" -> 2.01,
     "r09_agg" -> 1.26, "r13_window_rank" -> 0.72,

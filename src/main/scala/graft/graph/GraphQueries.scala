@@ -3238,6 +3238,108 @@ object GraphQueries {
       FROM dj GROUP BY 1, 2, 3
       ORDER BY supplier, section, status""")),
 
+    // G29c — CAPPED dossier ego sections (VERDICT r12 #4: the DEPLOYMENT
+    // shape). g62's graded ego sections traverse nation hubs UNCAPPED —
+    // at sf6.4 each (seed, date) ego pulls ~1/25 of all suppliers/
+    // customers (388→888 s swing, SCALE.md round-12 note 1). This grades
+    // the bounded form: `capEgoMembersAsOf` truncates each (seed, date)
+    // frame to the top-`cap` members by (depth, induced strength, id) —
+    // the s09-capped convention — with the PRE-CAP total surfaced so a
+    // consumer sees the truncation, then summarizes the capped frame's
+    // induced edges per rel_type. Strength ranks in INTEGER micro-space
+    // (edge weights pre-rounded to ppm, so strength sums are exact whole
+    // doubles — the g61 cross-engine tie lesson: ranking on raw float
+    // sums would hash-diverge on summation order). The oracle mirrors
+    // the full rank: min-depth reach, validity-filtered induced ppm
+    // strength, (depth, strength DESC NULLS LAST, id) row_number.
+    E("g62b_dossier_ego_capped", (s, d) => {
+      val t = Tables(s, d)
+      val g = GraphBuilder.edges(t).transform(Materialize.apply)
+      val gppm = g.withColumn("weight", floor(col("weight") * 1e6 + 0.5))
+      val seeds = s.range(1, 3)
+        .select((lit(GraphBuilder.SupplierBase) + col("id")).as("seed"))
+      val dateDf = Seq("1996-12-31 23:59:59", "2001-12-31 23:59:59")
+        .map(ds => s.range(1).select(lit(ds).cast("timestamp_ntz").as("as_of")))
+        .reduce(_.unionByName(_))
+      val sy = seeds.crossJoin(dateDf)
+      val mem = Traversals.egoMembersAsOf(g, sy, 2)
+      val capped = Traversals.capEgoMembersAsOf(gppm, mem, 40)
+        .transform(Materialize.apply)
+      val kept = capped.groupBy("seed", "as_of")
+        .agg(count(lit(1)).as("n_kept"), max(col("n_total")).as("n_total"))
+      val e = Traversals.inducedEdgesAsOf(gppm, capped)
+        .groupBy(col("seed"), col("as_of"), col("rel_type"))
+        .agg(count(lit(1)).as("n_edges"), sum(col("weight")).cast("long").as("sum_w_ppm"))
+      kept.join(e, Seq("seed", "as_of"), "left")
+        .select(col("seed").as("supplier"),
+                year(col("as_of")).cast("long").as("as_of_year"),
+                col("n_total"), col("n_kept"),
+                coalesce(col("rel_type"), lit("(none)")).as("rel_type"),
+                coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+                coalesce(col("sum_w_ppm"), lit(0L)).as("sum_w_ppm"))
+        .orderBy("supplier", "as_of_year", "rel_type")
+    }, Some(s"""
+      WITH RECURSIVE ${GraphSql.edgesCte},
+      sy(seed, as_of) AS (
+        SELECT CAST(4000000000 + v.s AS BIGINT), d.as_of
+        FROM (VALUES (1), (2)) v(s)
+        CROSS JOIN (VALUES (TIMESTAMP '1996-12-31 23:59:59'),
+                           (TIMESTAMP '2001-12-31 23:59:59')) d(as_of)),
+      sym AS (
+        SELECT src, dst, MIN(COALESCE(valid_from, TIMESTAMP '1970-01-01')) AS active_from
+        FROM (SELECT src, dst, valid_from FROM graph_edges
+              UNION ALL SELECT dst, src, valid_from FROM graph_edges)
+        GROUP BY 1, 2),
+      reach(seed, as_of, id, depth) AS (
+        SELECT seed, as_of, seed, 0 FROM sy
+        UNION ALL
+        SELECT r.seed, r.as_of, s.dst, r.depth + 1
+        FROM reach r JOIN sym s ON s.src = r.id
+        WHERE r.depth < 2 AND s.active_from <= r.as_of),
+      mem AS (SELECT seed, as_of, id, MIN(depth) AS depth
+              FROM reach GROUP BY 1, 2, 3),
+      eppm AS (SELECT src, dst, rel_type, FLOOR(weight * 1000000 + 0.5) AS w_ppm,
+                      valid_from
+               FROM graph_edges),
+      ind AS (
+        SELECT a.seed, a.as_of, e.src, e.dst, e.rel_type, e.w_ppm
+        FROM eppm e
+        JOIN mem a ON e.src = a.id
+        JOIN mem b ON b.seed = a.seed AND b.as_of = a.as_of AND e.dst = b.id
+        WHERE e.valid_from IS NULL OR e.valid_from <= a.as_of),
+      strength AS (
+        SELECT seed, as_of, id, SUM(w_ppm) AS strength
+        FROM (SELECT seed, as_of, src AS id, w_ppm FROM ind
+              UNION ALL SELECT seed, as_of, dst AS id, w_ppm FROM ind)
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT m.seed, m.as_of, m.id, m.depth,
+               ROW_NUMBER() OVER (PARTITION BY m.seed, m.as_of
+                 ORDER BY m.depth ASC, s.strength DESC NULLS LAST, m.id ASC) AS rnk,
+               COUNT(*) OVER (PARTITION BY m.seed, m.as_of) AS n_total
+        FROM mem m LEFT JOIN strength s
+          ON s.seed = m.seed AND s.as_of = m.as_of AND s.id = m.id),
+      capped AS (SELECT seed, as_of, id, n_total FROM ranked WHERE rnk <= 40),
+      kept AS (SELECT seed, as_of, COUNT(*) AS n_kept, MAX(n_total) AS n_total
+               FROM capped GROUP BY 1, 2),
+      cind AS (
+        SELECT a.seed, a.as_of, e.rel_type, e.w_ppm
+        FROM eppm e
+        JOIN capped a ON e.src = a.id
+        JOIN capped b ON b.seed = a.seed AND b.as_of = a.as_of AND e.dst = b.id
+        WHERE e.valid_from IS NULL OR e.valid_from <= a.as_of),
+      eagg AS (SELECT seed, as_of, rel_type, COUNT(*) AS n_edges,
+                      CAST(SUM(w_ppm) AS BIGINT) AS sum_w_ppm
+               FROM cind GROUP BY 1, 2, 3)
+      SELECT k.seed AS supplier,
+             CAST(EXTRACT(year FROM k.as_of) AS BIGINT) AS as_of_year,
+             k.n_total, k.n_kept,
+             COALESCE(e.rel_type, '(none)') AS rel_type,
+             COALESCE(e.n_edges, CAST(0 AS BIGINT)) AS n_edges,
+             COALESCE(e.sum_w_ppm, CAST(0 AS BIGINT)) AS sum_w_ppm
+      FROM kept k LEFT JOIN eagg e ON e.seed = k.seed AND e.as_of = k.as_of
+      ORDER BY supplier, as_of_year, rel_type""")),
+
     // G31 — STRONGEST connection AS-OF: "how strong was the strongest
     // ownership chain between X and Y in mid-1997?" — completes the
     // {distance, strength} × {now, as-of} matrix (g57 distance-now, g59

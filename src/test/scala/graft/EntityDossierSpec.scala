@@ -143,6 +143,40 @@ class EntityDossierSpec extends SparkSpec {
       s"per-date propagation wrong or leaked across dates: $out")
   }
 
+  test("g62b: capped ego sections — kept = min(cap, total), truncation visible and exercised, edges closed over the kept set") {
+    // the TimesliderExportSpec cap contract carried to the dossier
+    // deployment shape (VERDICT r12 #4): every (supplier, date) frame
+    // survives with the pre-cap total riding along, and the fixture must
+    // actually truncate somewhere or the guard is idle
+    val rows = SparkEntry.queries("g62b_dossier_ego_capped")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val frames = rows.groupBy(r => (r.getAs[Long]("supplier"), r.getAs[Long]("as_of_year")))
+    assert(frames.size === 4, s"2 suppliers x 2 dates expected, got ${frames.keySet}")
+    frames.foreach { case (key, rs) =>
+      val nTotal = rs.head.getAs[Long]("n_total")
+      val nKept = rs.head.getAs[Long]("n_kept")
+      assert(nKept === math.min(40L, nTotal), s"$key: kept must be min(cap, total)")
+      assert(rs.map(_.getAs[Long]("n_total")).toSet.size === 1,
+        s"$key: pre-cap total must be constant within a frame")
+    }
+    assert(frames.exists(_._2.head.getAs[Long]("n_total") > 40L),
+      "fixture no longer exercises truncation — lower the cap or raise radius")
+    // edge closure: the capped frame's edge mass can never exceed the
+    // uncapped frame's (g62's ego_edges section over the same dates)
+    val full = SparkEntry.queries("g62_dossier_asof")(spark, sfDir).collect()
+      .filter(_.getAs[String]("section") == "ego_edges")
+      .groupBy(r => (r.getAs[Long]("supplier"), r.getAs[Long]("as_of_year")))
+      .view.mapValues(_.map(_.getAs[Double]("score")).sum).toMap
+    frames.foreach { case (key, rs) =>
+      val cappedEdges = rs.filter(_.getAs[String]("rel_type") != "(none)")
+        .map(_.getAs[Long]("n_edges")).sum
+      full.get(key).foreach { fullEdges =>
+        assert(cappedEdges <= fullEdges.toLong,
+          s"$key: capped induced edges ($cappedEdges) exceed the uncapped frame's ($fullEdges)")
+      }
+    }
+  }
+
   test("risk parts are the seed's own parts, flags follow g16 semantics") {
     val seedParts = graph.GraphBuilder.edges(Tables(spark, sfDir))
       .filter(col("rel_type") === "SUPPLIED_BY" && col("dst") === seed)
