@@ -2153,7 +2153,146 @@ object LlmQueries {
       SELECT r.doc_id, r.source, q.n_src, q.quota, CAST(r.rk AS BIGINT) AS rk
       FROM r JOIN quota q USING (source)
       WHERE r.rk <= q.quota
-      ORDER BY source, rk"""))
+      ORDER BY source, rk""")),
+
+    // L10 — BM25 lexical retrieval (Robertson–Spärck Jones / Okapi; the
+    // Lucene +1 IDF form so scores stay positive): top-20 documents for a
+    // fixed 3-term query, k1 = 1.2, b = 0.75. The retrieval half every
+    // RAG/curation pipeline pairs with the embedding index. Determinism
+    // discipline: avgdl is SUM(dl)/COUNT (exact integer division in
+    // double — AVG's summation order would wobble the last ulp across
+    // engines), the per-doc score is the ≤3 per-term weights added in a
+    // FIXED literal order via conditional pivots (never a float SUM whose
+    // order the engine picks — the l36/g61 lesson), and ranking is on the
+    // ROUNDED score with doc_id tiebreak. Scale shape: tokenize is
+    // generator-based and shuffle-free; the tf filter on the query terms
+    // prunes BEFORE any aggregation, so the expensive state is
+    // (matching docs × ≤3 terms), never the corpus vocabulary; df and
+    // corpus stats are one-row/broadcast joins.
+    E("l43_bm25", (s, d) => {
+      val docs = Tables(s, d).documents
+      val terms = Seq("spark", "join", "filter")
+      val k1 = 1.2; val b = 0.75
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+                         count(lit(1)).as("n_docs"))
+      val tf = tok.filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val w = tf.join(broadcast(df_), "token")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      val scored = w.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"),
+             (terms.map(t => coalesce(max(when(col("token") === t, col("w"))), lit(0.0)))
+               .reduce(_ + _)).as("raw"))
+        .select(col("doc_id"), round(col("raw"), 6).as("bm25"), col("n_terms_hit"))
+      scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    }, Some("""
+      WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             WHERE token IN ('spark', 'join', 'filter') GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      w AS (SELECT tf.doc_id, tf.token,
+                   LN(1.0 + (CAST(n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS w
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      p AS (SELECT doc_id, COUNT(*) AS n_terms_hit,
+                     COALESCE(MAX(CASE WHEN token = 'spark' THEN w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN token = 'join' THEN w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN token = 'filter' THEN w END), 0.0) AS raw
+            FROM w GROUP BY 1)
+      SELECT doc_id, bm25, n_terms_hit FROM (
+        SELECT doc_id, ROUND(raw, 6) AS bm25, n_terms_hit
+        FROM p ORDER BY ROUND(raw, 6) DESC, doc_id LIMIT 20) t
+      ORDER BY bm25 DESC, doc_id""")),
+
+    // L10b — HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.
+    // 2009, the standard rank-level fusion): the l43 lexical ranking and
+    // the l05 embedding-cosine ranking fused as Σ 1/(60 + rank). RRF is
+    // the production answer to "BM25 misses paraphrases, embeddings miss
+    // exact identifiers" — and it is hash-friendly BY DESIGN: only rank
+    // INTEGERS cross the fusion boundary (ranks assigned on rounded
+    // component scores with id tiebreaks), so the fused score is a sum of
+    // two exactly-representable rationals in a fixed literal order — no
+    // float ordering can leak between engines. documents.doc_id and
+    // embeddings.vec_id are the fixture's 1:1 document key. Scale shape:
+    // each component is its own top-K (the fusion never joins full
+    // corpora), K=50 rank frames are driver-size, and the full-outer
+    // fusion join is on the document key — broadcast-size at any corpus
+    // scale because K bounds it.
+    E("l44_hybrid_rrf", (s, d) => {
+      val K = 50
+      val lexAll = queries("l43_bm25")(s, d) // already top-20 by contract
+      val lex = lexAll
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      val emb = Tables(s, d).embeddings
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val sem = emb.crossJoin(broadcast(q))
+        .withColumn("cos", round(dot("embedding", "qv") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("qv", "qv"))), 6))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("cos").desc, col("vec_id")).limit(K)
+        .withColumn("r_sem", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(when(col("r_lex").isNotNull, lit(1.0) / (lit(60.0) + col("r_lex"))).otherwise(lit(0.0))
+              + when(col("r_sem").isNotNull, lit(1.0) / (lit(60.0) + col("r_sem"))).otherwise(lit(0.0)),
+            6).as("rrf"),
+          coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
+          coalesce(col("r_sem"), lit(-1L)).as("r_sem"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }, Some("""
+      WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             WHERE token IN ('spark', 'join', 'filter') GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      w AS (SELECT tf.doc_id, tf.token,
+                   LN(1.0 + (CAST(n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS w
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      p AS (SELECT doc_id, COUNT(*) AS n_terms_hit,
+                     COALESCE(MAX(CASE WHEN token = 'spark' THEN w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN token = 'join' THEN w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN token = 'filter' THEN w END), 0.0) AS raw
+            FROM w GROUP BY 1),
+      lex20 AS (SELECT doc_id, ROUND(raw, 6) AS bm25
+                FROM p ORDER BY ROUND(raw, 6) DESC, doc_id LIMIT 20),
+      lex AS (SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+              FROM lex20),
+      qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cosed AS (SELECT vec_id,
+                       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))), (acc, v) -> acc + v) /
+                             (SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))), (acc, v) -> acc + v)) *
+                              SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))), (acc, v) -> acc + v))), 6) AS cos
+                FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+      sem50 AS (SELECT vec_id, cos FROM cosed ORDER BY cos DESC, vec_id LIMIT 50),
+      sem AS (SELECT vec_id AS doc_id,
+                     ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_sem
+              FROM sem50),
+      fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                       ROUND(COALESCE(1.0 / (60.0 + r_lex), 0.0)
+                           + COALESCE(1.0 / (60.0 + r_sem), 0.0), 6) AS rrf,
+                       COALESCE(r_lex, -1) AS r_lex, COALESCE(r_sem, -1) AS r_sem
+                FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      SELECT doc_id, rrf, CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem
+      FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20) t
+      ORDER BY rrf DESC, doc_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** l43 BM25 + l44 RRF semantics beyond the oracle hash: the BM25 score of
+  * the top document recomputed INDEPENDENTLY (driver-side scalar math from
+  * raw tokens), and the RRF fusion's arithmetic and membership invariants
+  * recomputed from the emitted ranks.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("spark", "join", "filter")
+
+  test("BM25: top-document score matches a driver-side scalar recomputation") {
+    val rows = SparkEntry.queries("l43_bm25")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("bm25")).toSeq
+    assert(scores === scores.sorted.reverse, "scores must be emitted descending")
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("n_terms_hit"); h >= 1 && h <= 3
+    })
+    // independent recomputation: raw token bags in the driver
+    val toks = Tables(spark, sfDir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .as[(Long, Seq[String])].collect()
+    val nDocs = toks.length
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / nDocs
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    def bm25(ts: Seq[String]): Double = {
+      val dl = ts.length
+      terms.map { t =>
+        val tf = ts.count(_ == t)
+        if (tf == 0) 0.0
+        else math.log(1.0 + (nDocs.toDouble - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val top = rows.head
+    val expected = bm25(toks.find(_._1 == top.getAs[Long]("doc_id")).get._2)
+    assert(math.abs(top.getAs[Double]("bm25") - expected) < 1e-6,
+      s"top doc score ${top.getAs[Double]("bm25")} != recomputed $expected")
+    // and no unreturned document scores above the emitted minimum
+    // (top-20 is actually the top 20, not an arbitrary 20)
+    val minEmitted = scores.last
+    val emitted = rows.map(_.getAs[Long]("doc_id")).toSet
+    val better = toks.filter { case (id, ts) =>
+      !emitted(id) && BigDecimal(bm25(ts)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble > minEmitted
+    }
+    assert(better.isEmpty, s"docs outside the top-20 with higher scores: ${better.map(_._1).toSeq}")
+  }
+
+  test("RRF: fused score is exactly the reciprocal-rank sum of the emitted ranks; membership is the component union") {
+    val rows = SparkEntry.queries("l44_hybrid_rrf")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val rl = r.getAs[Long]("r_lex"); val rs = r.getAs[Long]("r_sem")
+      assert(rl != -1 || rs != -1, "a fused row must come from at least one component")
+      val expect = (if (rl == -1) 0.0 else 1.0 / (60.0 + rl)) +
+                   (if (rs == -1) 0.0 else 1.0 / (60.0 + rs))
+      val got = r.getAs[Double]("rrf")
+      assert(math.abs(got - expect) < 1e-6, s"rrf $got != 1/(60+r) sum $expect")
+    }
+    // a doc ranked top-1 by BOTH components must be the fused top-1 if it
+    // exists; weaker invariant that always holds: fused scores descending
+    val scores = rows.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores === scores.sorted.reverse)
+    // component membership: every emitted doc appears in l43's top-20 or
+    // the cosine top-50 (recompute the cosine side's membership)
+    val lexIds = SparkEntry.queries("l43_bm25")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val emb = Tables(spark, sfDir).embeddings
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val semIds = emb.crossJoin(broadcast(q))
+      .withColumn("cos", round(dot("embedding", "qv") /
+        (sqrt(dot("embedding", "embedding")) * sqrt(dot("qv", "qv"))), 6))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .select("vec_id").as[Long].collect().toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(lexIds(id) || semIds(id), s"fused doc $id is in neither component's top-K")
+    }
+  }
+}
