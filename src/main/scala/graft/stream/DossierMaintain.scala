@@ -75,4 +75,50 @@ object DossierMaintain {
       round(col("spent").cast("double"), 2).as("total_spent"),
       coalesce(date_format(col("last_order"), "yyyy-MM-dd"), lit("never"))
         .as("last_order"))
+
+  /** The STREAMING twin of the batch merge loop: per-watched-entity dossier
+    * state maintained in the StateStore as order events arrive
+    * (`flatMapGroupsWithState`, Update mode — each microbatch emits the
+    * refreshed dossier rows for the entities it touched). Spend is held in
+    * exact integer cents (the monoid's sum leg — state must stay exact
+    * across any number of batches; doubles would drift). The same fold the
+    * batch [[merge]] runs, so stream-maintained state ≡ the batch rebuild
+    * row-for-row — DossierMaintainSpec proves it on a MemoryStream. The
+    * watchlist is a plain broadcastable set: screening deployments watch
+    * thousands of entities, so per-key state is watchlist-bound exactly
+    * like the batch state table.
+    */
+  def maintainStream(orders: org.apache.spark.sql.Dataset[OrderEvt],
+                     watch: Set[Long]): org.apache.spark.sql.Dataset[DossierUpdate] = {
+    import orders.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    orders.filter(o => watch(o.o_custkey))
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[DossierEntityState, DossierUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (wid, evs, st: org.apache.spark.sql.streaming.GroupState[DossierEntityState]) =>
+          val prev = st.getOption.getOrElse(DossierEntityState(0L, 0L, Long.MinValue))
+          val batch = evs.toSeq
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val next = DossierEntityState(
+              prev.nOrders + batch.size,
+              prev.cents + batch.map(_.cents).sum,
+              math.max(prev.lastMs, batch.map(_.dateMs).max))
+            st.update(next)
+            Iterator.single(DossierUpdate(wid, next.nOrders,
+              next.cents / 100.0,
+              java.time.LocalDate.ofEpochDay(next.lastMs / 86400000L).toString))
+          }
+      }
+  }
 }
+
+/** One order event on the maintenance stream — spend pre-converted to
+  * exact integer cents, order date to epoch millis (UTC midnight). */
+case class OrderEvt(o_orderkey: Long, o_custkey: Long, cents: Long, dateMs: Long)
+/** [[DossierMaintain.maintainStream]] per-entity state: the same monoid
+  * legs as the batch state table, integer-exact. */
+case class DossierEntityState(nOrders: Long, cents: Long, lastMs: Long)
+case class DossierUpdate(wid: Long, n_orders: Long, total_spent: Double,
+                         last_order: String)

@@ -67,6 +67,39 @@ class DossierMaintainSpec extends SparkSpec {
       s"state schema drifted after merge: ${m.schema.treeString}")
   }
 
+  test("streaming maintenance: the StateStore-held dossier equals the batch rebuild after every batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import stream.{DossierMaintain, DossierUpdate, OrderEvt}
+    val day = 86400000L
+    val source = MemoryStream[OrderEvt](spark)
+    val out = DossierMaintain.maintainStream(source.toDS(), watch = Set(1L, 2L))
+    val q = out.toDF().writeStream.format("memory").queryName("t17stream")
+      .outputMode(OutputMode.Update()).start()
+    val batch1 = Seq(OrderEvt(100, 1, 1050, 100 * day), OrderEvt(101, 1, 2025, 200 * day),
+                     OrderEvt(103, 2, 9999, 150 * day), OrderEvt(104, 9, 7700, 10 * day))
+    val batch2 = Seq(OrderEvt(102, 1, 500, 300 * day), OrderEvt(105, 2, 1, 120 * day))
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    source.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest update per wid = the maintained dossier
+    val updates = spark.table("t17stream").as[DossierUpdate].collect()
+    val latest = updates.groupBy(_.wid).view
+      .mapValues(us => us.maxBy(_.n_orders)).values
+      .map(u => (u.wid, u.n_orders, u.total_spent, u.last_order)).toSet
+    // unwatched entity 9 never appears
+    assert(!updates.exists(_.wid == 9L))
+    // batch rebuild over the SAME orders (exact decimal path)
+    val ordersDfAll = ordersDf((batch1 ++ batch2).map(o =>
+      (o.o_orderkey, o.o_custkey, (BigDecimal(o.cents) / 100).toString(),
+       java.time.LocalDate.ofEpochDay(o.dateMs / day).toString + " 00:00:00")))
+    val rebuilt2 = merge(seed(Seq(1L, 2L).toDF("wid")), orderDelta(Seq(1L, 2L).toDF("wid"), ordersDfAll))
+    assert(latest === snap(rebuilt2),
+      s"stream-maintained dossier diverged from the batch rebuild: $latest vs ${snap(rebuilt2)}")
+  }
+
   test("graded composition: the t17 split reproduces the unsplit aggregate on real data") {
     val t = Tables(spark, sfDir)
     val w = t.customer.filter(col("c_custkey") % 101 === 0)
