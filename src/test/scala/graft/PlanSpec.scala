@@ -441,6 +441,22 @@ class PlanSpec extends SparkSpec {
         s"branches), got $lineitemScans across ${ps.size} plans")
   }
 
+  test("l43: term filter below the tf aggregate; scan reads only (doc_id, text); top-k lowers to TakeOrdered") {
+    // the BM25 scale contract: the expensive state is (matching docs x <=3
+    // terms) — the token IN filter must run at row level under the
+    // aggregation, the scan must prune to the two used columns, and the
+    // final LIMIT must lower to TakeOrderedAndProject instead of a global
+    // sort materialization
+    val p = SparkEntry.queries("l43_bm25")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 did not lower:\n$p")
+    assert("""token#\d+ IN \(""".r.findFirstIn(p).isDefined
+      || p.contains("token#") && p.contains(" IN ("),
+      s"query-term filter missing from the physical plan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan must prune to (doc_id, text):\n$p")
+  }
+
   test("g65: the dossier delta adds ZERO lineitem scans over g62's 4-scan pin") {
     // the diff is a full-outer self-join + groupBy over the SAME
     // materialized dossierAsOfRows frame g62 reads — both slider frames
