@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2353,6 +2353,63 @@ object LlmQueries {
              COALESCE(a.sample_contam_doc, CAST(-1 AS BIGINT)) AS sample_contam_doc,
              COALESCE(a.n_contam_docs, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN a ON a.eval_id = d.doc_id
+      WHERE d.doc_id % 50 = 0
+      ORDER BY eval_id""")),
+
+    // L11c — FUZZY decontamination: l45 catches verbatim 13-token reuse;
+    // paraphrase-level leakage (the Llama-class second screen) needs the
+    // resemblance sketch. Reuses the AUDITED l02 MinHash pipeline
+    // verbatim (deterministic poly_hash family, banded bucket join, exact
+    // Jaccard rerank on bucket-colliding candidates only — never
+    // all-pairs), keeps the cross-slice pairs (eval × corpus), and
+    // reports per eval doc: fuzzy-match count, the strongest match's
+    // Jaccard and its doc (argmax via a (jaccard DESC, corpus_id) window
+    // so the witness is deterministic), zeros included. Deployment shape
+    // at 100 TB: the eval slice's sketches are the SMALL side — band them
+    // once, broadcast the bucket table, and the corpus scan joins against
+    // it; the graded form runs the same banding symmetric because the
+    // slices share one table here.
+    E("l46_decontaminate_fuzzy", (s, d) => {
+      val pairs = minhashNearDupPairs(s, d, bandRows = 1)
+      def isEval(c: Column) = c % 50 === 0
+      val cross = pairs.filter(isEval(col("a")) =!= isEval(col("b")))
+        .select(when(isEval(col("a")), col("a")).otherwise(col("b")).as("eval_id"),
+                when(isEval(col("a")), col("b")).otherwise(col("a")).as("corpus_id"),
+                round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
+      val w = Window.partitionBy("eval_id").orderBy(col("jaccard").desc, col("corpus_id"))
+      val agg = cross.withColumn("rn", row_number().over(w))
+        .groupBy("eval_id")
+        .agg(count(lit(1)).as("n_fuzzy"),
+             max(when(col("rn") === 1, col("jaccard"))).as("best_jaccard"),
+             max(when(col("rn") === 1, col("corpus_id"))).as("best_corpus_doc"))
+      Tables(s, d).documents.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"))
+        .join(agg, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+          coalesce(col("best_corpus_doc"), lit(-1L)).as("best_corpus_doc"))
+        .orderBy("eval_id")
+    }, Some(s"""
+      WITH pairs AS (SELECT * FROM (${minhashNearDupPairsSql(1)}) p),
+      crossed AS (
+        SELECT CASE WHEN a % 50 = 0 THEN a ELSE b END AS eval_id,
+               CASE WHEN a % 50 = 0 THEN b ELSE a END AS corpus_id,
+               ROUND(1.0 - jaccard_dist, 6) AS jaccard
+        FROM pairs WHERE (a % 50 = 0) <> (b % 50 = 0)),
+      rn AS (SELECT eval_id, corpus_id, jaccard,
+                    ROW_NUMBER() OVER (PARTITION BY eval_id
+                                       ORDER BY jaccard DESC, corpus_id) AS rn
+             FROM crossed),
+      agg AS (SELECT eval_id, COUNT(*) AS n_fuzzy,
+                     MAX(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard,
+                     MAX(CASE WHEN rn = 1 THEN corpus_id END) AS best_corpus_doc
+              FROM rn GROUP BY 1)
+      SELECT d.doc_id AS eval_id,
+             COALESCE(a.n_fuzzy, CAST(0 AS BIGINT)) AS n_fuzzy,
+             COALESCE(a.best_jaccard, 0.0) AS best_jaccard,
+             COALESCE(a.best_corpus_doc, CAST(-1 AS BIGINT)) AS best_corpus_doc
+      FROM documents d LEFT JOIN agg a ON a.eval_id = d.doc_id
       WHERE d.doc_id % 50 = 0
       ORDER BY eval_id"""))
   )

@@ -38,4 +38,31 @@ class DecontaminateSpec extends SparkSpec {
       (150L, 0L, 0L, -1L, false),
       (200L, 0L, 0L, -1L, false)))
   }
+
+  test("fuzzy: a near-dup crossing the eval boundary flags with the right witness; eval-eval near-dups don't leak through") {
+    val base = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      // corpus doc 1 and a paraphrase-level eval twin (2 words changed)
+      (1L, base.mkString(" ")),
+      (50L, base.updated(4, "CHANGED").updated(12, "ALSO").mkString(" ")),
+      // two eval docs that are near-dups OF EACH OTHER but of nothing in
+      // the corpus — the cross-slice filter must report both clean
+      (100L, (1 to 20).map(i => s"q$i").mkString(" ")),
+      (150L, (1 to 20).map(i => s"q$i").updated(9, "X").mkString(" ")),
+      // unrelated corpus doc
+      (2L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("deconf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("l46_decontaminate_fuzzy")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) === Seq(50L, 100L, 150L))
+    val hit = got.head
+    assert(hit._2 === 1L && hit._4 === 1L, s"eval 50 must match corpus 1 once: $hit")
+    assert(hit._3 > 0.2 && hit._3 < 1.0, s"paraphrase jaccard should be fuzzy, not exact: $hit")
+    assert(got(1) === ((100L, 0L, 0.0, -1L)), s"eval-eval near-dup leaked: ${got(1)}")
+    assert(got(2) === ((150L, 0L, 0.0, -1L)), s"eval-eval near-dup leaked: ${got(2)}")
+  }
 }
