@@ -2411,6 +2411,52 @@ object LlmQueries {
              COALESCE(a.best_corpus_doc, CAST(-1 AS BIGINT)) AS best_corpus_doc
       FROM documents d LEFT JOIN agg a ON a.eval_id = d.doc_id
       WHERE d.doc_id % 50 = 0
+      ORDER BY eval_id""")),
+
+    // L11e — SEMANTIC decontamination, the trio's third modality (exact
+    // 13-gram → l45, lexical-fuzzy MinHash → l46, embedding-cosine →
+    // here): per eval document, its nearest corpus NEIGHBOR by cosine
+    // (the native codegen'd cosine_sim Expression) with a deterministic
+    // witness and the count of corpus docs above the near-identical 0.99
+    // threshold. The graded form is the l05 brute-force shape — the eval
+    // slice BROADCASTS against one corpus scan, which is already the
+    // 100 TB deployment plan when the eval set is a benchmark (small by
+    // definition); a recurring whole-corpus screen swaps the scan for
+    // IvfIndex probes per eval vector without touching this report
+    // shape. All comparisons on round-6 scores (the l05 parity
+    // discipline).
+    E("l47_decontaminate_semantic", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables(s, d).embeddings
+      val ev = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("evv"))
+      val corp = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      val scored = corp.crossJoin(broadcast(ev))
+        .withColumn("cos", round(expr("cosine_sim(cv, evv)"), 6))
+      val w = Window.partitionBy("eval_id").orderBy(col("cos").desc, col("corpus_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .groupBy("eval_id")
+        .agg(sum(when(col("cos") >= 0.99, 1L).otherwise(0L)).as("n_near_identical"),
+             max(when(col("rn") === 1, col("cos"))).as("best_cos"),
+             max(when(col("rn") === 1, col("corpus_id"))).as("best_corpus_doc"))
+        .orderBy("eval_id")
+    }, Some(s"""
+      WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv FROM embeddings WHERE vec_id % 50 = 0),
+      corp AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0),
+      scored AS (
+        SELECT eval_id, corpus_id,
+               ROUND(${dotSql("cv", "evv")} /
+                     (SQRT(${dotSql("cv", "cv")}) * SQRT(${dotSql("evv", "evv")})), 6) AS cos
+        FROM corp CROSS JOIN ev),
+      rn AS (SELECT eval_id, corpus_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cos DESC, corpus_id) AS rn
+             FROM scored)
+      SELECT eval_id,
+             CAST(SUM(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_identical,
+             MAX(CASE WHEN rn = 1 THEN cos END) AS best_cos,
+             MAX(CASE WHEN rn = 1 THEN corpus_id END) AS best_corpus_doc
+      FROM rn GROUP BY 1
       ORDER BY eval_id"""))
   )
 

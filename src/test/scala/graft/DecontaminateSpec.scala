@@ -65,4 +65,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(got(1) === ((100L, 0L, 0.0, -1L)), s"eval-eval near-dup leaked: ${got(1)}")
     assert(got(2) === ((150L, 0L, 0.0, -1L)), s"eval-eval near-dup leaked: ${got(2)}")
   }
+
+  test("semantic: best neighbor and threshold count match a driver-side brute force") {
+    val rows = SparkEntry.queries("l47_decontaminate_semantic")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    val vecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val evs = vecs.filter(_._1 % 50 == 0).toMap
+    val corp = vecs.filter(_._1 % 50 != 0)
+    rows.foreach { case (eid, nNear, bestCos, bestDoc) =>
+      val scored = corp.map { case (cid, cv) => (cos(cv, evs(eid)), cid) }
+      val (expCos, expDoc) = scored.maxBy { case (c, cid) => (c, -cid) }
+      assert(math.abs(bestCos - expCos) < 1e-9 && bestDoc === expDoc,
+        s"eval $eid: best ($bestCos, $bestDoc) != brute force ($expCos, $expDoc)")
+      assert(nNear === scored.count(_._1 >= 0.99).toLong,
+        s"eval $eid: near-identical count mismatch")
+    }
+  }
 }
