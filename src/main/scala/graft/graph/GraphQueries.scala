@@ -3238,6 +3238,54 @@ object GraphQueries {
       FROM dj GROUP BY 1, 2, 3
       ORDER BY supplier, section, status""")),
 
+    // G33 — INCREMENTAL connected components ("how structures have
+    // evolved", README.md:17, maintained "in seconds", README.md:6): the
+    // t17 materialized-view discipline applied to the graph side. A
+    // standing CC labeling over the strong user-interaction graph (pair
+    // interacted ≥2 times — g07_cc_users' graph, here AS-OF a date) is
+    // MAINTAINED under the edges that became strong in the next window
+    // via [[Algorithms.ccIncrement]]: map delta endpoints to current
+    // labels, CC the ≤2·|delta|-node component graph, broadcast-remap the
+    // standing labels in one scan — no global CC re-run, no convergence
+    // iterations over the corpus. Strong-pair arrivals are ADDITIONS-ONLY
+    // (interaction counts are monotone in time), exactly ccIncrement's
+    // contract. The ORACLE computes the UNSPLIT rebuild — the min-label
+    // closure over the full T2 strong graph — so the hash-match IS the
+    // increment≡rebuild proof (t17's grading trick). Per-node labels, the
+    // strictest comparable output. Cost at 100 TB: the nightly rebuild's
+    // O(rounds × |E|) shuffle cascade becomes one delta join + one
+    // broadcast remap scan of the label table (SCALE.md round-13b row
+    // measures the flatness).
+    E("g66_cc_increment", (s, d) => {
+      val t = Tables(s, d)
+      val t1 = lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+      val t2 = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      val trans = GraphBuilder.userTransitions(t)
+        .select(col("src"), col("dst"), col("ts").cast("timestamp_ntz").as("ts"))
+        .transform(Materialize.apply)
+      def strong(at: org.apache.spark.sql.Column) = trans
+        .filter(col("ts") <= at)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("src"), col("dst"))
+      val e1 = strong(t1)
+      val delta = strong(t2).except(e1) // pairs that BECAME strong in (T1, T2]
+      val base = Algorithms.cc(e1) // the standing labeling being maintained
+      Algorithms.ccIncrement(base, delta).orderBy("id")
+    }, Some(s"""
+      WITH RECURSIVE tr AS (
+        SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst
+        FROM (SELECT user_id, ts, event_id,
+                     LAG(user_id) OVER (ORDER BY ts, event_id) AS prev
+              FROM events)
+        WHERE prev IS NOT NULL AND prev <> user_id
+          AND ts <= TIMESTAMP '2024-01-20 00:00:00'),
+      e AS (SELECT src, dst FROM tr GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      lab(id, l) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id)
+      SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
+
     // G29c — CAPPED dossier ego sections (VERDICT r12 #4: the DEPLOYMENT
     // shape). g62's graded ego sections traverse nation hubs UNCAPPED —
     // at sf6.4 each (seed, date) ego pulls ~1/25 of all suppliers/

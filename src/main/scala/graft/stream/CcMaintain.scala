@@ -1,0 +1,71 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming maintenance of a connected-components labeling — the
+  * "untangled web" (/root/reference/README.md:4-6) kept current as
+  * interactions ARRIVE, instead of a nightly global CC re-run. Two pieces,
+  * composable with the rest of the stream pack:
+  *
+  *  1. [[strongEdgeBirths]] — the stateful detector: per (src, dst) pair,
+  *     emit EXACTLY ONE birth record the moment the pair's cumulative
+  *     interaction count reaches the strong threshold (the g07/g66 strong
+  *     graph is "interacted ≥2 times", so a pair's SECOND interaction is
+  *     the edge's birth). Counts are monotone, so births are genuine
+  *     additions — precisely [[graft.graph.Algorithms.ccIncrement]]'s
+  *     additions-only contract.
+  *  2. [[applyBatch]] — the maintenance step a `foreachBatch` sink runs:
+  *     fold one micro-batch of births into the standing (id, component)
+  *     table via ccIncrement — O(|batch|) work + one broadcast remap scan
+  *     of the labels, never a global CC pass.
+  *
+  * The graded batch twin of the detector is t18_strong_edge_births (same
+  * output from a window rank, DuckDB-mirrored); StreamingSpec proves the
+  * streaming pipeline — births across batch boundaries, then ccIncrement
+  * per micro-batch — converges to the batch rebuild's exact labeling.
+  *
+  * Scale posture: state is one counter per distinct pair SEEN (bounded by
+  * the distinct edge count — the same adjacency-sized state
+  * [[EventOps.firstContacts]] documents; a TTL-bounded deployment wraps
+  * the same fold in the firstContactsTtl EventTimeTimeout pattern).
+  * Cross-batch out-of-order arrivals shift which OCCURRENCE is the
+  * crossing (the birth ts), never whether the edge is born — the same
+  * caveat, and the same upstream watermark-buffering remedy, as
+  * firstContacts.
+  */
+object CcMaintain {
+
+  /** One birth record per (src, dst) pair, emitted when the cumulative
+    * count first reaches `threshold`; ts = the crossing occurrence's
+    * event time (within-batch rows fold in (ts, micro) order — the
+    * microTs lesson from firstContacts).
+    */
+  def strongEdgeBirths(transitions: Dataset[Trn], threshold: Long = 2L): Dataset[EdgeBirth] = {
+    import transitions.sparkSession.implicits._
+    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+    transitions.groupByKey(t => (t.src, t.dst))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (Long, Long), rows: Iterator[Trn], state: GroupState[PairCount]) => {
+          val prev = state.getOption.map(_.n).getOrElse(0L)
+          val batch = rows.toSeq
+          val n = prev + batch.size
+          state.update(PairCount(n))
+          if (prev < threshold && n >= threshold) {
+            val crossing = batch
+              .sortBy(r => r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000)
+              .apply((threshold - prev - 1).toInt)
+            Iterator.single(EdgeBirth(key._1, key._2, crossing.ts))
+          } else Iterator.empty
+        })
+  }
+
+  /** Fold one micro-batch of births into the standing labeling. */
+  def applyBatch(labels: DataFrame, births: DataFrame): DataFrame =
+    graft.graph.Algorithms.ccIncrement(
+      labels, births.select(col("src"), col("dst")))
+}
+
+case class PairCount(n: Long)
+case class EdgeBirth(src: Long, dst: Long, ts: java.sql.Timestamp)

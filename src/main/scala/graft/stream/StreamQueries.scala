@@ -459,7 +459,39 @@ object StreamQueries {
              COALESCE(strftime(MAX(o.o_orderdate), '%Y-%m-%d'), 'never') AS last_order
       FROM (SELECT c_custkey AS wid FROM customer WHERE c_custkey % 101 = 0) w
       LEFT JOIN orders o ON o.o_custkey = w.wid
-      GROUP BY 1 ORDER BY wid"""))
+      GROUP BY 1 ORDER BY wid""")),
+
+    // T18 — STRONG-EDGE BIRTHS: the batch twin of
+    // [[CcMaintain.strongEdgeBirths]] (the detector feeding the streaming
+    // CC maintenance loop — g66's ccIncrement applied per micro-batch).
+    // An interaction pair's edge is BORN at its second interaction (the
+    // g07/g66 strong threshold); the batch form ranks each pair's
+    // occurrences by event time and emits occurrence #2. Emitted (src,
+    // dst, ts) are deterministic under ts ties: tied occurrences carry
+    // the same visible ts, so whichever the rank picks, the row bytes
+    // match. StreamingSpec proves the stateful streaming detector emits
+    // THIS set across arbitrary batch splits, then that ccIncrement over
+    // those births converges to the batch rebuild's labeling. Scale
+    // shape: one hash shuffle on the pair + one per-pair window — state
+    // is the pair's occurrence list within the frame, linear in events.
+    E("t18_strong_edge_births", (s, d) => {
+      val tr = graft.graph.GraphBuilder.userTransitions(Tables(s, d))
+      val w = Window.partitionBy("src", "dst").orderBy(col("ts"))
+      tr.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 2)
+        .select(col("src"), col("dst"), unix_micros(col("ts")).as("born_ts_us"))
+        .orderBy("src", "dst")
+    }, Some("""
+      WITH tr AS (
+        SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst, ts
+        FROM (SELECT user_id, ts, event_id,
+                     LAG(user_id) OVER (ORDER BY ts, event_id) AS prev FROM events)
+        WHERE prev IS NOT NULL AND prev <> user_id),
+      r AS (SELECT src, dst, ts,
+                   ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY ts) AS rn
+            FROM tr)
+      SELECT src, dst, epoch_us(ts) AS born_ts_us
+      FROM r WHERE rn = 2 ORDER BY src, dst"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

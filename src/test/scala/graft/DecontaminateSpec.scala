@@ -90,4 +90,45 @@ class DecontaminateSpec extends SparkSpec {
         s"eval $eid: near-identical count mismatch")
     }
   }
+
+  test("ivf screen: an exact corpus copy of an eval vector is always surfaced; clean evals report zeros") {
+    // deterministic fixture: eval ids are multiples of 50, corpus the rest;
+    // corpus vec 7 is an IDENTICAL copy of eval vec 50 (identical vectors
+    // rank the same nearest centroid, so the copy's bucket is probe #1 of
+    // its eval — surfacing is guaranteed at any nprobe >= 1)
+    // fixed-seed random centered vectors: deterministic, and unlike a
+    // linear-congruential pattern, mutually uncorrelated — no unplanted
+    // pair crosses the 0.99 near-identical threshold
+    def v(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val ev50 = v(1045)
+    val rows: Seq[(Long, Seq[Float])] =
+      (1 to 40).map(i => (i.toLong, v(i))) :+          // corpus spread
+      (7000001L, ev50) :+                               // exact copy (corpus id, NOT % 50 == 0)
+      (0L, v(2000)) :+ (50L, ev50) :+ (100L, v(3000))  // evals: 0 probed-only, 50 contaminated, 100 clean
+    val dir = java.nio.file.Files.createTempDirectory("ivfdecon").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("l47b_decontaminate_ivf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+                 if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got.map(_._1) === Seq(0L, 50L, 100L))
+    val hit = got(1)
+    assert(hit._2 >= 1L && hit._3 === 1.0 && hit._4 === 7000001L,
+      s"planted identical copy not surfaced: $hit")
+    assert(got(0)._2 === 0L && got(2)._2 === 0L,
+      s"clean evals must report zero near-identicals: ${got(0)}, ${got(2)}")
+    // recall floor vs the brute-force twin: the screen's best neighbor can
+    // never beat brute force, and equals it whenever the true nearest sits
+    // in a probed bucket (always true for the planted identical copy)
+    val brute = SparkEntry.queries("l47_decontaminate_semantic")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    got.foreach { case (eid, _, bc, _) =>
+      if (!bc.isNaN) assert(bc <= brute(eid) + 1e-9, s"eval $eid: ivf best $bc beats brute ${brute(eid)}")
+    }
+    assert(math.abs(got(1)._3 - brute(50L)) < 1e-9)
+  }
 }

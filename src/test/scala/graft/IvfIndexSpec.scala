@@ -299,4 +299,36 @@ class IvfIndexSpec extends SparkSpec {
     info(s"moved=${stats.nMoved}/${stats.nTotal}, " +
       s"rewrote ${stats.rewrittenClusters.size}/16 buckets")
   }
+
+  test("batch probe matches the driver-side single-query ranking, per query") {
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = built.probe(queries, nprobe = 5)
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val qvecs = queries.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .as[(Long, Seq[Double])].collect()
+    assert(qvecs.nonEmpty)
+    qvecs.foreach { case (id, q) =>
+      val want = built.nearestClusters(q.toArray, nprobe = 5).toSet
+      assert(got(id).map(_._2).toSet === want, s"query $id probe set diverges")
+      assert(got(id).length === 5)
+    }
+  }
+
+  test("probe(_, 1) IS the assignment function") {
+    val asg = built.assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val p1 = built.probe(emb, nprobe = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(p1 === asg)
+  }
+
+  test("probe sets are monotone in nprobe") {
+    val queries = emb.filter(col("vec_id") < 3)
+    def sets(n: Int) = built.probe(queries, n)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val s2 = sets(2); val s6 = sets(6)
+    s2.foreach { case (id, s) => assert(s.subsetOf(s6(id)), s"query $id: $s ⊄ ${s6(id)}") }
+  }
 }

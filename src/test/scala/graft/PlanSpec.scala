@@ -471,4 +471,35 @@ class PlanSpec extends SparkSpec {
       s"expected the g62 pin unchanged (4 lineitem scans, the diff adds none), " +
         s"got $lineitemScans across ${ps.size} plans")
   }
+
+  test("l47b: candidates come from the bucket equi-join, never the brute-force cross join") {
+    // the IVF-screen contract: eval × corpus pairing happens ONLY through
+    // the probed-bucket equi-join on `cluster` (partition pruning on a
+    // persisted index) — l47's BroadcastNestedLoopJoin Cross must NOT
+    // appear anywhere; the per-eval vector join rides the broadcast eval
+    // slice
+    val p = plan("l47b_decontaminate_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF screen degraded to an all-pairs join:\n$p")
+    assert(p.contains("cluster"), s"bucket join key missing from plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval slice no longer broadcasts into the candidate scoring")
+  }
+
+  test("g66: the merge-map remap joins broadcast — the standing labels are scanned, never shuffled") {
+    // the incremental-CC contract: after the ≤2·|delta|-node component
+    // graph is solved, the corpus-sized label table is updated by ONE
+    // broadcast-hash remap (plus the broadcast new-node lookup) — a
+    // SortMergeJoin on the label table here would mean the maintenance
+    // path shuffles the state it exists to avoid rewriting
+    val p = plan("g66_cc_increment")
+    assert(p.contains("BroadcastHashJoin"),
+      s"merge-map remap no longer broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), "remap degraded to a cartesian product")
+    // base labels and the merge map arrive via the union-find tier's local
+    // datasets — the final plan must contain no iterative CC over the edge
+    // corpus (no Pregel stage markers, no star-contraction loop joins)
+    assert(!p.contains("VertexRDD") && !p.contains("EdgeRDD"),
+      "graded increment path fell back to a GraphX global CC run")
+  }
 }

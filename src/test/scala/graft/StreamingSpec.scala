@@ -560,6 +560,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows().count(_ == (1L, 10L, 1L, false)) === 2,
       s"post-expiry re-contact must re-emit as a first contact: ${rows()}")
   }
+
+  test("streaming CC maintenance: births across batch splits + per-batch ccIncrement converge to the batch rebuild") {
+    import graft.stream.{CcMaintain, Trn, EdgeBirth}
+    import org.apache.spark.sql.DataFrame
+    // hand feed, fed in THREE batches; pair (1,2)'s two interactions SPAN
+    // a batch boundary (the cross-batch count state is load-bearing)
+    val b1 = Seq(Trn(1, 2, ts(0)), Trn(3, 4, ts(1)), Trn(3, 4, ts(2)))
+    val b2 = Seq(Trn(1, 2, ts(3)), Trn(5, 6, ts(4)), Trn(4, 7, ts(5)), Trn(4, 7, ts(6)))
+    val b3 = Seq(Trn(5, 6, ts(7)), Trn(2, 8, ts(8)), Trn(2, 8, ts(9)), Trn(9, 9, ts(10)))
+    val source = MemoryStream[Trn](spark)
+    val births = CcMaintain.strongEdgeBirths(source.toDS())
+    // standing labels, maintained per micro-batch (materialized locally —
+    // the spec's stand-in for the deployment's label table)
+    var labels: DataFrame = Seq.empty[(Long, Long)].toDF("id", "component")
+    val allBirths = scala.collection.mutable.ArrayBuffer[EdgeBirth]()
+    val q = births.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EdgeBirth], _: Long) =>
+        val batch = b.collect()
+        allBirths ++= batch
+        val updated = CcMaintain.applyBatch(labels,
+            batch.toSeq.map(e => (e.src, e.dst)).toDF("src", "dst"))
+          .as[(Long, Long)].collect().toSeq
+        labels = updated.toDF("id", "component")
+        ()
+      }.start()
+    Seq(b1, b2, b3).foreach { c => source.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    // each strong pair births EXACTLY once, at its second occurrence
+    assert(allBirths.map(e => (e.src, e.dst)).sorted ===
+      Seq((1L, 2L), (2L, 8L), (3L, 4L), (4L, 7L), (5L, 6L)),
+      s"birth set diverged: $allBirths")
+    assert(allBirths.find(e => e.src == 1L && e.dst == 2L).get.ts === ts(3),
+      "cross-batch birth must carry the CROSSING occurrence's ts")
+    // the maintained labeling equals the batch rebuild over the full feed
+    val full = (b1 ++ b2 ++ b3).toDF("src", "dst", "ts")
+      .groupBy("src", "dst").count().filter(col("count") >= 2)
+      .select("src", "dst")
+    val want = graft.graph.Algorithms.cc(full)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.as[(Long, Long)].collect().toMap === want)
+    // and the merge actually happened: 4-7 bridges {3,4} with {4,7}
+    assert(want(7L) === 3L && want(4L) === 3L)
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
