@@ -275,9 +275,18 @@ object Algorithms {
               coalesce(col("cb"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
     // merge map over component-graph labels: (old label/new id → merged min)
-    val merge = cc(compEdges)
+    val mergeRaw = cc(compEdges)
       .select(col("id").as("component"), col("component").as("merged"))
-    val rebased = base.join(broadcast(merge), Seq("component"), "left")
+      .transform(Materialize.apply)
+    // measured broadcast gate (house protocol — one cheap count): a
+    // batch-sized delta's merge map broadcasts so the standing label table
+    // is SCANNED, never shuffled; a corpus-scale delta (merge map past the
+    // gate) falls back to the shuffle join Catalyst would pick anyway —
+    // at that delta size a full cc() re-run is the honest competitor and
+    // the caller should consider it
+    val merge =
+      if (mergeRaw.count() <= broadcastMergeMaxRows) broadcast(mergeRaw) else mergeRaw
+    val rebased = base.join(merge, Seq("component"), "left")
       .select(col("id"),
               coalesce(col("merged"), col("component")).as("component"))
     val newIds = de.select(col("src").as("id"))
@@ -286,10 +295,17 @@ object Algorithms {
     // a new node missing from the merge map kept only self-loop delta
     // edges — it is its own (singleton) component
     val newLabeled = newIds
-      .join(broadcast(merge.withColumnRenamed("component", "id")), Seq("id"), "left")
+      .join(merge.withColumnRenamed("component", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("merged"), col("id")).as("component"))
     rebased.unionByName(newLabeled)
   }
+
+  /** Broadcast gate for [[ccIncrement]]'s merge map: ~16 B/row of (long,
+    * long) plus hash-relation overhead keeps 10M rows around 300 MB —
+    * comfortably under executor broadcast budgets; above it the remap
+    * joins degrade gracefully to shuffles instead of OOMing the build
+    * side. */
+  val broadcastMergeMaxRows: Long = 10000000L
 
   /** Strongly connected components (directed): nontrivial SCCs ⇒ ownership
     * loops (README.md:15). component = min vertex id in the SCC.

@@ -1105,7 +1105,68 @@ object RelQueries {
              CAST(epoch(valid_from) AS BIGINT) AS valid_from_s,
              CAST(COALESCE(epoch(valid_to), 253402300799) AS BIGINT) AS valid_to_s,
              CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-      FROM v ORDER BY id, valid_from_s"""))
+      FROM v ORDER BY id, valid_from_s""")),
+
+    // R28b — PER-ENTITY TREND (least-squares slope): "is this customer's
+    // spend accelerating?" — the temporal-momentum signal as a relational
+    // aggregate (g25 is the graph-side cousin). ENGINE-STABLE REGRESSION:
+    // a naive regr_slope over doubles hash-diverges on partial-aggregate
+    // accumulation order, so the slope is computed from the CLOSED FORM
+    // over EXACT sums — x = month index (int), y = monthly spend in exact
+    // decimal(18,2); n·Σxy − Σx·Σy and n·Σx² − (Σx)² are exact integers/
+    // decimals in both engines, and the single final division of two
+    // exact values is bit-identical (the g61 integer-micro-space lesson
+    // applied to regression). Scale shape: two partial-agg groupBys
+    // (customer×month, then customer) — one shuffle each, no window, no
+    // self-join; at 100 TB this is the cheapest possible per-entity fit.
+    // Customers with a degenerate x-variance (all orders in one month)
+    // are excluded by the EXACT den != 0 test, identically in both
+    // engines. Bounded output: slope in currency-units/month, top-100 by
+    // |slope| with full tie-break (rank-and-truncate, the SCALE.md rule —
+    // an absolute slope threshold would dilute as the corpus grows).
+    E("r43_spend_trend", (s, d) => {
+      val m = Tables(s, d).orders.select(col("o_custkey"),
+          ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("x"),
+          graft.Tables.dec(col("o_totalprice")).as("y"))
+        .groupBy(col("o_custkey"), col("x"))
+        .agg(sum(col("y")).as("ym"))
+      val a = m.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("n_months"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("ym")).as("sy"),
+          sum(col("ym") * col("x")).as("sxy"))
+        .filter(col("n_months") >= 3)
+        .withColumn("den", col("n_months") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("den") =!= 0)
+        .withColumn("slope",
+          round((col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / col("den").cast("double"), 6))
+      a.select(col("o_custkey").as("cust"), col("n_months"), col("slope"))
+        .orderBy(abs(col("slope")).desc, col("cust")).limit(100)
+        .orderBy(col("cust"))
+    }, Some("""
+      WITH m AS (
+        SELECT o_custkey,
+               CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+                    + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders),
+      g AS (SELECT o_custkey, x, SUM(y) AS ym FROM m GROUP BY 1, 2),
+      a AS (SELECT o_custkey, COUNT(*) AS n_months,
+                   SUM(x) AS sx, SUM(x * x) AS sxx,
+                   SUM(ym) AS sy, SUM(ym * x) AS sxy
+            FROM g GROUP BY 1 HAVING COUNT(*) >= 3),
+      sl AS (SELECT o_custkey AS cust, n_months,
+                    n_months * sxx - sx * sx AS den,
+                    ROUND(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                          / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) AS slope
+             FROM a WHERE n_months * sxx - sx * sx <> 0)
+      SELECT cust, n_months, slope
+      FROM (SELECT cust, n_months, slope FROM sl
+            ORDER BY ABS(slope) DESC, cust LIMIT 100) t
+      ORDER BY cust"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
