@@ -3286,6 +3286,75 @@ object GraphQueries {
         UNION SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id)
       SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
 
+    // G34 — INCREMENTAL ENTITY RESOLUTION (the merge map as a maintained
+    // view): g48's canonical merge map, kept current as records ARRIVE
+    // instead of re-resolved from scratch — the composition the library's
+    // pieces exist for: the two-table blocked fuzzy join
+    // ([[graft.rel.FuzzyJoin.joinLev]] — arrival records' deletion keys
+    // equi-joined against the FULL key index, never all-pairs) finds only
+    // the pairs a new batch can create (arrival×existing ∪
+    // arrival×arrival; pairs among existing records cannot appear later —
+    // records never change), and [[Algorithms.ccIncrement]] folds them
+    // into the standing map (match pairs are additions-only: ER merges
+    // monotonically under arrivals). The ORACLE is g48's UNSPLIT full
+    // closure over all records VERBATIM, so the hash match proves BOTH
+    // increment≡rebuild AND g67≡g48 (the t17 grading trick; the same-name
+    // oracle equality is the point, not an accident). Fixture split:
+    // records with custkey % 10 = 0 are "today's batch", the rest the
+    // standing catalog. Scale: a batch's cost is its own blocking keys ⋈
+    // the key index + ccIncrement's delta work — the nightly full
+    // re-resolution (every pair re-blocked, every cluster re-closed) is
+    // replaced by work ∝ batch.
+    E("g67_er_increment", (s, d) => {
+      val cust = Tables(s, d).customer.select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"))
+      val ents = cust.select(col("id"), col("name"))
+      val existing = cust.filter(col("id") % 10 =!= 0)
+      val arrivals = cust.filter(col("id") % 10 === 0)
+      def sameNation(p: DataFrame, ca: String, cb: String) = p
+        .join(broadcast(cust.select(col("id").as(ca), col("nk").as("nk_a"))), Seq(ca))
+        .join(broadcast(cust.select(col("id").as(cb), col("nk").as("nk_b"))), Seq(cb))
+        .filter(col("nk_a") === col("nk_b"))
+      val basePairs = sameNation(
+          graft.rel.FuzzyJoin.selfJoinLev1(existing.select("id", "name")),
+          "id_a", "id_b")
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val deltaPairs = sameNation(
+          graft.rel.FuzzyJoin.joinLev(
+            arrivals.select("id", "name"), cust.select("id", "name"), 1)
+            .filter(col("id_l") =!= col("id_r")),
+          "id_l", "id_r")
+        .select(col("id_l").as("src"), col("id_r").as("dst"))
+      val base = Algorithms.cc(basePairs) // the standing merge map
+      Algorithms.ccIncrement(base, deltaPairs)
+        .filter(col("id") =!= col("component"))
+        .join(broadcast(ents), Seq("id"))
+        .join(broadcast(ents.select(col("id").as("component"), col("name").as("canonical_name"))),
+              Seq("component"))
+        .select(col("id").as("custkey"), col("name"),
+                col("component").as("merged_into"), col("canonical_name"))
+        .orderBy("custkey")
+    }, Some(s"""
+      WITH RECURSIVE $fuzzyPairsSql,
+      snp AS (SELECT cust_a, cust_b FROM fpairs
+              JOIN nm na ON na.ck = cust_a JOIN nm nb ON nb.ck = cust_b
+              WHERE na.nk = nb.nk),
+      sym AS (SELECT cust_a AS src, cust_b AS dst FROM snp
+              UNION SELECT cust_b, cust_a FROM snp),
+      nds AS (SELECT DISTINCT src AS id FROM sym),
+      seeds AS (SELECT id FROM nds n
+                WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = n.id AND e.dst < n.id)),
+      lab(id, l) AS (
+        SELECT id, id FROM seeds
+        UNION
+        SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id),
+      comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)
+      SELECT c.id AS custkey, na.nam AS name, c.cluster AS merged_into, nb.nam AS canonical_name
+      FROM comp c JOIN nm na ON na.ck = c.id JOIN nm nb ON nb.ck = c.cluster
+      WHERE c.id <> c.cluster
+      ORDER BY custkey""")),
+
     // G29c — CAPPED dossier ego sections (VERDICT r12 #4: the DEPLOYMENT
     // shape). g62's graded ego sections traverse nation hubs UNCAPPED —
     // at sf6.4 each (seed, date) ego pulls ~1/25 of all suppliers/

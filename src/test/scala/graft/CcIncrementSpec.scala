@@ -72,6 +72,15 @@ class CcIncrementSpec extends SparkSpec {
     assert(got === labels(Algorithms.cc(edges(base))))
   }
 
+  test("incremental ER merge map (g67) equals the from-scratch resolution (g48) row-for-row") {
+    // the two graded queries share ONE oracle by design; assert the same
+    // equality engine-internally so a future drift between the blockers
+    // (self-join vs two-table delta join) fails here, not at the driver
+    val inc = SparkEntry.queries("g67_er_increment")(spark, sfDir).collect().toSeq
+    val reb = SparkEntry.queries("g48_er_merge_map")(spark, sfDir).collect().toSeq
+    assert(inc.nonEmpty && inc === reb)
+  }
+
   test("real slice: g66's increment equals the full rebuild of the T2 strong graph") {
     val t = Tables(spark, sfDir)
     val trans = graft.graph.GraphBuilder.userTransitions(t)
