@@ -261,6 +261,11 @@ object Algorithms {
     * one linear scan. ADDITIONS ONLY by design: edge expiry would need
     * decremental CC (spanning-forest maintenance), a different algorithm
     * — re-run [[cc]] on the surviving edge set when edges are removed.
+    * IDEMPOTENT under replay: a delta already folded in maps every edge
+    * to ca == cb, the merge map comes out empty, and the labeling is
+    * returned unchanged — so a foreachBatch maintenance loop
+    * ([[graft.stream.CcMaintain]]) is safe under at-least-once batch
+    * redelivery (CcIncrementSpec pins it).
     */
   def ccIncrement(baseLabels: DataFrame, deltaEdges: DataFrame): DataFrame = {
     val base = baseLabels.select(col("id"), col("component"))

@@ -72,6 +72,17 @@ class CcIncrementSpec extends SparkSpec {
     assert(got === labels(Algorithms.cc(edges(base))))
   }
 
+  test("re-applying the same delta is a no-op (at-least-once replay safety)") {
+    // after a delta is folded in, its endpoints share components, so every
+    // replayed edge maps to ca == cb and the merge map is empty — the
+    // property that makes a foreachBatch maintenance loop safe under
+    // at-least-once batch replay
+    val delta = Seq((3L, 10L), (21L, 30L))
+    val once = Algorithms.ccIncrement(Algorithms.cc(edges(base)), edges(delta))
+    val twice = Algorithms.ccIncrement(once, edges(delta))
+    assert(labels(twice) === labels(once))
+  }
+
   test("incremental ER merge map (g67) equals the from-scratch resolution (g48) row-for-row") {
     // the two graded queries share ONE oracle by design; assert the same
     // equality engine-internally so a future drift between the blockers
