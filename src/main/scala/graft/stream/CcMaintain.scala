@@ -65,7 +65,55 @@ object CcMaintain {
   def applyBatch(labels: DataFrame, births: DataFrame): DataFrame =
     graft.graph.Algorithms.ccIncrement(
       labels, births.select(col("src"), col("dst")))
+
+  /** TTL-BOUNDED birth detection: the bounded-deployment form of
+    * [[strongEdgeBirths]], the firstContactsTtl pattern applied to the
+    * pair counter. The unbounded variant's state grows with distinct
+    * pairs SEEN forever; here a pair's counter EXPIRES `ttlMs` (event
+    * time) after the pair's last interaction — the StateStore only ever
+    * holds pairs active within the horizon. Semantics trade-off, explicit
+    * in the type: within the horizon, births are identical to
+    * [[strongEdgeBirths]]; after a pair's counter expires, its count
+    * restarts, so an edge can legitimately be born AGAIN ("interacted ≥2
+    * times within the last N days" — the strong-graph question a bounded
+    * deployment actually asks; the downstream ccIncrement is idempotent,
+    * so a re-birth of a known edge is a no-op on the labeling). Expiry is
+    * OBSERVABLE: a terminal record with `expired=true` carries the count
+    * the pair died with. Requires a watermark — event-time timeouts fire
+    * as the watermark passes them.
+    */
+  def strongEdgeBirthsTtl(transitions: Dataset[Trn], ttlMs: Long,
+                          threshold: Long = 2L,
+                          watermarkDelay: String = "10 minutes"): Dataset[EdgeBirthTtl] = {
+    import transitions.sparkSession.implicits._
+    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+    transitions.withWatermark("ts", watermarkDelay)
+      .groupByKey(t => (t.src, t.dst))
+      .flatMapGroupsWithState[PairCount, EdgeBirthTtl](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, Long), rows: Iterator[Trn], state: GroupState[PairCount]) =>
+          if (state.hasTimedOut) {
+            val died = state.get.n
+            state.remove()
+            Iterator.single(EdgeBirthTtl(key._1, key._2, null, died, expired = true))
+          } else {
+            val prev = state.getOption.map(_.n).getOrElse(0L)
+            val batch = rows.toSeq
+            val n = prev + batch.size
+            state.update(PairCount(n))
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            if (prev < threshold && n >= threshold) {
+              val crossing = batch
+                .sortBy(r => r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000)
+                .apply((threshold - prev - 1).toInt)
+              Iterator.single(EdgeBirthTtl(key._1, key._2, crossing.ts, n, expired = false))
+            } else Iterator.empty
+          }
+      }
+  }
 }
 
 case class PairCount(n: Long)
 case class EdgeBirth(src: Long, dst: Long, ts: java.sql.Timestamp)
+case class EdgeBirthTtl(src: Long, dst: Long, ts: java.sql.Timestamp,
+                        cnt: Long, expired: Boolean)

@@ -561,6 +561,38 @@ class StreamingSpec extends SparkSpec {
       s"post-expiry re-contact must re-emit as a first contact: ${rows()}")
   }
 
+  test("TTL-bounded birth detection: within-horizon births match, expiry is observable, post-expiry re-birth restarts the count") {
+    import graft.stream.{CcMaintain, Trn, EdgeBirthTtl}
+    val source = MemoryStream[Trn](spark)
+    val out = CcMaintain.strongEdgeBirthsTtl(source.toDS(), ttlMs = 3600000L)
+    val q = out.writeStream.format("memory").queryName("t18ttl")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("t18ttl").as[EdgeBirthTtl].collect()
+      .map(e => (e.src, e.dst, e.cnt, e.expired)).toSeq
+    // batch 1: pair (1,2) once, pair (3,4) once — no births yet
+    source.addData(Trn(1, 2, ts(0)), Trn(3, 4, ts(1)))
+    q.processAllAvailable()
+    assert(rows().isEmpty, s"sub-threshold pairs must not birth: ${rows()}")
+    // batch 2 (within horizon): (1,2) again -> birth, count carried across batches
+    source.addData(Trn(1, 2, ts(30)))
+    q.processAllAvailable()
+    assert(rows() === Seq((1L, 2L, 2L, false)), s"within-horizon birth diverged: ${rows()}")
+    // push the watermark past (3,4)'s TTL (last activity ts(1) + 1h) via
+    // another pair's event at ts(180) -> observable expiry carrying the
+    // dying count; (1,2) expires too (last activity ts(30) + 1h)
+    source.addData(Trn(5, 6, ts(180)))
+    q.processAllAvailable()
+    assert(rows().toSet === Set((1L, 2L, 2L, true), (3L, 4L, 1L, true), (1L, 2L, 2L, false)),
+      s"expiry must be observable with the dying count: ${rows()}")
+    // post-expiry re-interactions: the pair legitimately re-births once the
+    // count RE-crosses the threshold (count restarted at 0)
+    source.addData(Trn(3, 4, ts(181)), Trn(3, 4, ts(182)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().count(_ == (3L, 4L, 2L, false)) === 1,
+      s"post-expiry re-birth must restart the count: ${rows()}")
+  }
+
   test("streaming CC maintenance: births across batch splits + per-batch ccIncrement converge to the batch rebuild") {
     import graft.stream.{CcMaintain, Trn, EdgeBirth}
     import org.apache.spark.sql.DataFrame
