@@ -392,7 +392,14 @@ object Bench {
     val dirty = s"""{"before":$dirtyBefore,"after":$dirtyAfter}"""
     // quiet_medians are sf0.1-referenced (the graded sf) — adjudicate
     // against them only when this run's sfDir is sf0.1
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"samples":$samples,"gc_driver_ms":$gcDriver,"task_run_ms":$taskRun,"task_gc_ms":$taskGc,"jit_ms":$jit,"calib_ms":$calib,"order":"$orderTag","drain":$drainBetween,"host_load":$load,"external_cpu":$ext,"io_pressure_pct":$io,"dirty_kb":$dirty,"contended":$contended,"quiet_medians":$quiet,"quiet_medians_sf":"sf0.1","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_instrumented","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"samples":$samples,"gc_driver_ms":$gcDriver,"task_run_ms":$taskRun,"task_gc_ms":$taskGc,"jit_ms":$jit,"calib_ms":$calib,"order":"$orderTag","drain":$drainBetween,"host_load":$load,"external_cpu":$ext,"io_pressure_pct":$io,"dirty_kb":$dirty,"contended":$contended,"quiet_medians":$quiet,"quiet_medians_sf":"sf0.1","sf":"$sfDir"}""")
+    // COMPACT SUMMARY LINE — printed LAST and kept under ~1,500 chars so the
+    // driver's 2,000-char tail capture always carries the round's headline
+    // number and per-query walls (VERDICT r13 #1: the round-13 instrumented
+    // line outgrew the tail capture and BENCH_r13.json lost its own total).
+    // The instrumented line above remains the full adjudication record; this
+    // line is the self-contained grade artifact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"contended":$contended,"external_cpu":$ext,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3355,6 +3355,68 @@ object GraphQueries {
       WHERE c.id <> c.cluster
       ORDER BY custkey""")),
 
+    // G35 — DECREMENTAL connected components (VERDICT r13 #2: the
+    // maintained-view contract's other half — "structures also SHRINK over
+    // years", README.md:17). The bounded-deployment strong graph is
+    // WINDOWED: a pair is strong at T iff it interacted ≥2 times within
+    // the trailing 7 days — so between T1 and T2 edges genuinely EXPIRE
+    // (active at T1, quiet since) as well as appear. The standing T1
+    // labeling is maintained to T2 by [[Algorithms.ccDecrement]] (expired
+    // edges out: re-run CC on only the touched components' induced
+    // surviving subgraphs, stitch — removals never affect an untouched
+    // component) THEN [[Algorithms.ccIncrement]] (new strong pairs in).
+    // The ORACLE is the UNSPLIT min-label closure of the T2 window graph
+    // over the full node universe (T1 ∪ T2 endpoints; a node whose every
+    // edge expired stays labeled as a singleton — expiry removes edges,
+    // not entities), so the hash-match IS the decrement+increment≡rebuild
+    // proof (the g66/t17 grading trick on the deletion side). Cost at
+    // 100 TB: the nightly rebuild's O(rounds × |E|) shuffles become one
+    // removed-batch label join + CC over blast-radius subgraphs + one
+    // pruning semi-join over surviving edges + one label-table scan
+    // (SCALE.md round-14 row measures the split).
+    E("g68_cc_decrement", (s, d) => {
+      val t = Tables(s, d)
+      val trans = GraphBuilder.userTransitions(t)
+        .select(col("src"), col("dst"), col("ts").cast("timestamp_ntz").as("ts"))
+        .transform(Materialize.apply)
+      def strongWin(at: String) = {
+        val hi = lit(at).cast("timestamp_ntz")
+        val lo = hi - expr("INTERVAL 7 DAYS")
+        trans.filter(col("ts") > lo && col("ts") <= hi)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select(col("src"), col("dst"))
+      }
+      val e1 = strongWin("2024-01-10 00:00:00").transform(Materialize.apply)
+      val e2 = strongWin("2024-01-20 00:00:00").transform(Materialize.apply)
+      val removed = e1.except(e2)   // expired: strong at T1, quiet since
+      val added = e2.except(e1)     // born: strong only in the T2 window
+      val surviving = e1.join(e2, Seq("src", "dst"), "left_semi")
+      val base = Algorithms.cc(e1)  // the standing labeling being maintained
+      val afterExpiry = Algorithms.ccDecrement(base, surviving, removed)
+      Algorithms.ccIncrement(afterExpiry, added).orderBy("id")
+    }, Some(s"""
+      WITH RECURSIVE tr AS (
+        SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst, ts
+        FROM (SELECT user_id, ts, event_id,
+                     LAG(user_id) OVER (ORDER BY ts, event_id) AS prev
+              FROM events)
+        WHERE prev IS NOT NULL AND prev <> user_id),
+      w1 AS (SELECT src, dst FROM tr
+             WHERE ts > TIMESTAMP '2024-01-10 00:00:00' - INTERVAL 7 DAY
+               AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      w2 AS (SELECT src, dst FROM tr
+             WHERE ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
+               AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sym AS (SELECT src, dst FROM w2 UNION SELECT dst, src FROM w2),
+      nds AS (SELECT src AS id FROM w1 UNION SELECT dst FROM w1
+              UNION SELECT src FROM w2 UNION SELECT dst FROM w2),
+      lab(id, l) AS (
+        SELECT id, id FROM nds
+        UNION SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id)
+      SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
+
     // G29c — CAPPED dossier ego sections (VERDICT r12 #4: the DEPLOYMENT
     // shape). g62's graded ego sections traverse nation hubs UNCAPPED —
     // at sf6.4 each (seed, date) ego pulls ~1/25 of all suppliers/

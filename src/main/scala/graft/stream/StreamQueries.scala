@@ -461,6 +461,36 @@ object StreamQueries {
       LEFT JOIN orders o ON o.o_custkey = w.wid
       GROUP BY 1 ORDER BY wid""")),
 
+    // T17b — RETRACTION-AWARE dossier maintenance (VERDICT r13 #5): t17's
+    // materialized view under order CANCELLATIONS. The Spark side folds the
+    // FULL history into the maintained state (t17's two-slice refresh),
+    // then RETRACTS a deterministic cancellation slice (o_orderkey % 13 =
+    // 0) via DossierMaintain.retract — counts and spend subtract exactly;
+    // the non-invertible max(last_order) leg recomputes from the surviving
+    // history for ONLY the entities whose cancelled orders touched their
+    // stored max. The ORACLE is the unsplit rebuild over SURVIVING orders
+    // alone, so the hash match proves retract∘fold ≡ fold-on-surviving —
+    // the t17 grading trick on the deletion side, including maxima
+    // displaced onto earlier dates and entities cancelled back to 'never'.
+    E("t17b_dossier_retract", (s, d) => {
+      val t = Tables(s, d)
+      val wl = t.customer.filter(col("c_custkey") % 101 === 0)
+        .select(col("c_custkey").as("wid"))
+      val cancels = t.orders.filter(col("o_orderkey") % 13 === 0)
+      val surviving = t.orders.filter(col("o_orderkey") % 13 =!= 0)
+      val full = DossierMaintain.merge(
+        DossierMaintain.seed(wl), DossierMaintain.orderDelta(wl, t.orders))
+      val retracted = DossierMaintain.retract(wl, full, cancels, surviving)
+      DossierMaintain.present(retracted).orderBy("wid")
+    }, Some("""
+      SELECT w.wid, COUNT(o.o_orderkey) AS n_orders,
+             ROUND(COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0), 2) AS total_spent,
+             COALESCE(strftime(MAX(o.o_orderdate), '%Y-%m-%d'), 'never') AS last_order
+      FROM (SELECT c_custkey AS wid FROM customer WHERE c_custkey % 101 = 0) w
+      LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 13 <> 0) o
+        ON o.o_custkey = w.wid
+      GROUP BY 1 ORDER BY wid""")),
+
     // T18 — STRONG-EDGE BIRTHS: the batch twin of
     // [[CcMaintain.strongEdgeBirths]] (the detector feeding the streaming
     // CC maintenance loop — g66's ccIncrement applied per micro-batch).

@@ -199,10 +199,67 @@ object IvfIndex {
     * with movers is rewritten with its bucket.
     */
   def refresh(spark: SparkSession, dir: String, k: Int): IvfRefreshStats = {
-    import spark.implicits._
     val old = load(spark, dir)
     val current = old.assigned.withColumnRenamed("cluster", "old_cluster")
     val fresh = build(current.drop("old_cluster"), k)
+    rewriteDiff(spark, dir, fresh, current, k)
+  }
+
+  /** SAMPLE-FITTED centroid refresh (VERDICT r13 #3): `refresh` re-runs
+    * Lloyd over the FULL corpus — at 100 TB the refit pass is the dominant
+    * cost, and its own doc names sampling as the production posture. Here
+    * the quantizer fits on a DETERMINISTIC `rate`-fraction sample (Knuth
+    * multiplicative hash of vec_id — a pure function of the id, so the
+    * same corpus always yields the same sample, the same centroids, and a
+    * reproducible index; no Math.random, no seed plumbing), then ASSIGNS
+    * all vectors against the sampled centroids in one broadcast-probe pass
+    * ([[IvfIndex.probe]] with nprobe=1 — the k×dim centroid table
+    * broadcasts, the corpus is scanned once). The write side is unchanged:
+    * diff vs old assignments, rewrite only moved buckets, same
+    * [[IvfRefreshStats]] drift fields.
+    *
+    * Cost shape: the O(corpus × k × dim × rounds) Lloyd refit becomes
+    * O(corpus·rate × k × dim × rounds) + one full-corpus assignment scan
+    * (which [[refresh]] pays anyway inside build) — the assignment pass is
+    * the irreducible floor, since every vector must land in a bucket.
+    * Quality trade: sampled centroids approximate the full-fit tessellation
+    * — IvfIndexSpec bounds the probe-set overlap against the full refit on
+    * the drift fixture; the refreshed index is still internally consistent
+    * (assignment = argmin over ITS centroids, so probe correctness
+    * invariants hold exactly, only bucket SHAPES differ).
+    */
+  def refreshSampled(spark: SparkSession, dir: String, k: Int,
+                     rate: Double): IvfRefreshStats = {
+    import spark.implicits._
+    require(rate > 0.0 && rate <= 1.0, s"sample rate must be in (0,1], got $rate")
+    val old = load(spark, dir)
+    val current = old.assigned.withColumnRenamed("cluster", "old_cluster")
+    val body = current.drop("old_cluster")
+    // Knuth multiplicative hash partitions ids uniformly and deterministically;
+    // keep a row when its 32-bit hash falls below rate·2^32
+    val keep = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)) <
+      lit(math.round(rate * 4294967296.0))
+    val sample = body.filter(keep)
+    require(sample.count() >= k,
+      s"sample too small to fit $k centroids — raise rate (got rate=$rate)")
+    val (c1, _) = LlmQueries.lloydModel(
+      sample.select(col("vec_id"), col("embedding")), k)
+    val cents = c1.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3))
+      }.toArray.sortBy(_._1)
+    val probeIdx = IvfIndex(cents, spark.emptyDataFrame)
+    val freshAssigned = body.join(probeIdx.probe(body, nprobe = 1), "vec_id")
+      .transform(graft.graph.Materialize.apply)
+    rewriteDiff(spark, dir, IvfIndex(cents, freshAssigned), current, k)
+  }
+
+  /** Shared write side of [[refresh]]/[[refreshSampled]]: diff fresh vs old
+    * assignments, rewrite only the moved buckets (dynamic partition
+    * overwrite), drop emptied buckets, overwrite the centroid table. */
+  private def rewriteDiff(spark: SparkSession, dir: String, fresh: IvfIndex,
+                          current: DataFrame, k: Int): IvfRefreshStats = {
+    import spark.implicits._
     val joined = fresh.assigned
       .join(current.select(col("vec_id"), col("old_cluster")), "vec_id")
       .transform(graft.graph.Materialize.apply)
@@ -224,20 +281,26 @@ object IvfIndex {
         case None => spark.conf.unset(key)
       }
       // dynamic overwrite only touches partitions PRESENT in the written
-      // data — a bucket that lost its every row must be dropped explicitly
+      // data — a bucket that lost its every row must be dropped explicitly.
+      // Hadoop FileSystem API, not java.nio (VERDICT r13 #2): the rest of
+      // the write path is storage-agnostic and refresh must work on the
+      // same HDFS/S3 layouts — Export.compactParquet's pattern.
       val stillPopulated = fresh.assigned
         .filter(col("cluster").isin(affected.map(java.lang.Long.valueOf): _*))
         .select("cluster").distinct().as[Long].collect().toSet
+      val hconf = spark.sparkContext.hadoopConfiguration
       (affected.toSet -- stillPopulated).foreach { c =>
-        val p = java.nio.file.Paths.get(dir, "assigned", s"cluster=$c")
-        if (java.nio.file.Files.isDirectory(p)) {
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        }
+        val p = new org.apache.hadoop.fs.Path(s"$dir/assigned/cluster=$c")
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
       }
-      fresh.centroids.toSeq.toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     }
+    // centroid table rewritten UNCONDITIONALLY: a refit can shift centroid
+    // coordinates without moving any assignment (and the sampled refit
+    // almost always does) — the on-disk (centroids, assignments) pair must
+    // stay mutually consistent or a loaded probe ranks with stale geometry
+    fresh.centroids.toSeq.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     IvfRefreshStats(nTotal, nMoved, affected, k)
   }
 

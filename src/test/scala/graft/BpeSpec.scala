@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+/** [[Bpe]] apply semantics: hand-verified tokenizations, the priority-order
+  * contract, and the graded dataflow (l49's replace-chain expression)
+  * cross-checked per document against the independent driver-side
+  * reference implementation.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-verified tokenizations, including multi-step merged-symbol builds") {
+    assert(Bpe.applyRef("spark") === Seq("spark"))   // s+p, sp+ar, spar+k
+    assert(Bpe.applyRef("join") === Seq("join"))     // j+o, jo+in
+    assert(Bpe.applyRef("batch") === Seq("batch"))   // four-step build
+    assert(Bpe.applyRef("window") === Seq("win", "d", "ow"))
+    assert(Bpe.applyRef("filter") === Seq("fil", "t", "er"))
+    assert(Bpe.applyRef("stream") === Seq("str", "e", "a", "m"))
+    assert(Bpe.applyRef("sparrow") === Seq("spar", "row"))
+    assert(Bpe.applyRef("x") === Seq("x"))
+    assert(Bpe.applyRef("") === Seq.empty)
+  }
+
+  test("priority order is semantics: an earlier rule consumes symbols a later rule wanted") {
+    // (i,n) outranks (i,l): in "inl" the i fuses with n, so (i,l) never
+    // fires; in "ilm" no n competes and (i,l) does
+    assert(Bpe.applyRef("inl") === Seq("in", "l"))
+    assert(Bpe.applyRef("ilm") === Seq("il", "m"))
+    // left-to-right non-overlap within one rule: "ererer" pairs as (er)(er)(er),
+    // "rerere" as r(er)(er)e — the offset shifts which pairs exist
+    assert(Bpe.applyRef("ererer") === Seq("er", "er", "er"))
+    assert(Bpe.applyRef("rerere") === Seq("r", "er", "er", "e"))
+  }
+
+  test("the replace-chain expression computes the reference apply, word for word") {
+    // every distinct word in the sf0.001 corpus through BOTH paths
+    val words = Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val viaExpr = words
+      .withColumn("m", expr(Bpe.mergeChain(Bpe.bracketSpark("word"))))
+      .withColumn("n_tok", expr(Bpe.tokenCount("m")))
+      .select(col("word"), col("m"), col("n_tok").cast("long"))
+      .as[(String, String, Long)].collect()
+    assert(viaExpr.nonEmpty)
+    viaExpr.foreach { case (w, m, n) =>
+      val ref = Bpe.applyRef(w)
+      assert(m === ref.map(s => s"($s)").mkString(""),
+        s"'$w': expression chain produced $m, reference ${ref.mkString("|")}")
+      assert(n === ref.length.toLong, s"'$w': token count $n != ${ref.length}")
+    }
+    // and the merges genuinely fire on the fixture: at least one word
+    // compresses below its character count
+    assert(viaExpr.exists { case (w, _, n) => n < w.length },
+      "no merge fired on the corpus vocabulary — the rule table is dead")
+  }
+
+  test("l49's per-doc counts equal a full driver-side recomputation") {
+    val got = SparkEntry.queries("l49_bpe_tokenize")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+         ws.map(w => Bpe.applyRef(w).length.toLong).sum)
+      }.sortBy(_._1).toSeq
+    assert(got === want)
+  }
+}

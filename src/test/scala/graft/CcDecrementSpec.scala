@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.Algorithms
+
+/** [[Algorithms.ccDecrement]] contract: maintaining a CC labeling under
+  * edge REMOVALS equals a full re-run of cc() on the surviving graph —
+  * with the node universe preserved (a node whose every edge expired stays
+  * labeled as a singleton; expiry removes edges, not entities) — on hand
+  * fixtures covering every split topology (bridge removal splitting a
+  * component, cycle removal NOT splitting, full-component expiry to
+  * singletons, untouched components passing through, unknown-edge no-op,
+  * replay idempotence) and on the real graded slice (g68's windowed strong
+  * user graph), where decrement-then-increment must match the unsplit
+  * rebuild the DuckDB oracle runs.
+  */
+class CcDecrementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(e: Seq[(Long, Long)]): DataFrame = e.toDF("src", "dst")
+
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.select("id", "component").as[(Long, Long)].collect().toMap
+
+  /** decrement ≡ rebuild-on-surviving + singletons for edge-less nodes. */
+  private def checkEquiv(base: Seq[(Long, Long)],
+                         removed: Seq[(Long, Long)]): Map[Long, Long] = {
+    val surviving = base.filterNot(removed.contains)
+    val dec = labels(Algorithms.ccDecrement(
+      Algorithms.cc(edges(base)), edges(surviving), edges(removed)))
+    val reb = labels(Algorithms.cc(edges(surviving)))
+    val allNodes = (base.map(_._1) ++ base.map(_._2)).toSet
+    val expected = allNodes.map(n => n -> reb.getOrElse(n, n)).toMap
+    assert(dec === expected)
+    dec
+  }
+
+  //   1-2-3   10-11   20-21-22 (21-22 also bridged 20-22 → cycle)
+  private val base = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+                         (20L, 21L), (21L, 22L), (20L, 22L))
+
+  test("bridge removal splits a component into two, labels = new minima") {
+    val got = checkEquiv(base, Seq((2L, 3L)))
+    assert(got(1L) === 1L && got(2L) === 1L) // 1-2 survives
+    assert(got(3L) === 3L)                   // 3 split off, new singleton min
+    assert(got(10L) === 10L && got(20L) === 20L) // untouched components
+  }
+
+  test("removing one cycle edge does not split (redundant connectivity)") {
+    val got = checkEquiv(base, Seq((20L, 21L)))
+    assert(got(20L) === 20L && got(21L) === 20L && got(22L) === 20L)
+  }
+
+  test("expiring a component's every edge leaves labeled singletons") {
+    val got = checkEquiv(base, Seq((10L, 11L)))
+    assert(got(10L) === 10L && got(11L) === 11L)
+    assert(got.keySet.contains(11L)) // node survives edge expiry
+  }
+
+  test("removal that isolates the component's min id relabels the rest") {
+    val got = checkEquiv(base, Seq((1L, 2L)))
+    assert(got(1L) === 1L)                  // isolated, keeps own id
+    assert(got(2L) === 2L && got(3L) === 2L) // rest re-rooted at new min
+  }
+
+  test("removing an edge unknown to the labeling is a no-op") {
+    val got = checkEquiv(base, Seq((100L, 101L)))
+    assert(got === labels(Algorithms.cc(edges(base))))
+  }
+
+  test("empty removal returns the base labeling unchanged") {
+    val got = checkEquiv(base, Seq.empty)
+    assert(got === labels(Algorithms.cc(edges(base))))
+  }
+
+  test("re-applying the same removal is a no-op (at-least-once replay safety)") {
+    val removed = Seq((2L, 3L))
+    val surviving = edges(base.filterNot(removed.contains))
+    val once = Algorithms.ccDecrement(
+      Algorithms.cc(edges(base)), surviving, edges(removed))
+    val twice = Algorithms.ccDecrement(once, surviving, edges(removed))
+    assert(labels(twice) === labels(once))
+  }
+
+  test("decrement then increment composes: mixed delta equals rebuild") {
+    // remove the 2-3 bridge, then add 3-10: the final labeling must equal
+    // the rebuild of (surviving ∪ added) — the g68 composition in miniature
+    val removed = Seq((2L, 3L))
+    val added = Seq((3L, 10L))
+    val surviving = base.filterNot(removed.contains)
+    val afterDec = Algorithms.ccDecrement(
+      Algorithms.cc(edges(base)), edges(surviving), edges(removed))
+    val got = labels(Algorithms.ccIncrement(afterDec, edges(added)))
+    val reb = labels(Algorithms.cc(edges(surviving ++ added)))
+    val allNodes = (base.map(_._1) ++ base.map(_._2)).toSet
+    assert(got === allNodes.map(n => n -> reb.getOrElse(n, n)).toMap)
+  }
+
+  test("real slice: g68's decrement+increment equals the T2 window rebuild") {
+    val t = Tables(spark, sfDir)
+    val trans = graft.graph.GraphBuilder.userTransitions(t)
+      .select(col("src"), col("dst"), col("ts").cast("timestamp_ntz").as("ts"))
+    def strongWin(at: String) = {
+      val hi = lit(at).cast("timestamp_ntz")
+      trans.filter(col("ts") > hi - expr("INTERVAL 7 DAYS") && col("ts") <= hi)
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("src", "dst")
+    }
+    val e1 = strongWin("2024-01-10 00:00:00")
+    val e2 = strongWin("2024-01-20 00:00:00")
+    val removed = e1.except(e2)
+    val added = e2.except(e1)
+    assert(!removed.isEmpty, "fixture must exercise genuine expiry")
+    assert(!added.isEmpty, "fixture must exercise genuine births")
+    val surviving = e1.join(e2, Seq("src", "dst"), "left_semi")
+    val afterDec = Algorithms.ccDecrement(Algorithms.cc(e1), surviving, removed)
+    val got = labels(Algorithms.ccIncrement(afterDec, added))
+    val reb = labels(Algorithms.cc(e2))
+    val universe = labels(Algorithms.cc(e1)).keySet ++ reb.keySet
+    assert(got === universe.map(n => n -> reb.getOrElse(n, n)).toMap)
+  }
+}

@@ -100,6 +100,103 @@ class DossierMaintainSpec extends SparkSpec {
       s"stream-maintained dossier diverged from the batch rebuild: $latest vs ${snap(rebuilt2)}")
   }
 
+  test("retract: a cancellation that displaces the max recomputes last_order from the surviving history") {
+    // cancel entity 1's LATEST order (102 @ 1999-01-02): count/spend
+    // subtract exactly, and the max leg must fall back to 1997-07-15 —
+    // the displaced-max recompute, not a stale stored date
+    val cancels = orders.filter(col("o_orderkey") === 102L)
+    val surviving = orders.filter(col("o_orderkey") =!= 102L)
+    val got = retract(wl, rebuilt, cancels, surviving)
+    assert(snap(got) === Set(
+      (1L, 2L, 30.75, "1997-07-15"),
+      (2L, 1L, 99.99, "1996-06-30"),
+      (3L, 0L, 0.0, "never")))
+    // and it equals the rebuild over surviving orders (the t17b oracle form)
+    assert(snap(got) === snap(merge(seed(wl), orderDelta(wl, surviving))))
+  }
+
+  test("retract: cancelling a non-max order leaves last_order untouched (no recompute path)") {
+    val cancels = orders.filter(col("o_orderkey") === 100L) // 1's EARLIEST
+    val surviving = orders.filter(col("o_orderkey") =!= 100L)
+    val got = retract(wl, rebuilt, cancels, surviving)
+    assert(snap(got) === Set(
+      (1L, 2L, 25.25, "1999-01-02"),
+      (2L, 1L, 99.99, "1996-06-30"),
+      (3L, 0L, 0.0, "never")))
+    assert(snap(got) === snap(merge(seed(wl), orderDelta(wl, surviving))))
+  }
+
+  test("retract: cancelling an entity's full history returns it to the seed state ('never')") {
+    val cancels = orders.filter(col("o_custkey") === 2L)
+    val surviving = orders.filter(col("o_custkey") =!= 2L)
+    val got = retract(wl, rebuilt, cancels, surviving)
+    assert(snap(got) === Set(
+      (1L, 3L, 35.75, "1999-01-02"),
+      (2L, 0L, 0.0, "never"),
+      (3L, 0L, 0.0, "never")))
+  }
+
+  test("retract: the empty cancellation batch is the identity") {
+    val none = orders.filter(lit(false))
+    assert(snap(retract(wl, rebuilt, none, orders)) === snap(rebuilt))
+  }
+
+  test("retract: ties on the max date — cancelling ONE of two same-date orders keeps the date") {
+    val withTie = ordersDf(Seq(
+      (200L, 1L, "1.00", "1999-01-02 00:00:00"))).unionByName(orders)
+    val st = merge(seed(wl), orderDelta(wl, withTie))
+    val cancels = withTie.filter(col("o_orderkey") === 102L) // one of the two 1999-01-02 rows
+    val surviving = withTie.filter(col("o_orderkey") =!= 102L)
+    val got = retract(wl, st, cancels, surviving)
+    // the recompute is ground truth: the surviving same-date order holds the max
+    assert(snap(got) === snap(merge(seed(wl), orderDelta(wl, surviving))))
+    assert(snap(got).exists { case (w, _, _, d) => w == 1L && d == "1999-01-02" })
+  }
+
+  test("graded composition: t17b's retract∘fold equals fold-on-surviving on real data") {
+    val t = Tables(spark, sfDir)
+    val w = t.customer.filter(col("c_custkey") % 101 === 0)
+      .select(col("c_custkey").as("wid"))
+    val cancels = t.orders.filter(col("o_orderkey") % 13 === 0)
+    val surviving = t.orders.filter(col("o_orderkey") % 13 =!= 0)
+    val full = merge(seed(w), orderDelta(w, t.orders))
+    val got = retract(w, full, cancels, surviving)
+    val want = merge(seed(w), orderDelta(w, surviving))
+    assert(snap(got) === snap(want))
+    // (the %13 slice displaces maxima at the GRADED sf0.01 — 3 of 15
+    // watched entities, checked out-of-band — but not necessarily at this
+    // spec's sf0.001; the guaranteed-displacement path is the next test)
+  }
+
+  test("real data: cancelling every watched entity's LATEST order displaces every ordered max") {
+    val t = Tables(spark, sfDir)
+    val w = t.customer.filter(col("c_custkey") % 101 === 0)
+      .select(col("c_custkey").as("wid"))
+    val watchedOrders = t.orders.join(broadcast(w),
+      col("o_custkey") === col("wid")).drop("wid")
+    val winLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    val ranked = watchedOrders.withColumn("rn", row_number().over(winLatest))
+    val cancels = ranked.filter(col("rn") === 1).drop("rn")
+    val surviving = t.orders.join(
+      cancels.select(col("o_orderkey").as("ck")),
+      col("o_orderkey") === col("ck"), "left_anti")
+    val full = merge(seed(w), orderDelta(w, t.orders))
+    val got = retract(w, full, cancels, surviving)
+    val want = merge(seed(w), orderDelta(w, surviving))
+    assert(snap(got) === snap(want))
+    // every ordered entity's stored max WAS displaced (date changed or
+    // fell back to 'never') — the recompute path ran for all of them
+    val before = snap(full).map(r => r._1 -> r._4).toMap
+    val after = snap(got).map(r => r._1 -> r._4).toMap
+    val ordered = before.filter(_._2 != "never").keySet
+    assert(ordered.nonEmpty)
+    ordered.foreach { wid =>
+      assert(after(wid) !== before(wid),
+        s"entity $wid: latest-order cancellation must displace its max")
+    }
+  }
+
   test("graded composition: the t17 split reproduces the unsplit aggregate on real data") {
     val t = Tables(spark, sfDir)
     val w = t.customer.filter(col("c_custkey") % 101 === 0)

@@ -300,6 +300,84 @@ class IvfIndexSpec extends SparkSpec {
       s"rewrote ${stats.rewrittenClusters.size}/16 buckets")
   }
 
+  test("refreshSampled at rate=1.0 IS the full refresh (same centroids, same assignments)") {
+    // the sample keeps every row at rate 1.0 and probe(_,1) is the same
+    // argmin as Lloyd's assignment leg, so the two refits must coincide
+    // bit-for-bit — pinning that the sampled path differs ONLY by the
+    // sample, not by a divergent assignment rule
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+      .withColumn("embedding", transform(col("embedding"), v => v + lit(1.5f)))
+    def prep(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+      IvfIndex.save(IvfIndex.build(base, k = 16), dir)
+      IvfIndex.appendTo(spark, dir, delta)
+      dir
+    }
+    val dFull = prep(); val dSamp = prep()
+    val sFull = IvfIndex.refresh(spark, dFull, k = 16)
+    val sSamp = IvfIndex.refreshSampled(spark, dSamp, k = 16, rate = 1.0)
+    assert(sSamp.nTotal === sFull.nTotal && sSamp.nMoved === sFull.nMoved)
+    assert(sSamp.rewrittenClusters === sFull.rewrittenClusters)
+    val f = IvfIndex.load(spark, dFull); val s = IvfIndex.load(spark, dSamp)
+    assert(s.assigned.select("vec_id", "cluster").as[(Long, Long)].collect().toMap ===
+           f.assigned.select("vec_id", "cluster").as[(Long, Long)].collect().toMap)
+    s.centroids.zip(f.centroids).foreach { case ((si, sv), (fi, fv)) =>
+      assert(si === fi); sv.zip(fv).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("refreshSampled: internally consistent index, bounded probe divergence vs the full refit, drift stats preserved") {
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+      .withColumn("embedding", transform(col("embedding"), v => v + lit(1.5f)))
+    val union = base.unionByName(delta)
+    def prep(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+      IvfIndex.save(IvfIndex.build(base, k = 16), dir)
+      IvfIndex.appendTo(spark, dir, delta)
+      dir
+    }
+    val dFull = prep(); val dSamp = prep()
+    IvfIndex.refresh(spark, dFull, k = 16)
+    val stats = IvfIndex.refreshSampled(spark, dSamp, k = 16, rate = 0.5)
+    // drift fields preserved (VERDICT r13 #3 "done" clause)
+    assert(stats.nTotal === union.count() && stats.k === 16)
+    val sampled = IvfIndex.load(spark, dSamp)
+    val full = IvfIndex.load(spark, dFull)
+    // internal consistency: every vector sits in ITS index's argmin bucket
+    // (probe correctness is exact per-index; sampling shifts only the
+    // tessellation) — probe(_,1) recomputes the argmin from the loaded
+    // centroids, so agreement with the stored column is the invariant
+    val stored = sampled.assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val recomputed = sampled.probe(sampled.assigned.drop("cluster"), nprobe = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(stored === recomputed, "sampled index must assign to its own argmin buckets")
+    // bounded divergence vs the full refit: for 20 drifted queries at
+    // nprobe=4, the candidate sets from the sampled-fit and full-fit
+    // tessellations must overlap substantially (Jaccard >= 0.5 on average
+    // over this fixture — deterministic sample, deterministic bound)
+    val fullAsg = full.assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val allVecs = union.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }.toMap
+    val queryIds = allVecs.keys.filter(_ >= 300).toSeq.sorted.take(20)
+    val overlaps = queryIds.map { qid =>
+      val qv = allVecs(qid)
+      val ps = sampled.nearestClusters(qv, nprobe = 4).toSet
+      val pf = full.nearestClusters(qv, nprobe = 4).toSet
+      val cs = stored.collect { case (i, c) if ps(c) => i }.toSet
+      val cf = fullAsg.collect { case (i, c) if pf(c) => i }.toSet
+      (cs intersect cf).size.toDouble / math.max(1, (cs union cf).size)
+    }
+    val meanJaccard = overlaps.sum / overlaps.length
+    assert(meanJaccard >= 0.5,
+      f"sampled-fit candidate sets diverged too far from the full refit: $meanJaccard%.3f")
+    info(f"mean candidate-set Jaccard (sampled rate=0.5 vs full refit, nprobe=4): $meanJaccard%.3f")
+  }
+
   test("batch probe matches the driver-side single-query ranking, per query") {
     val queries = emb.filter(col("vec_id") % 100 === 0)
     val got = built.probe(queries, nprobe = 5)

@@ -50,6 +50,33 @@ class RetrievalSpec extends SparkSpec {
     assert(better.isEmpty, s"docs outside the top-20 with higher scores: ${better.map(_._1).toSeq}")
   }
 
+  test("batched BM25: query 1's slice equals l43's single-query ranking rank-for-rank") {
+    // l48's query_id=1 is l43's query verbatim — the batch form must
+    // degrade to the single-query form exactly (same scores, same order),
+    // proving query batching changes the DATAFLOW, never the semantics
+    val batch = SparkEntry.queries("l48_bm25_batch")(spark, sfDir)
+      .filter(col("query_id") === 1L)
+      .select("doc_id", "bm25", "n_terms_hit")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val single = SparkEntry.queries("l43_bm25")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"),
+                           r.getAs[Long]("n_terms_hit"))).toSeq
+    assert(batch.nonEmpty && batch === single)
+  }
+
+  test("batched BM25: every query slice is a well-formed descending top-20 with dense ranks") {
+    val rows = SparkEntry.queries("l48_bm25_batch")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(1L, 2L, 3L), "all three queries must return results")
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 20)
+      val ranks = rs.map(_.getAs[Long]("rk")).toSeq
+      assert(ranks === (1L to rs.length).toSeq, s"query $qid ranks not dense: $ranks")
+      val scores = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("bm25")).toSeq
+      assert(scores === scores.sorted.reverse, s"query $qid scores not descending")
+    }
+  }
+
   test("RRF: fused score is exactly the reciprocal-rank sum of the emitted ranks; membership is the component union") {
     val rows = SparkEntry.queries("l44_hybrid_rrf")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

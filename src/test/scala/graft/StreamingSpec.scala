@@ -635,6 +635,56 @@ class StreamingSpec extends SparkSpec {
     // and the merge actually happened: 4-7 bridges {3,4} with {4,7}
     assert(want(7L) === 3L && want(4L) === 3L)
   }
+
+  test("streaming CC maintenance with expiry: births AND retractions fold to the windowed rebuild") {
+    import graft.stream.{CcMaintain, Trn}
+    import org.apache.spark.sql.DataFrame
+    val source = MemoryStream[Trn](spark)
+    val out = CcMaintain.strongEdgeBirthsTtl(source.toDS(), ttlMs = 3600000L)
+    // deployment state the sink persists per batch: labels AND the strong
+    // edge store (the decremental step re-runs CC against the latter)
+    var labels: DataFrame = Seq.empty[(Long, Long)].toDF("id", "component")
+    var edges: DataFrame = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // collect-then-localize: the spec's stand-in for stored state
+        val rows = b.select("src", "dst", "expired")
+          .as[(Long, Long, Boolean)].collect().toSeq
+        val (l2, e2) = CcMaintain.applyBatchTtl(labels, edges,
+          rows.toDF("src", "dst", "expired"))
+        labels = l2.as[(Long, Long)].collect().toSeq.toDF("id", "component")
+        edges = e2.as[(Long, Long)].collect().toSeq.toDF("src", "dst")
+        ()
+      }.start()
+    def fold(c: Trn*): Unit = { source.addData(c: _*); q.processAllAvailable() }
+    // b1: two births — components {1,2} and {5,6}; (3,4) stays sub-threshold
+    fold(Trn(1, 2, ts(0)), Trn(1, 2, ts(1)), Trn(3, 4, ts(2)),
+         Trn(5, 6, ts(3)), Trn(5, 6, ts(4)))
+    // b2: bridge birth (2,5) merges them — all of {1,2,5,6} label 1
+    fold(Trn(2, 5, ts(30)), Trn(2, 5, ts(31)))
+    assert(labels.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    // b3: (9,10) births at ts(180/181); the watermark advance expires EVERY
+    // older counter — (1,2), (5,6), (2,5) retract (component splits to
+    // singletons), and (3,4)'s sub-threshold counter death exercises the
+    // unknown-edge no-op (it never was an edge)
+    fold(Trn(9, 10, ts(180)), Trn(9, 10, ts(181)))
+    val afterExpiry = labels.as[(Long, Long)].collect().toMap
+    assert(afterExpiry === Map(1L -> 1L, 2L -> 2L, 5L -> 5L, 6L -> 6L,
+      9L -> 9L, 10L -> 9L),
+      s"expired edges must split the component into labeled singletons: $afterExpiry")
+    // b4: post-expiry RE-birth of (2,5) re-merges the two singletons
+    fold(Trn(2, 5, ts(182)), Trn(2, 5, ts(183)))
+    q.stop()
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 5L -> 2L, 6L -> 6L,
+      9L -> 9L, 10L -> 9L), s"re-birth must re-merge the singletons: $got")
+    // invariant: the maintained labeling equals the rebuild of the standing
+    // edge store over the preserved node universe
+    val reb = graft.graph.Algorithms.cc(edges).as[(Long, Long)].collect().toMap
+    assert(got === got.keySet.map(n => n -> reb.getOrElse(n, n)).toMap)
+    assert(edges.as[(Long, Long)].collect().toSet === Set((9L, 10L), (2L, 5L)))
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
