@@ -96,7 +96,13 @@ object DossierMaintain {
       .agg(count(col("o_orderkey")).as("c_n"),
            sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("c_spent"),
            max(col("o_orderdate")).as("c_maxdate"))
+    // the (state ⋈ cancel-delta) frame feeds BOTH the displaced-entity
+    // probe and the final merge — materialize it (it is watchlist-bound,
+    // thousands of rows) so the state fold and the cancel-slice scan run
+    // ONCE, not once per consumer (PlanSpec pins the 3-scan total:
+    // fold + cancels + recompute)
     val joined = state.join(cd, Seq("wid"), "left")
+      .transform(graft.graph.Materialize.apply)
     val displaced = joined
       .filter(col("c_maxdate").isNotNull && col("c_maxdate") === col("last_order"))
       .select(col("wid"))

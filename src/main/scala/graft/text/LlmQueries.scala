@@ -229,12 +229,12 @@ object LlmQueries {
     val w = Window.partitionBy("eval_id").orderBy(col("cos").desc, col("corpus_id"))
     val agg = scored.withColumn("rn", row_number().over(w))
       .groupBy("eval_id")
-      .agg(sum(when(col("cos") >= 0.99, 1L).otherwise(0L)).as("n_near_identical"),
+      .agg(sum(when(col("cos") >= 0.99, 1L).otherwise(0L)).as("n_near_identical_probed"),
            max(when(col("rn") === 1, col("cos"))).as("best_cos"),
            max(when(col("rn") === 1, col("corpus_id"))).as("best_corpus_doc"))
     ev.select(col("eval_id")).join(agg, Seq("eval_id"), "left")
       .select(col("eval_id"),
-              coalesce(col("n_near_identical"), lit(0L)).as("n_near_identical"),
+              coalesce(col("n_near_identical_probed"), lit(0L)).as("n_near_identical_probed"),
               col("best_cos"), col("best_corpus_doc"))
       .orderBy("eval_id")
   }
@@ -2612,7 +2612,12 @@ object LlmQueries {
     // probed work ∝ N/√N per eval vector). The report shape is l47's
     // exactly (nearest surfaced neighbor + near-identical count), with
     // counts OVER THE PROBED SET — the screen reports what the index
-    // surfaces; DecontaminateSpec proves an exact corpus copy of an eval
+    // surfaces, and the column is NAMED for it (ADVICE r13:
+    // `n_near_identical_probed`, not l47's corpus-wide
+    // `n_near_identical` — a near-identical-but-not-bit-identical
+    // contaminant in an unprobed bucket is invisible here, so the two
+    // counts are different measurements and must not share a name);
+    // DecontaminateSpec proves an exact corpus copy of an eval
     // vector is ALWAYS surfaced (identical vectors rank the same nearest
     // centroid, and the probe set is monotone in nprobe ≥ 1) and pins
     // recall vs the brute-force twin. Evals whose probed buckets hold no
@@ -2634,7 +2639,7 @@ object LlmQueries {
       // oracle's LEFT join yields the same rows — and the all-empty sweep
       // degrades to zero rows, not a dead build)
       if (corp.head(1).isEmpty)
-        ev.select(col("eval_id"), lit(0L).as("n_near_identical"),
+        ev.select(col("eval_id"), lit(0L).as("n_near_identical_probed"),
                   lit(null).cast("double").as("best_cos"),
                   lit(null).cast("bigint").as("best_corpus_doc"))
           .orderBy("eval_id")
@@ -2665,12 +2670,12 @@ object LlmQueries {
                      ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cos DESC, corpus_id) AS rn
               FROM scored),
       agg AS (SELECT eval_id,
-                     CAST(SUM(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_identical,
+                     CAST(SUM(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_identical_probed,
                      MAX(CASE WHEN rn = 1 THEN cos END) AS best_cos,
                      MAX(CASE WHEN rn = 1 THEN corpus_id END) AS best_corpus_doc
               FROM rnk GROUP BY 1)
       SELECT e.eval_id,
-             COALESCE(a.n_near_identical, CAST(0 AS BIGINT)) AS n_near_identical,
+             COALESCE(a.n_near_identical_probed, CAST(0 AS BIGINT)) AS n_near_identical_probed,
              a.best_cos, a.best_corpus_doc
       FROM ev e LEFT JOIN agg a USING (eval_id)
       ORDER BY e.eval_id"""))

@@ -519,4 +519,95 @@ class PlanSpec extends SparkSpec {
     assert(!gp.contains("CartesianProduct") && !gp.contains("SortMergeJoin"),
       s"graded increment plan shuffles or crosses:\n$gp")
   }
+
+  test("t17: each refresh scans only its order slice — watchlist broadcasts, date bounds push to the scans") {
+    // the maintained-view economics (VERDICT r13 #6): the two merge folds
+    // scan orders exactly twice (base slice + delta slice), each with its
+    // date bound pushed to the parquet scan (at 100 TB: partition pruning
+    // on the date-partitioned feed), and the watchlist joins broadcast so
+    // the slice aggregation never shuffles the order rows on wid
+    val p = plan("t17_dossier_increment")
+    val scans = """orders\.parquet""".r.findAllIn(p).size
+    assert(scans == 2, s"expected exactly 2 orders-slice scans, got $scans:\n$p")
+    assert("""LessThanOrEqual\(o_orderdate""".r.findAllIn(p).size >= 1 &&
+           """GreaterThan\(o_orderdate""".r.findAllIn(p).size >= 1,
+      s"slice date bounds not pushed to the orders scans:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"watchlist must broadcast into both slice aggregations:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t17b: retraction costs the cancel slice + ONE surviving recompute scan; no corpus re-aggregation") {
+    // retract materializes the watchlist-bound (state ⋈ cancel-delta)
+    // frame, so the fold (1 full scan) and the cancel-slice aggregation
+    // (1 scan) run exactly once AT the materialization; the FINAL plan —
+    // the one that would re-execute per consumer — touches orders only
+    // for the displaced-max recompute (1 scan) and reads the maintained
+    // state as a local dataset (Scan ExistingRDD), never re-aggregating
+    // the corpus. (The materialize runs through the RDD checkpoint path,
+    // which the SQL listener does not capture — so the pin is on the
+    // final plan's shape, the part that repeats.)
+    val p = plan("t17b_dossier_retract")
+    val scans = """orders\.parquet""".r.findAllIn(p).size
+    assert(scans == 1,
+      s"final retract plan must scan orders ONLY for the recompute, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the maintained state must enter materialized, not re-derived:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"watchlist/displaced joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("g68: the decrement runs blast-radius-sized — touched set broadcasts, labels never sort-merge") {
+    // fixture with a genuine split + a genuine merge (the graded slice at
+    // sf0.001 may have an empty removal set, which would collapse the very
+    // joins this pins — the g66 lesson)
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val surviving = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val removed = Seq((2L, 3L)).toDF("src", "dst")
+    val dec = graft.graph.Algorithms.ccDecrement(
+      graft.graph.Algorithms.cc(base), surviving, removed)
+    val p = dec.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"touched-component set must broadcast into the label/edge pruning joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the standing label table must never shuffle in the decrement:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("VertexRDD") && !p.contains("EdgeRDD"),
+      "decrement fell back to a GraphX global CC run")
+    val gp = plan("g68_cc_decrement")
+    assert(!gp.contains("CartesianProduct"),
+      s"graded decrement plan degraded to a cartesian:\n$gp")
+  }
+
+  test("l48: one tokenize pipeline feeds all queries — qterms broadcast, per-query top-20 prunes via WindowGroupLimit") {
+    val p = plan("l48_bm25_batch")
+    // the corpus is tokenized by the SAME scan shape as l43 (Catalyst
+    // re-derives tok for each of dl/stats/tf/df) — batching queries must
+    // add ZERO documents scans over the single-query plan
+    val scans = """documents\.parquet""".r.findAllIn(p).size
+    val l43Scans = """documents\.parquet""".r.findAllIn(plan("l43_bm25")).size
+    assert(scans == l43Scans,
+      s"query batching added corpus scans: got $scans vs l43's $l43Scans:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"qterms/df/stats must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query rank filter must prune groups before the full window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("l49: the BPE merge chain is projection-level over ONE scan — no UDF, no join, agg is partial") {
+    val p = plan("l49_bpe_tokenize")
+    val scans = """documents\.parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"BPE tokenize must scan the corpus once, got $scans:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the tokenize-count plan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"),
+      "merge chain must stay expression-level (codegen), not UDF/mapPartitions")
+    assert("partial".r.findFirstIn(p.toLowerCase).isDefined,
+      "per-doc token counts must partial-aggregate before the shuffle")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
+      s"scan reads more than (doc_id, text): $read")
+  }
 }
