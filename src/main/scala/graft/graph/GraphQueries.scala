@@ -3417,6 +3417,74 @@ object GraphQueries {
         UNION SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id)
       SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
 
+    // G36 — DECREMENTAL ENTITY RESOLUTION (record corrections/erasure —
+    // the parenthetical VERDICT r13 missing #1 closed alongside g68's
+    // CC half): g48's standing merge map maintained under record
+    // DELETIONS (GDPR erasure, withdrawn filings, corrected duplicates).
+    // Removing a record removes every match pair touching it; clusters
+    // containing it may SPLIT — exactly [[Algorithms.ccDecrement]]'s
+    // contract over the pair graph: touched clusters re-close over their
+    // SURVIVING pairs only (work ∝ touched clusters, never a full
+    // re-resolution), untouched clusters pass through, and the erased
+    // records leave the map entirely (unlike graph entities, an erased
+    // record must not linger as a singleton — the output is non-root rows
+    // over surviving records, so isolated nodes drop out with the
+    // id ≠ component filter the merge-map shape already applies). The
+    // ORACLE re-blocks and re-closes over surviving records from scratch
+    // (blocking keys are per-record, so pairs among survivors are
+    // unchanged by the deletion — the unsplit rebuild), making the hash
+    // the decrement≡re-resolution proof. Fixture: custkey % 17 = 0 is
+    // "today's erasure batch".
+    E("g69_er_decrement", (s, d) => {
+      val cust = Tables(s, d).customer.select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"))
+      val ents = cust.select(col("id"), col("name"))
+      val deleted = cust.filter(col("id") % 17 === 0).select(col("id"))
+      val basePairs = fuzzyCustomerPairs(s, d)
+        .join(broadcast(cust.select(col("id").as("id_a"), col("nk").as("nk_a"))), Seq("id_a"))
+        .join(broadcast(cust.select(col("id").as("id_b"), col("nk").as("nk_b"))), Seq("id_b"))
+        .filter(col("nk_a") === col("nk_b"))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .transform(Materialize.apply)
+      val flagged = basePairs
+        .join(broadcast(deleted.select(col("id").as("src"), lit(1).as("da"))), Seq("src"), "left")
+        .join(broadcast(deleted.select(col("id").as("dst"), lit(1).as("db"))), Seq("dst"), "left")
+      val removed = flagged.filter(col("da").isNotNull || col("db").isNotNull)
+        .select(col("src"), col("dst"))
+      val surviving = flagged.filter(col("da").isNull && col("db").isNull)
+        .select(col("src"), col("dst"))
+      val base = Algorithms.cc(basePairs) // the standing merge map
+      Algorithms.ccDecrement(base, surviving, removed)
+        .join(broadcast(deleted), Seq("id"), "left_anti") // erased records LEAVE
+        .filter(col("id") =!= col("component"))
+        .join(broadcast(ents), Seq("id"))
+        .join(broadcast(ents.select(col("id").as("component"), col("name").as("canonical_name"))),
+              Seq("component"))
+        .select(col("id").as("custkey"), col("name"),
+                col("component").as("merged_into"), col("canonical_name"))
+        .orderBy("custkey")
+    }, Some(s"""
+      WITH RECURSIVE $fuzzyPairsSql,
+      snp AS (SELECT cust_a, cust_b FROM fpairs
+              JOIN nm na ON na.ck = cust_a JOIN nm nb ON nb.ck = cust_b
+              WHERE na.nk = nb.nk
+                AND cust_a % 17 <> 0 AND cust_b % 17 <> 0),
+      sym AS (SELECT cust_a AS src, cust_b AS dst FROM snp
+              UNION SELECT cust_b, cust_a FROM snp),
+      nds AS (SELECT DISTINCT src AS id FROM sym),
+      seeds AS (SELECT id FROM nds n
+                WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = n.id AND e.dst < n.id)),
+      lab(id, l) AS (
+        SELECT id, id FROM seeds
+        UNION
+        SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id),
+      comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)
+      SELECT c.id AS custkey, na.nam AS name, c.cluster AS merged_into, nb.nam AS canonical_name
+      FROM comp c JOIN nm na ON na.ck = c.id JOIN nm nb ON nb.ck = c.cluster
+      WHERE c.id <> c.cluster
+      ORDER BY custkey""")),
+
     // G29c — CAPPED dossier ego sections (VERDICT r12 #4: the DEPLOYMENT
     // shape). g62's graded ego sections traverse nation hubs UNCAPPED —
     // at sf6.4 each (seed, date) ego pulls ~1/25 of all suppliers/

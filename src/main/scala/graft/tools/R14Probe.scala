@@ -1,0 +1,138 @@
+package graft.tools
+
+import graft.Tables
+import graft.graph.{Algorithms, GraphBuilder, Materialize}
+import graft.text.IvfIndex
+import org.apache.spark.sql.functions._
+
+/** Round-14 scale rehearsal probe (SCALE.md evidence, not a driver
+  * surface): the decremental-CC blast-radius economics and the sampled
+  * IVF refit cost, both at rehearsal sf.
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/scale/sf6.4 SPARK_DRIVER_MEM=32g \
+  *     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
+  *     sbt "runMain graft.tools.R14Probe dec|decgiant|ivf"
+  *
+  * `dec` — maintenance tick on the FULL property graph with removals
+  *   drawn from SMALL components (the favorable regime the operator is
+  *   designed for: blast radius ∝ touched components): one
+  *   ccDecrement(expired)+ccIncrement(arrived) refresh vs the full cc
+  *   rebuild of the post-tick graph, against a MATERIALIZED base.
+  * `decgiant` — the documented boundary: the same tick with removals
+  *   drawn from the GIANT component, whose induced subgraph is most of
+  *   the graph — the decrement honestly degrades toward the rebuild
+  *   (component-granularity maintenance cannot beat a rebuild when the
+  *   blast radius IS the graph; SCALE.md records this as the contract's
+  *   stated limit, not a surprise).
+  * `ivf` — refreshSampled(rate=0.1) vs refresh on identical drifted
+  *   copies of a persisted index over the rehearsal embeddings: the
+  *   refit pass is the 100 TB bottleneck refresh documents; the sampled
+  *   fit cuts the Lloyd input 10x while the assignment pass (irreducible
+  *   - every vector must land in a bucket) and the moved-bucket write
+  *   stay.
+  */
+object R14Probe {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** One maintenance tick: removals from components ≤ maxCompSize (or > for
+    * the giant-regime probe), additions = one month of arrivals. */
+  private def decTick(spark: org.apache.spark.sql.SparkSession, t: Tables,
+                      giant: Boolean): Unit = {
+    val tag = if (giant) "r14-decgiant" else "r14-dec"
+    val g = GraphBuilder(t)
+    val edges = g.edges.select(col("src"), col("dst"), col("valid_from"))
+      .transform(Materialize.apply)
+    val t1 = "1996-12-01 00:00:00"; val t2 = "1997-01-01 00:00:00"
+    val e1 = edges
+      .filter(col("valid_from").isNull ||
+              col("valid_from") <= lit(t1).cast("timestamp_ntz"))
+      .select(col("src"), col("dst")).transform(Materialize.apply)
+    val additions = edges
+      .filter(col("valid_from") > lit(t1).cast("timestamp_ntz") &&
+              col("valid_from") <= lit(t2).cast("timestamp_ntz"))
+      .select(col("src"), col("dst")).transform(Materialize.apply)
+    val (base, wBase) = time(Algorithms.cc(e1).transform(Materialize.apply))
+    // component sizes stratify the removal slice: small-component removals
+    // are the designed regime (bounded blast radius); giant-component
+    // removals are the documented boundary
+    val sizes = base.groupBy("component").agg(count(lit(1)).as("csize"))
+    val labeled = e1.join(base.withColumnRenamed("id", "src")
+        .withColumnRenamed("component", "comp"), Seq("src"))
+      .join(sizes.withColumnRenamed("component", "comp"), Seq("comp"))
+    val inSlice =
+      if (giant) col("csize") > 1000L else col("csize").between(2L, 1000L)
+    // ~1% deterministic sample of the stratum's edges
+    val removed = labeled.filter(inSlice)
+      .filter(pmod(col("src") * 31L + col("dst"), lit(97L)) === 0L)
+      .select(col("src"), col("dst")).transform(Materialize.apply)
+    val surviving = e1.join(removed, Seq("src", "dst"), "left_anti")
+      .transform(Materialize.apply)
+    println(f"[$tag] e1=${e1.count()}%d edges, removed=${removed.count()}%d, " +
+      f"additions(1 month)=${additions.count()}%d, base build $wBase%.1f s " +
+      f"over ${base.count()}%d labels")
+    val touched = removed.select(col("src").as("id"))
+      .unionByName(removed.select(col("dst").as("id"))).distinct()
+      .join(base, Seq("id")).select("component").distinct()
+    val touchedNodes = base.join(touched, Seq("component"))
+    println(f"[$tag] blast radius: ${touched.count()}%d touched components, " +
+      f"${touchedNodes.count()}%d of ${base.count()}%d labels inside")
+    val (_, wTick) = time {
+      val afterDec = Algorithms.ccDecrement(base, surviving, removed,
+        baseMaterialized = true)
+      Algorithms.ccIncrement(afterDec, additions)
+        .write.mode("overwrite").format("noop").save()
+    }
+    println(f"[$tag] decrement+increment refresh: $wTick%.1f s")
+    val (_, wRebuild) = time(
+      Algorithms.cc(surviving.unionByName(additions))
+        .write.mode("overwrite").format("noop").save())
+    println(f"[$tag] full cc rebuild:             $wRebuild%.1f s")
+  }
+
+  private def ivfSplit(spark: org.apache.spark.sql.SparkSession, t: Tables): Unit = {
+    val emb = t.embeddings
+    val n = emb.count()
+    val k = 64
+    // base = 90% of the corpus; delta = the rest, shifted (the IvfIndexSpec
+    // drift pattern at rehearsal scale)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding", transform(col("embedding"), v => v + lit(1.5f)))
+    def prep(dir: String): Double = {
+      val (_, w) = time {
+        IvfIndex.save(IvfIndex.build(base, k), dir)
+        IvfIndex.appendTo(spark, dir, delta)
+      }
+      w
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("r14ivf_full").toString
+    val d2 = java.nio.file.Files.createTempDirectory("r14ivf_samp").toString
+    val wPrep = prep(d1); prep(d2)
+    println(f"[r14-ivf] corpus=$n%d vectors, k=$k%d, build+append $wPrep%.1f s per copy")
+    val (sFull, wFull) = time(IvfIndex.refresh(spark, d1, k))
+    println(f"[r14-ivf] refresh (full-corpus Lloyd refit): $wFull%.1f s, " +
+      f"moved ${sFull.nMoved}%d/${sFull.nTotal}%d, rewrote ${sFull.rewrittenClusters.size}%d buckets")
+    val (sSamp, wSamp) = time(IvfIndex.refreshSampled(spark, d2, k, rate = 0.1))
+    println(f"[r14-ivf] refreshSampled rate=0.1 (Lloyd on 10%%): $wSamp%.1f s, " +
+      f"moved ${sSamp.nMoved}%d/${sSamp.nTotal}%d, rewrote ${sSamp.rewrittenClusters.size}%d buckets")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/sf6.4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, sfDir)
+    args.headOption.getOrElse("dec") match {
+      case "dec" => decTick(spark, t, giant = false)
+      case "decgiant" => decTick(spark, t, giant = true)
+      case "ivf" => ivfSplit(spark, t)
+      case other => System.err.println(s"unknown mode $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+}

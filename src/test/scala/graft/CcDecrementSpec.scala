@@ -97,6 +97,38 @@ class CcDecrementSpec extends SparkSpec {
     assert(got === allNodes.map(n => n -> reb.getOrElse(n, n)).toMap)
   }
 
+  test("decremental ER (g69) equals the from-scratch re-resolution over surviving records") {
+    // the g67≡g48 discipline on the deletion side: the graded decrement
+    // and an in-engine full re-resolution of the surviving slice must be
+    // row-identical, so a drift between the two paths fails here before
+    // the driver sees it
+    val cust = Tables(spark, sfDir).customer.select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nk"))
+    val surviving = cust.filter(col("id") % 17 =!= 0)
+    val ents = surviving.select(col("id"), col("name"))
+    val pairs = graft.rel.FuzzyJoin.selfJoinLev1(surviving.select("id", "name"))
+      .join(broadcast(surviving.select(col("id").as("id_a"), col("nk").as("nk_a"))), Seq("id_a"))
+      .join(broadcast(surviving.select(col("id").as("id_b"), col("nk").as("nk_b"))), Seq("id_b"))
+      .filter(col("nk_a") === col("nk_b"))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val reb = Algorithms.cc(pairs)
+      .filter(col("id") =!= col("component"))
+      .join(broadcast(ents), Seq("id"))
+      .join(broadcast(ents.select(col("id").as("component"), col("name").as("canonical_name"))),
+            Seq("component"))
+      .select(col("id").as("custkey"), col("name"),
+              col("component").as("merged_into"), col("canonical_name"))
+      .orderBy("custkey").collect().toSeq
+    val got = SparkEntry.queries("g69_er_decrement")(spark, sfDir).collect().toSeq
+    assert(got.nonEmpty && got === reb)
+    // erased records are GONE from the map (not singletons, not labels)
+    got.foreach { r =>
+      assert(r.getLong(0) % 17 != 0 && r.getLong(2) % 17 != 0,
+        s"erased record leaked into the maintained map: $r")
+    }
+  }
+
   test("real slice: g68's decrement+increment equals the T2 window rebuild") {
     val t = Tables(spark, sfDir)
     val trans = graft.graph.GraphBuilder.userTransitions(t)
