@@ -364,6 +364,17 @@ object Algorithms {
     * edges). Removing an edge unknown to `baseLabels` (never folded in, or
     * already expired twice) is a no-op — replay-safe under at-least-once
     * batch redelivery, the same idempotence contract ccIncrement pins.
+    *
+    * WIN WINDOW, measured honestly (SCALE.md round 14): the incremental
+    * path beats the rebuild only when the rebuild is itself expensive AND
+    * the blast radius is small — a large, many-component graph. On an
+    * audit-sized graph (96k labels) the multi-step dataflow overhead
+    * exceeds the trivially cheap union-find rebuild (4.1 s vs 0.6 s), and
+    * on a giant-component graph the majority-touched gate below routes to
+    * the rebuild because component-granularity maintenance provably cannot
+    * win there. Callers maintaining small labelings per micro-batch should
+    * simply rebuild; this operator is for the standing webs whose nightly
+    * rebuild is the thing being replaced.
     */
   def ccDecrement(baseLabels: DataFrame, survivingEdges: DataFrame,
                   removedEdges: DataFrame,
@@ -380,20 +391,44 @@ object Algorithms {
     val touched =
       if (touchedRaw.count() <= broadcastMergeMaxRows) broadcast(touchedRaw)
       else touchedRaw
-    // nodes of touched components; everything else passes through untouched
-    val touchedNodes = base.join(touched, Seq("component"))
-      .select(col("id"), col("component"))
-      .transform(Materialize.apply)
+    // SELF-GATING REBUILD FALLBACK (measured, round 14): when the blast
+    // radius IS the graph — removals inside a giant component that holds
+    // most of the labels — the "incremental" path pays the induced-
+    // subgraph derivation + CC + stitch on top of what amounts to a full
+    // re-run (sf6.4: 97.6 s incremental vs 35.9 s rebuild on a
+    // 25M-edge/9.7M-label web whose giant component spans every label).
+    // Component-granularity maintenance cannot beat a rebuild there, so
+    // past a majority-touched threshold this routes to the rebuild
+    // DIRECTLY — same output contract (full node universe, expired
+    // nodes as singletons), provably equal labels (cc is deterministic
+    // min-id). The decision is two counts BEFORE anything label-sized is
+    // materialized (the first cut of this gate materialized the touched
+    // node set just to count it — a full write of the label table the
+    // fallback then threw away).
+    val majorityTouched =
+      base.join(touched, Seq("component"), "left_semi").count() * 2 > base.count()
+    val relabeled = (if (majorityTouched) {
+      cc(survivingEdges.select(col("src"), col("dst")))
+    } else {
+      // nodes of touched components — the only label-sized intermediate,
+      // built only on the incremental path that consumes it twice
+      val touchedNodes = base.join(touched, Seq("component"))
+        .select(col("id"), col("component"))
+        .transform(Materialize.apply)
+      // induced surviving subgraph: a surviving edge lives entirely inside
+      // one base component (labels partition the original edge set), so
+      // the src-side semi-join selects exactly the touched components'
+      // edges
+      val induced = survivingEdges.select(col("src"), col("dst"))
+        .join(touchedNodes.select(col("id").as("src")), Seq("src"), "left_semi")
+      cc(induced)
+    }).transform(Materialize.apply)
     val untouched = base.join(touched, Seq("component"), "left_anti")
-    // induced surviving subgraph: a surviving edge lives entirely inside one
-    // base component (labels are a partition of the original edge set), so
-    // the src-side semi-join selects exactly the touched components' edges
-    val induced = survivingEdges.select(col("src"), col("dst"))
-      .join(touchedNodes.select(col("id").as("src")), Seq("src"), "left_semi")
-    val relabeled = cc(induced).transform(Materialize.apply)
-    // touched nodes with no surviving edge: singletons
-    val isolated = touchedNodes.select(col("id"))
       .join(relabeled.select("id"), Seq("id"), "left_anti")
+    // nodes with no surviving edge in their (re)labeled scope: singletons
+    val isolated = base.select(col("id"))
+      .join(relabeled.select("id"), Seq("id"), "left_anti")
+      .join(untouched.select("id"), Seq("id"), "left_anti")
       .withColumn("component", col("id"))
     untouched.select(col("id"), col("component"))
       .unionByName(relabeled)

@@ -251,7 +251,57 @@ object IvfIndex {
     val probeIdx = IvfIndex(cents, spark.emptyDataFrame)
     val freshAssigned = body.join(probeIdx.probe(body, nprobe = 1), "vec_id")
       .transform(graft.graph.Materialize.apply)
-    rewriteDiff(spark, dir, IvfIndex(cents, freshAssigned), current, k)
+    // ALIGN new cluster ids to the OLD labeling before diffing (measured,
+    // round-14 sf6.4 probe): the sample's Lloyd seeds are the k lowest
+    // ids OF THE SAMPLE, so an un-aligned refit relabels every bucket even
+    // where the tessellation barely moved — 122k/128k "moved" on a drift
+    // where the full refit moved 29k — and the moved-bucket-proportional
+    // write (the whole point of refresh at 100 TB) degenerates to a full
+    // rewrite. Majority-overlap matching (greedy 1-1 on member counts,
+    // driver-side over a ≤k² overlap matrix) keeps a stable bucket's id
+    // stable, so the diff measures TESSELLATION drift, not seed-id drift.
+    // [[refresh]] deliberately stays un-aligned: its contract is exact
+    // equality with the from-scratch rebuild (ids included), and its
+    // corpus-lowest-id seeds are stable whenever the lowest ids persist.
+    val (alignedCents, alignedAssigned) = alignToOld(spark, cents, freshAssigned, current)
+    rewriteDiff(spark, dir,
+      IvfIndex(alignedCents, alignedAssigned.transform(graft.graph.Materialize.apply)),
+      current, k)
+  }
+
+  /** Greedy majority-overlap relabeling of fresh cluster ids onto the old
+    * labeling: sort (new, old, sharedMembers) by count desc, match 1-1;
+    * unmatched new clusters take fresh ids past every id in play. Pure
+    * function of the two assignments (ties broken by ids), k²-bounded
+    * driver work. */
+  private def alignToOld(spark: SparkSession,
+                         cents: Array[(Long, Array[Double])],
+                         freshAssigned: DataFrame,
+                         current: DataFrame): (Array[(Long, Array[Double])], DataFrame) = {
+    import spark.implicits._
+    val overlap = freshAssigned.select(col("vec_id"), col("cluster"))
+      .join(current.select(col("vec_id"), col("old_cluster")), "vec_id")
+      .groupBy("cluster", "old_cluster").agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    val newToOld = scala.collection.mutable.Map[Long, Long]()
+    val usedOld = scala.collection.mutable.Set[Long]()
+    overlap.sortBy { case (nw, old, n) => (-n, old, nw) }.foreach {
+      case (nw, old, _) =>
+        if (!newToOld.contains(nw) && !usedOld(old)) {
+          newToOld(nw) = old; usedOld += old
+        }
+    }
+    val oldIds = overlap.map(_._2).distinct
+    var next = (oldIds ++ newToOld.values ++ cents.map(_._1))
+      .foldLeft(-1L)(math.max) + 1
+    cents.foreach { case (cid, _) =>
+      if (!newToOld.contains(cid)) { newToOld(cid) = next; next += 1 }
+    }
+    val mappedCents = cents.map { case (cid, v) => (newToOld(cid), v) }.sortBy(_._1)
+    val mdf = newToOld.toSeq.toDF("cluster", "aligned_cluster")
+    val mappedAsg = freshAssigned.join(broadcast(mdf), "cluster")
+      .drop("cluster").withColumnRenamed("aligned_cluster", "cluster")
+    (mappedCents, mappedAsg)
   }
 
   /** Shared write side of [[refresh]]/[[refreshSampled]]: diff fresh vs old

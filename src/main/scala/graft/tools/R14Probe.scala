@@ -38,6 +38,47 @@ object R14Probe {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** The graded g68 semantics at rehearsal scale: the 7-day-windowed
+    * strong user graph between two horizons — expiry and birth both
+    * organic, components plentiful (the 64 ScaleUp copies are id-disjoint,
+    * so the favorable many-component regime exists by construction). */
+  private def decWindow(spark: org.apache.spark.sql.SparkSession, t: Tables): Unit = {
+    val trans = GraphBuilder.userTransitions(t)
+      .select(col("src"), col("dst"), col("ts").cast("timestamp_ntz").as("ts"))
+      .transform(Materialize.apply)
+    def strongWin(at: String) = {
+      val hi = lit(at).cast("timestamp_ntz")
+      trans.filter(col("ts") > hi - expr("INTERVAL 7 DAYS") && col("ts") <= hi)
+        .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("src", "dst")
+    }
+    val e1 = strongWin("2024-01-10 00:00:00").transform(Materialize.apply)
+    val e2 = strongWin("2024-01-20 00:00:00").transform(Materialize.apply)
+    val removed = e1.except(e2).transform(Materialize.apply)
+    val added = e2.except(e1).transform(Materialize.apply)
+    val surviving = e1.join(e2, Seq("src", "dst"), "left_semi")
+      .transform(Materialize.apply)
+    val (base, wBase) = time(Algorithms.cc(e1).transform(Materialize.apply))
+    val touched = removed.select(col("src").as("id"))
+      .unionByName(removed.select(col("dst").as("id"))).distinct()
+      .join(base, Seq("id")).select("component").distinct()
+    val touchedNodes = base.join(touched, Seq("component"))
+    println(f"[r14-decwin] e1=${e1.count()}%d edges, removed=${removed.count()}%d, " +
+      f"added=${added.count()}%d; base build $wBase%.1f s over ${base.count()}%d labels")
+    println(f"[r14-decwin] blast radius: ${touched.count()}%d touched components, " +
+      f"${touchedNodes.count()}%d of ${base.count()}%d labels inside")
+    val (_, wTick) = time {
+      val afterDec = Algorithms.ccDecrement(base, surviving, removed,
+        baseMaterialized = true)
+      Algorithms.ccIncrement(afterDec, added)
+        .write.mode("overwrite").format("noop").save()
+    }
+    println(f"[r14-decwin] decrement+increment refresh: $wTick%.1f s")
+    val (_, wRebuild) = time(
+      Algorithms.cc(e2).write.mode("overwrite").format("noop").save())
+    println(f"[r14-decwin] full cc rebuild:             $wRebuild%.1f s")
+  }
+
   /** One maintenance tick: removals from components ≤ maxCompSize (or > for
     * the giant-regime probe), additions = one month of arrivals. */
   private def decTick(spark: org.apache.spark.sql.SparkSession, t: Tables,
@@ -127,7 +168,8 @@ object R14Probe {
     val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, sfDir)
-    args.headOption.getOrElse("dec") match {
+    args.headOption.getOrElse("decwin") match {
+      case "decwin" => decWindow(spark, t)
       case "dec" => decTick(spark, t, giant = false)
       case "decgiant" => decTick(spark, t, giant = true)
       case "ivf" => ivfSplit(spark, t)
