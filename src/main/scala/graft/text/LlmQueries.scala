@@ -2402,6 +2402,160 @@ object LlmQueries {
       SELECT query_id, doc_id, bm25, n_terms_hit, CAST(rk AS BIGINT) AS rk
       FROM r WHERE rk <= 20 ORDER BY query_id, rk""")),
 
+    // L12b — SEQUENCE PACKING (greedy shard-local bin packing into fixed
+    // context windows): the step between a curated corpus and a training
+    // batch — documents are packed into C-token windows so GPU context
+    // isn't wasted on padding. Semantics chosen for the distributed
+    // reality, stated plainly: GLOBAL greedy/FFD packing is inherently
+    // sequential (every decision depends on all prior bins), so real
+    // pipelines pack WITHIN SHARDS and parallelize across them — shard =
+    // doc_id % 8 here, thousands of hash shards at 100 TB, each shard's
+    // greedy fold O(its docs). Within a shard, docs pack in doc_id order:
+    // close the bin when the next doc would overflow C=512 whitespace
+    // tokens; an oversize doc occupies its own (over-full) bin — the
+    // truncate/split policy is downstream's. Implementation is the typed
+    // API's flatMapSortedGroups (the ONE genuinely sequential fold in the
+    // library — a window function cannot express "bin id depends on the
+    // running remainder"), with the per-shard iterator sorted by the
+    // engine, not collected; the ORACLE mirrors the same fold as a
+    // per-shard linear recursive CTE. Output: one row per (shard, bin).
+    E("l51_pack_sequences", (s, d) => {
+      import s.implicits._
+      val C = 512L
+      val docs = Tables(s, d).documents
+        .select((col("doc_id") % 8).as("shard"), col("doc_id"),
+          size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("tokens"))
+        .as[(Long, Long, Long)]
+      docs.groupByKey(_._1)
+        .flatMapSortedGroups(col("doc_id").asc) { (shard, it) =>
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+          var bin = 0L; var tok = 0L; var n = 0L
+          it.foreach { case (_, _, t) =>
+            if (n > 0 && tok + t > C) {
+              out += ((shard, bin, n, tok)); bin += 1; tok = 0L; n = 0L
+            }
+            tok += t; n += 1
+          }
+          if (n > 0) out += ((shard, bin, n, tok))
+          out
+        }
+        .toDF("shard", "bin_id", "n_docs", "bin_tokens")
+        .orderBy("shard", "bin_id")
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id % 8 AS shard, doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS tokens,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM documents),
+      rec(shard, rn, bin_id, bin_tokens, tokens) AS (
+        SELECT shard, rn, CAST(0 AS BIGINT), tokens, tokens
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn,
+               CASE WHEN r.bin_tokens + d.tokens > 512
+                    THEN r.bin_id + 1 ELSE r.bin_id END,
+               CASE WHEN r.bin_tokens + d.tokens > 512
+                    THEN d.tokens ELSE r.bin_tokens + d.tokens END,
+               d.tokens
+        FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1)
+      SELECT shard, bin_id, COUNT(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+      FROM rec GROUP BY 1, 2
+      ORDER BY shard, bin_id""")),
+
+    // L10f — BATCHED hybrid retrieval (the full VERDICT r13 #7 shape:
+    // the query table "fused per-query by l44's RRF"): l48's batched
+    // lexical ranks full-outer-joined per (query_id, doc_id) with a
+    // BATCHED semantic side — all three query vectors broadcast into ONE
+    // corpus scan (3 rows × the embeddings table, the same free-batch-key
+    // argument), per-query cosine top-50 via a query_id-partitioned rank
+    // window — then Σ 1/(60+rank) per query with l44's determinism
+    // argument intact: only rank INTEGERS cross the fusion boundary, so
+    // batching adds query_id to every key and nothing else. Scale shape:
+    // Q queries cost one corpus scan per modality (not Q), the fused
+    // frames stay K-bounded per query, and the final per-query top-20
+    // prunes through the rank window.
+    E("l50_rrf_batch", (s, d) => {
+      val lex = queries("l48_bm25_batch")(s, d)
+        .select(col("query_id"), col("doc_id"), col("rk").as("r_lex"))
+      val emb = Tables(s, d).embeddings
+      val qv = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1).as("query_id"),
+                col("vec_id").as("qvec_id"), col("embedding").as("qv"))
+      val wSem = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      val sem = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qvec_id"))
+        .withColumn("cos", round(dot("embedding", "qv") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("qv", "qv"))), 6))
+        .withColumn("r_sem", row_number().over(wSem).cast("long"))
+        .filter(col("r_sem") <= 50)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
+      val wFuse = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          round(when(col("r_lex").isNotNull, lit(1.0) / (lit(60.0) + col("r_lex"))).otherwise(lit(0.0))
+              + when(col("r_sem").isNotNull, lit(1.0) / (lit(60.0) + col("r_sem"))).otherwise(lit(0.0)),
+            6).as("rrf"),
+          coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
+          coalesce(col("r_sem"), lit(-1L)).as("r_sem"))
+        .withColumn("rn", row_number().over(wFuse))
+        .filter(col("rn") <= 20).drop("rn")
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }, Some(s"""
+      WITH qterms(query_id, token, pos) AS (VALUES
+        (1, 'spark', 0), (1, 'join', 1), (1, 'filter', 2),
+        (2, 'hash', 0), (2, 'merge', 1), (2, 'sort', 2),
+        (3, 'stream', 0), (3, 'window', 1), (3, 'batch', 2)),
+      tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             WHERE token IN (SELECT DISTINCT token FROM qterms) GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      w AS (SELECT tf.doc_id, tf.token,
+                   LN(1.0 + (CAST(n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS w
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      p AS (SELECT q.query_id, w.doc_id, COUNT(*) AS n_terms_hit,
+                     COALESCE(MAX(CASE WHEN q.pos = 0 THEN w.w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN q.pos = 1 THEN w.w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN q.pos = 2 THEN w.w END), 0.0) AS raw
+            FROM w JOIN qterms q USING (token) GROUP BY 1, 2),
+      lr AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY ROUND(raw, 6) DESC, doc_id) AS r_lex
+             FROM p),
+      lex AS (SELECT query_id, doc_id, r_lex FROM lr WHERE r_lex <= 20),
+      qv AS (SELECT CAST(vec_id + 1 AS BIGINT) AS query_id, vec_id AS qvec_id,
+                    embedding AS qvec
+             FROM embeddings WHERE vec_id < 3),
+      cosed AS (SELECT q.query_id, e.vec_id,
+                       ROUND(${dotSql("e.embedding", "q.qvec")} /
+                             (SQRT(${dotSql("e.embedding", "e.embedding")}) *
+                              SQRT(${dotSql("q.qvec", "q.qvec")})), 6) AS cos
+                FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.qvec_id),
+      sr AS (SELECT query_id, vec_id AS doc_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, vec_id) AS r_sem
+             FROM cosed),
+      sem AS (SELECT query_id, doc_id, r_sem FROM sr WHERE r_sem <= 50),
+      fused AS (SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+                       COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                       ROUND(COALESCE(1.0 / (60.0 + r_lex), 0.0)
+                           + COALESCE(1.0 / (60.0 + r_sem), 0.0), 6) AS rrf,
+                       COALESCE(r_lex, -1) AS r_lex, COALESCE(r_sem, -1) AS r_sem
+                FROM lex FULL OUTER JOIN sem
+                  ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id),
+      topk AS (SELECT query_id, doc_id, rrf,
+                      CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rrf DESC, doc_id) AS rn
+               FROM fused)
+      SELECT query_id, doc_id, rrf, r_lex, r_sem
+      FROM topk WHERE rn <= 20
+      ORDER BY query_id, rrf DESC, doc_id""")),
+
     // L7c — BPE tokenizer APPLY (VERDICT r13 #8): real subword token
     // accounting — l10's regex classes approximate token counts; this
     // applies [[Bpe.merges]] (the Sennrich 2016 apply step) per word and

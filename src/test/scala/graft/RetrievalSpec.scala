@@ -77,6 +77,20 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("batched RRF: query 1's slice equals l44's single-query fusion row-for-row") {
+    // l50's query 1 is (l43's terms, embedding vec 0) — exactly l44's
+    // inputs — so its slice must reproduce l44's fused top-20 bit-for-bit:
+    // fusing per-query over a batch changes the dataflow, never the ranks
+    val batch = SparkEntry.queries("l50_rrf_batch")(spark, sfDir)
+      .filter(col("query_id") === 1L)
+      .select("doc_id", "rrf", "r_lex", "r_sem")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    val single = SparkEntry.queries("l44_hybrid_rrf")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"),
+                           r.getAs[Long]("r_lex"), r.getAs[Long]("r_sem"))).toSeq
+    assert(batch.nonEmpty && batch === single)
+  }
+
   test("RRF: fused score is exactly the reciprocal-rank sum of the emitted ranks; membership is the component union") {
     val rows = SparkEntry.queries("l44_hybrid_rrf")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
