@@ -11,7 +11,8 @@ object R14Plans {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = Seq("t17_dossier_increment", "t17b_dossier_retract",
-      "g68_cc_decrement", "l48_bm25_batch", "l49_bpe_tokenize")
+      "g68_cc_decrement", "l48_bm25_batch", "l49_bpe_tokenize",
+      "g69_er_decrement", "l50_rrf_batch", "l51_pack_sequences")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.explainString(FormattedMode)

@@ -597,6 +597,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("g69: the ER decrement stays pair-graph-local — no cartesian, state enters materialized") {
+    val p = plan("g69_er_decrement")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair maintenance degraded to all-pairs:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "the standing merge map must enter as the union-find tier's local dataset")
+    assert(p.contains("BroadcastHashJoin"),
+      "deleted-set flags and name enrichments must broadcast")
+  }
+
+  test("l50: fusing per-query adds no corpus scans — embeddings read twice (queries + corpus), per-query prune via WindowGroupLimit") {
+    val p = plan("l50_rrf_batch")
+    val emb = """embeddings\.parquet""".r.findAllIn(p).size
+    assert(emb == 2, s"the batched semantic side must scan embeddings exactly twice, got $emb:\n$p")
+    val docs = """documents\.parquet""".r.findAllIn(p).size
+    val l48Docs = """documents\.parquet""".r.findAllIn(plan("l48_bm25_batch")).size
+    assert(docs == l48Docs, s"fusion added documents scans: $docs vs l48's $l48Docs")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query rank filters must prune groups before the full windows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("l51: packing shuffles (shard, doc_id, tokens) — never text — into one sorted MapGroups fold") {
+    val p = plan("l51_pack_sequences")
+    assert("""documents\.parquet""".r.findAllIn(p).size == 1,
+      s"packing must scan the corpus once:\n$p")
+    assert(p.contains("MapGroups"), "the greedy fold runs as a sorted group map")
+    // token counts project BEFORE the shard shuffle, so the exchange moves
+    // three longs per doc, not the document text
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    assert(exchangeSections.nonEmpty)
+    assert(!exchangeSections.head.linesIterator.take(2).mkString.contains("text#"),
+      s"document text must not cross the packing shuffle:\n$p")
+  }
+
   test("l49: the BPE merge chain is projection-level over ONE scan — no UDF, no join, agg is partial") {
     val p = plan("l49_bpe_tokenize")
     val scans = """documents\.parquet""".r.findAllIn(p).size
