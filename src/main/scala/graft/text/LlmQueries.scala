@@ -2424,7 +2424,10 @@ object LlmQueries {
       val C = 512L
       val docs = Tables(s, d).documents
         .select((col("doc_id") % 8).as("shard"), col("doc_id"),
-          size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("tokens"))
+          // null text packs as a zero-token document (size(null) is null
+          // under the non-legacy default — NullInputSpec's tolerance bar)
+          coalesce(size(filter(split(col("text"), " "), w => w =!= "")).cast("long"),
+                   lit(0L)).as("tokens"))
         .as[(Long, Long, Long)]
       docs.groupByKey(_._1)
         .flatMapSortedGroups(col("doc_id").asc) { (shard, it) =>
@@ -2444,7 +2447,7 @@ object LlmQueries {
     }, Some("""
       WITH RECURSIVE docs AS (
         SELECT doc_id % 8 AS shard, doc_id,
-               len(list_filter(string_split(text, ' '), w -> w <> '')) AS tokens,
+               COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS tokens,
                ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
         FROM documents),
       rec(shard, rn, bin_id, bin_tokens, tokens) AS (
