@@ -134,6 +134,49 @@ object R14Probe {
     println(f"[$tag] full cc rebuild:             $wRebuild%.1f s")
   }
 
+  /** The deletion-side ER split (g69's deployment economics, the r13b
+    * `er` probe's mirror): against a MATERIALIZED standing merge map +
+    * pair store (the nightly artifacts), one erasure batch folded in by
+    * ccDecrement vs the full re-resolution (re-block + re-close every
+    * surviving record from scratch — what a pipeline without the
+    * decrement has to run). */
+  private def erDecSplit(spark: org.apache.spark.sql.SparkSession, t: Tables): Unit = {
+    import graft.rel.FuzzyJoin
+    val cust = t.customer.select(col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_nationkey").as("nk"))
+    def sameNation(p: org.apache.spark.sql.DataFrame, ca: String, cb: String) = p
+      .join(broadcast(cust.select(col("id").as(ca), col("nk").as("nk_a"))), Seq(ca))
+      .join(broadcast(cust.select(col("id").as(cb), col("nk").as("nk_b"))), Seq(cb))
+      .filter(col("nk_a") === col("nk_b"))
+    val (basePairs, wPairs) = time(
+      sameNation(FuzzyJoin.selfJoinLev1(cust.select("id", "name")), "id_a", "id_b")
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .transform(Materialize.apply))
+    val (base, wBase) = time(Algorithms.cc(basePairs).transform(Materialize.apply))
+    println(f"[r14-erdec] standing artifacts: ${basePairs.count()}%d pairs " +
+      f"($wPairs%.1f s), ${base.count()}%d labels ($wBase%.1f s) — the nightly build")
+    val deleted = cust.filter(col("id") % 17 === 0).select(col("id"))
+    val flagged = basePairs
+      .join(broadcast(deleted.select(col("id").as("src"), lit(1).as("da"))), Seq("src"), "left")
+      .join(broadcast(deleted.select(col("id").as("dst"), lit(1).as("db"))), Seq("dst"), "left")
+    val removed = flagged.filter(col("da").isNotNull || col("db").isNotNull)
+      .select(col("src"), col("dst")).transform(Materialize.apply)
+    val surviving = flagged.filter(col("da").isNull && col("db").isNull)
+      .select(col("src"), col("dst")).transform(Materialize.apply)
+    println(f"[r14-erdec] erasure batch: ${removed.count()}%d of ${basePairs.count()}%d pairs removed")
+    val (_, wDec) = time(
+      Algorithms.ccDecrement(base, surviving, removed, baseMaterialized = true)
+        .write.mode("overwrite").format("noop").save())
+    println(f"[r14-erdec] ccDecrement refresh (erasure folded into the standing map): $wDec%.1f s")
+    val survivors = cust.filter(col("id") % 17 =!= 0)
+    val (_, wRebuild) = time(
+      Algorithms.cc(sameNation(
+          FuzzyJoin.selfJoinLev1(survivors.select("id", "name")), "id_a", "id_b")
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .write.mode("overwrite").format("noop").save())
+    println(f"[r14-erdec] full re-resolution of survivors (the rebuild): $wRebuild%.1f s")
+  }
+
   private def ivfSplit(spark: org.apache.spark.sql.SparkSession, t: Tables): Unit = {
     val emb = t.embeddings
     val n = emb.count()
@@ -173,6 +216,7 @@ object R14Probe {
       case "dec" => decTick(spark, t, giant = false)
       case "decgiant" => decTick(spark, t, giant = true)
       case "ivf" => ivfSplit(spark, t)
+      case "erdec" => erDecSplit(spark, t)
       case other => System.err.println(s"unknown mode $other"); sys.exit(2)
     }
     spark.stop()
