@@ -131,4 +131,44 @@ class DecontaminateSpec extends SparkSpec {
     }
     assert(math.abs(got(1)._3 - brute(50L)) < 1e-9)
   }
+
+  test("ivf screen: NEAR-identical (non-bit-identical) contaminant recall, quantified vs the brute twin") {
+    // ADVICE r13: the probed-set count (n_near_identical_probed — renamed
+    // for exactly this) can undercount l47's corpus-wide count for a
+    // near-identical contaminant landing in an UNPROBED bucket. Quantify
+    // the regime instead of hand-waving it: a paraphrase-scale perturbation
+    // (1e-4 per component on a ~0.5-norm vector ⇒ cos ≈ 1 - 1e-7) moves
+    // the contaminant a distance ≪ the inter-centroid gap, so its argmin
+    // centroid — and therefore its bucket — matches its eval's probe #1
+    // on this fixture, and the screen surfaces it with the SAME count as
+    // brute force. The miss regime needs a perturbation comparable to the
+    // centroid spacing, at which point cos drops below the 0.99 threshold
+    // and the pair is no longer "near-identical" at all — i.e., for the
+    // threshold this operator screens at, probed-set recall loss requires
+    // a boundary-straddling vector, not a paraphrase.
+    def v(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val ev50 = v(1045)
+    val near = ev50.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) 1e-4f else -1e-4f) }
+    val rows: Seq[(Long, Seq[Float])] =
+      (1 to 40).map(i => (i.toLong, v(i))) :+
+      (7000001L, near) :+                              // near-identical, NOT bit-identical
+      (0L, v(2000)) :+ (50L, ev50) :+ (100L, v(3000))
+    val dir = java.nio.file.Files.createTempDirectory("ivfdecon2").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("l47b_decontaminate_ivf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+                 if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val brute = SparkEntry.queries("l47_decontaminate_semantic")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hit = got.find(_._1 == 50L).get
+    assert(hit._2 === 1L && hit._4 === 7000001L && hit._3 >= 0.99,
+      s"paraphrase-scale near-identical contaminant not surfaced: $hit")
+    assert(hit._2 === brute(50L),
+      s"probed-set count ${hit._2} diverged from brute-force ${brute(50L)} on the near-identical plant")
+  }
 }
