@@ -323,6 +323,16 @@ object Algorithms {
     * side. */
   val broadcastMergeMaxRows: Long = 10000000L
 
+  /** [[ccDecrement]]'s absolute-size floor: with at most this many labels
+    * AND at most [[rebuildFloorEdges]] surviving edges, a from-scratch
+    * [[cc]] lands in the driver union-find tier — seconds, cheaper than
+    * the incremental dataflow's fixed join/stitch overhead (measured
+    * round 14). Matched to cc's own `localMaxEdges` gate on the edge side
+    * so the floored rebuild is always the one-pass streaming tier. */
+  val rebuildFloorLabels: Long = 4000000L
+  /** Edge-side bound for [[rebuildFloorLabels]] — cc's union-find gate. */
+  val rebuildFloorEdges: Long = 4000000L
+
   /** DECREMENTAL connected components — maintain a standing CC labeling
     * under edge REMOVALS (expiry, retraction) without a global re-run: the
     * other half of the maintained-view contract whose additions-only side
@@ -381,6 +391,30 @@ object Algorithms {
                   baseMaterialized: Boolean = false): DataFrame = {
     val base0 = baseLabels.select(col("id"), col("component"))
     val base = if (baseMaterialized) base0 else base0.transform(Materialize.apply)
+    // ABSOLUTE-SIZE FLOOR (VERDICT r14 #4): on a small graph the rebuild is
+    // trivially cheap (the union-find tier — measured 0.6 s vs 4.1 s for
+    // the incremental dataflow on the 96k-label windowed graph, SCALE.md
+    // round 14), so below the floor route STRAIGHT to cc(surviving) + the
+    // singleton stitch: same output contract (full node universe, edgeless
+    // nodes as singletons), provably equal labels (cc is deterministic
+    // min-id). Two cheap counts decide — labels first (needed by the
+    // majority gate anyway), surviving edges only when labels are already
+    // small (the edge count is one scan, and it is only paid in the regime
+    // where the rebuild is a candidate). With this plus the
+    // majority-touched gate below, the operator is never-worse-than-rebuild
+    // at BOTH regime ends.
+    val nLabels = base.count()
+    if (nLabels <= rebuildFloorLabels) {
+      val surv = survivingEdges.select(col("src"), col("dst"))
+        .transform(Materialize.apply)
+      if (surv.count() <= rebuildFloorEdges) {
+        val relabeled = cc(surv).transform(Materialize.apply)
+        val singletons = base.select(col("id"))
+          .join(relabeled.select("id"), Seq("id"), "left_anti")
+          .withColumn("component", col("id"))
+        return relabeled.unionByName(singletons)
+      }
+    }
     val re = removedEdges.select(col("src"), col("dst"))
     // the components the removals touch — only these can split
     val touchedRaw = re.select(col("src").as("id"))
@@ -406,7 +440,7 @@ object Algorithms {
     // node set just to count it — a full write of the label table the
     // fallback then threw away).
     val majorityTouched =
-      base.join(touched, Seq("component"), "left_semi").count() * 2 > base.count()
+      base.join(touched, Seq("component"), "left_semi").count() * 2 > nLabels
     val relabeled = (if (majorityTouched) {
       cc(survivingEdges.select(col("src"), col("dst")))
     } else {

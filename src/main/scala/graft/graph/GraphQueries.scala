@@ -1180,6 +1180,44 @@ object GraphQueries {
              SELECT e.dst, p.d + e.cost FROM d3 p JOIN ce e ON e.src = p.id) GROUP BY id)
       SELECT id, ROUND(d, 6) AS dist FROM d4 ORDER BY id""")),
 
+    // G4b — CONVERGED weighted shortest path (VERDICT r14 #7: the min-plus
+    // Pregel [[Algorithms.ssspGraphX]] was spec-covered but had no graded
+    // oracle row — g04 grades the 4-round BOUNDED relaxation, g59 grades
+    // max-product; this grades full min-plus convergence end to end).
+    // Same cost graph as g04 (1/cnt on the ≥2-interaction edges); Pregel
+    // relaxes until no message fires (positive weights ⇒ finite
+    // fixpoint). ORACLE: Bellman-Ford unrolled to 32 MATERIALIZED rounds
+    // (the g10 unrolled-oracle convention; MATERIALIZED because each
+    // round references its predecessor twice — inlined CTEs would double
+    // per round). 32 is measured headroom, not a guess: the probe
+    // converges in 4 rounds at sf0.01 and 23 at sf0.1 (round-15 DuckDB
+    // sweep), and an under-unrolled oracle would hash-mismatch, not
+    // silently pass. Both engines accumulate each path's sum
+    // prefix-first and min over the identical path set, so the doubles
+    // match bitwise (the g59 argument in min-plus form).
+    E("g04b_sssp_weighted", (s, d) => {
+      val ce = Ubo.interactedPairs(Tables(s, d)).filter(col("cnt") >= 2)
+        .select(col("src"), col("dst"),
+          (lit(1.0) / col("cnt").cast("double")).as("weight"))
+      Algorithms.ssspGraphX(ce, GraphBuilder.UserBase)
+        .select(col("id"), round(col("dist"), 6).as("dist"))
+        .orderBy("id")
+    }, Some({
+      val rounds = (1 to 32).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT id, MIN(d) AS d FROM (
+           |  SELECT id, d FROM d${r - 1} UNION ALL
+           |  SELECT e.dst, p.d + e.cost FROM d${r - 1} p JOIN ce e ON e.src = p.id)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH ${UboSql.interactedPairsCte},
+      ce AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE) AS cost
+             FROM ie_pairs WHERE cnt >= 2),
+      d0 AS (SELECT CAST(7000000000 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS d),
+      $rounds
+      SELECT id, ROUND(d, 6) AS dist FROM d32 ORDER BY id"""
+    })),
+
     // G6 (exhaustive) — strongly connected components via GraphX on the
     // strong user graph; nontrivial SCCs ⇒ circular ownership loops.
     // Oracle: mutual-reachability closure (feasible at oracle sf: ≤150 nodes).
@@ -3484,6 +3522,90 @@ object GraphQueries {
       FROM comp c JOIN nm na ON na.ck = c.id JOIN nm nb ON nb.ck = c.cluster
       WHERE c.id <> c.cluster
       ORDER BY custkey""")),
+
+    // G37 — MULTI-HORIZON maintained-view REPLAY (VERDICT r14 #8): the
+    // per-step operators are each hash-proven (g66 increment, g68
+    // decrement, g69 erasure), but a deployment COMPOSES them — this
+    // grades the composition's associativity end to end: the T1 labeling
+    // folded T1→T2 (expiries out via [[Algorithms.ccDecrement]], births
+    // in via [[Algorithms.ccIncrement]]) and then T2→T3 (expiries,
+    // births, AND an erasure batch: every edge touching an erased entity
+    // — id ≡ 0 mod 23 — is removed, and the entity leaves the labeling,
+    // the g69 leave-semantics) must equal the UNSPLIT T3 rebuild over the
+    // full replay universe. The ORACLE computes exactly that rebuild —
+    // min-label closure of the erased-free T3 window graph over every
+    // endpoint the replay ever saw (w1 ∪ w2 ∪ erased-free-w3 endpoints,
+    // erased entities excluded; a node whose edges all expired stays as a
+    // singleton) — so the hash-match pins two-step fold ≡ rebuild, which
+    // no per-step spec composition implies. Scale: each fold step is the
+    // g68 blast-radius shape; the replay NEVER re-runs CC over the
+    // corpus.
+    E("g70_cc_replay", (s, d) => {
+      val t = Tables(s, d)
+      val trans = GraphBuilder.userTransitions(t)
+        .select(col("src"), col("dst"), col("ts").cast("timestamp_ntz").as("ts"))
+        .transform(Materialize.apply)
+      def strongWin(at: String) = {
+        val hi = lit(at).cast("timestamp_ntz")
+        val lo = hi - expr("INTERVAL 7 DAYS")
+        trans.filter(col("ts") > lo && col("ts") <= hi)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select(col("src"), col("dst"))
+      }
+      val e1 = strongWin("2024-01-10 00:00:00").transform(Materialize.apply)
+      val e2 = strongWin("2024-01-20 00:00:00").transform(Materialize.apply)
+      // T3's edge set with the erasure batch applied: edges touching an
+      // erased entity never enter the store (births) and leave it
+      // (expiries) — one filter serves both legs of step 2
+      val e3 = strongWin("2024-01-30 00:00:00")
+        .filter(col("src") % 23 =!= 0 && col("dst") % 23 =!= 0)
+        .transform(Materialize.apply)
+      // step 1: T1 → T2 (expiries, then births — the g68 fold)
+      val l1 = Algorithms.ccIncrement(
+        Algorithms.ccDecrement(
+          Algorithms.cc(e1),
+          e1.join(e2, Seq("src", "dst"), "left_semi"),
+          e1.except(e2)),
+        e2.except(e1))
+      // step 2: T2 → T3 with the erasure batch folded into the edge diff
+      val l2 = Algorithms.ccIncrement(
+        Algorithms.ccDecrement(
+          l1,
+          e2.join(e3, Seq("src", "dst"), "left_semi"),
+          e2.except(e3)),
+        e3.except(e2))
+      // erased entities LEAVE the labeling (g69's erasure semantics)
+      l2.filter(col("id") % 23 =!= 0).orderBy("id")
+    }, Some(s"""
+      WITH RECURSIVE tr AS (
+        SELECT 7000000000 + prev AS src, 7000000000 + user_id AS dst, ts
+        FROM (SELECT user_id, ts, event_id,
+                     LAG(user_id) OVER (ORDER BY ts, event_id) AS prev
+              FROM events)
+        WHERE prev IS NOT NULL AND prev <> user_id),
+      w1 AS (SELECT src, dst FROM tr
+             WHERE ts > TIMESTAMP '2024-01-10 00:00:00' - INTERVAL 7 DAY
+               AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      w2 AS (SELECT src, dst FROM tr
+             WHERE ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 7 DAY
+               AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      w3 AS (SELECT src, dst FROM tr
+             WHERE ts > TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 7 DAY
+               AND ts <= TIMESTAMP '2024-01-30 00:00:00'
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2
+               AND src % 23 <> 0 AND dst % 23 <> 0),
+      sym AS (SELECT src, dst FROM w3 UNION SELECT dst, src FROM w3),
+      nds AS (SELECT id FROM (
+                SELECT src AS id FROM w1 UNION SELECT dst FROM w1
+                UNION SELECT src FROM w2 UNION SELECT dst FROM w2
+                UNION SELECT src FROM w3 UNION SELECT dst FROM w3)
+              WHERE id % 23 <> 0),
+      lab(id, l) AS (
+        SELECT id, id FROM nds
+        UNION SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id)
+      SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
 
     // G29c — CAPPED dossier ego sections (VERDICT r12 #4: the DEPLOYMENT
     // shape). g62's graded ego sections traverse nation hubs UNCAPPED —

@@ -88,6 +88,15 @@ object DossierMaintain {
     * DossierMaintainSpec pins the displaced-max case, the no-displacement
     * fast path, full-history cancellation (back to 'never'), and
     * retract∘fold ≡ fold-on-surviving.
+    *
+    * DELIVERY PRECONDITION (ADVICE r14): this form assumes EXACTLY-ONCE
+    * cancel delivery and cancels ⊆ the folded history — the monoid's
+    * subtract legs have no memory, so a REPLAYED cancel batch
+    * double-subtracts (negative counts, corrupted spend) and a cancel for
+    * a never-folded order subtracts phantom state. Under at-least-once
+    * redelivery use [[retractLogged]], which makes the operation
+    * idempotent by deduplicating against a persisted retracted-orderkey
+    * log (the sibling maintenance operators' replay contract).
     */
   def retract(wl: DataFrame, state: DataFrame, cancels: DataFrame,
               survivingOrders: DataFrame): DataFrame = {
@@ -117,6 +126,32 @@ object DossierMaintain {
         when(col("c_maxdate").isNotNull && col("c_maxdate") === col("last_order"),
              col("new_last"))  // null when nothing survives → 'never'
           .otherwise(col("last_order")).as("last_order"))
+  }
+
+  /** REPLAY-SAFE retraction (ADVICE r14): [[retract]] deduplicated against
+    * a persisted retracted-orderkey log, making the operation idempotent
+    * under at-least-once cancel-batch redelivery — the contract
+    * ccIncrement/ccDecrement/strongEdgeBirthsTtl advertise. Only cancels
+    * whose orderkey is NOT already in the log reach the subtract legs; the
+    * returned log is the input log ∪ the newly retracted keys, for the
+    * caller to persist alongside the state (both are deployment state, the
+    * applyBatchTtl convention). Replaying an already-applied batch yields
+    * an empty fresh-cancel set — zero state change, zero corpus reads
+    * (the no-displacement fast path). The log is cancel-history-sized
+    * (one long per ever-cancelled order), anti-join-pruned before
+    * anything watchlist-scoped runs. DossierMaintainSpec proves
+    * double-apply ≡ single-apply and interleaved replays across batches.
+    */
+  def retractLogged(wl: DataFrame, state: DataFrame, cancels: DataFrame,
+                    survivingOrders: DataFrame,
+                    retractedLog: DataFrame): (DataFrame, DataFrame) = {
+    val fresh = cancels
+      .join(retractedLog.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .transform(graft.graph.Materialize.apply)
+    val newState = retract(wl, state, fresh, survivingOrders)
+    val newLog = retractedLog.select(col("o_orderkey"))
+      .unionByName(fresh.select(col("o_orderkey"))).distinct()
+    (newState, newLog)
   }
 
   /** t14's dossier presentation over the maintained state: exact decimal
@@ -163,11 +198,81 @@ object DossierMaintain {
           }
       }
   }
+
+  /** RETRACTION-AWARE streaming maintenance (VERDICT r14 #3 — the
+    * streaming twin of the batch [[retract]]): one signed event feed
+    * (arrivals AND cancellations) folded into per-entity state via
+    * `flatMapGroupsWithState`. The count and spend legs subtract exactly
+    * (signed deltas — longs and cents form groups). The max leg, which has
+    * no inverse, is made invertible by carrying a per-entity DATE→COUNT
+    * histogram in state: an arrival increments its order date's count, a
+    * cancel decrements it, and last_order is the largest date with a
+    * POSITIVE count — exact, with no recompute scan, because the histogram
+    * IS the surviving history's date distribution. State stays bounded:
+    * the histogram holds one entry per DISTINCT ORDER DATE (calendar days
+    * — a year of history is ≤366 entries per watched entity, and the
+    * watchlist bounds the key count exactly like [[maintainStream]]).
+    *
+    * The fold is a commutative group action — counts are SIGNED, so a
+    * cancel arriving BEFORE its order (cross-batch reordering) parks a
+    * −1 that the later arrival cancels to 0; any interleaving of the same
+    * event multiset converges to the same state, which is what
+    * DossierMaintainSpec proves against the batch fold-then-retract
+    * (including a displaced-max case). Exactly-once event delivery is
+    * still assumed PER EVENT (the checkpointed source's contract in
+    * Structured Streaming); it is the ORDER of arrivals vs cancels that
+    * needs no assumption here, unlike the batch [[retract]]'s
+    * cancels-⊆-history precondition. Emits the refreshed dossier row for
+    * every entity each microbatch touches; last_order is "never" when no
+    * order survives.
+    */
+  def maintainStreamSigned(events: org.apache.spark.sql.Dataset[SignedOrderEvt],
+                           watch: Set[Long]): org.apache.spark.sql.Dataset[DossierUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.filter(e => watch(e.o_custkey))
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[DossierSignedState, DossierUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (wid, evs,
+         st: org.apache.spark.sql.streaming.GroupState[DossierSignedState]) =>
+          val prev = st.getOption.getOrElse(DossierSignedState(0L, 0L, Map.empty))
+          val batch = evs.toSeq
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val sign = (e: SignedOrderEvt) => if (e.cancel) -1L else 1L
+            val hist = batch.foldLeft(prev.dateCounts) { (h, e) =>
+              val n = h.getOrElse(e.dateMs, 0L) + sign(e)
+              if (n == 0L) h - e.dateMs else h.updated(e.dateMs, n)
+            }
+            val next = DossierSignedState(
+              prev.nOrders + batch.map(sign).sum,
+              prev.cents + batch.map(e => sign(e) * e.cents).sum,
+              hist)
+            st.update(next)
+            val lastMs = hist.collect { case (d, n) if n > 0L => d }
+              .foldLeft(Long.MinValue)(math.max)
+            Iterator.single(DossierUpdate(wid, next.nOrders,
+              next.cents / 100.0,
+              if (lastMs == Long.MinValue) "never"
+              else java.time.LocalDate.ofEpochDay(lastMs / 86400000L).toString))
+          }
+      }
+  }
 }
 
 /** One order event on the maintenance stream — spend pre-converted to
   * exact integer cents, order date to epoch millis (UTC midnight). */
 case class OrderEvt(o_orderkey: Long, o_custkey: Long, cents: Long, dateMs: Long)
+/** A signed event on the retraction-aware stream: `cancel=false` is an
+  * arrival, `cancel=true` retracts the same order's contribution. */
+case class SignedOrderEvt(o_orderkey: Long, o_custkey: Long, cents: Long,
+                          dateMs: Long, cancel: Boolean)
+/** [[DossierMaintain.maintainStreamSigned]] per-entity state: the group
+  * legs (signed count, signed cents) plus the date→count histogram that
+  * makes the max leg invertible (bounded by distinct order DATES). */
+case class DossierSignedState(nOrders: Long, cents: Long,
+                              dateCounts: Map[Long, Long])
 /** [[DossierMaintain.maintainStream]] per-entity state: the same monoid
   * legs as the batch state table, integer-exact. */
 case class DossierEntityState(nOrders: Long, cents: Long, lastMs: Long)

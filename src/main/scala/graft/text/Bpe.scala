@@ -1,5 +1,8 @@
 package graft.text
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
 /** Vocab-driven BPE tokenizer APPLY (VERDICT r13 #8 — the one LLM-pipeline
   * operator class previously approximated: l10 counts regex character
   * classes, not subwords; a real pipeline's token accounting applies a
@@ -29,6 +32,16 @@ package graft.text
   * per-doc_id partial aggregation; the merge chain runs inside
   * whole-stage codegen between them. [[applyRef]] is the driver-side
   * reference implementation BpeSpec checks the dataflow against.
+  *
+  * ALPHABET PRECONDITION (ADVICE r14): the bracketed encoding reserves
+  * '(' and ')' as symbol delimiters — a literal paren in a word would
+  * encode as "(()" and break the "parens delimit symbols completely"
+  * invariant ([[tokenCount]] would overcount). The guard is structural,
+  * not documentary: [[bracketSpark]]/[[bracketDuck]] STRIP parens from
+  * the word before bracketing (identically on both engines — `translate`
+  * / nested `replace`), and a word that was nothing but parens brackets
+  * to the empty string (0 tokens). [[applyRef]] applies the same filter,
+  * so the spec's cross-check covers the guard itself.
   */
 object Bpe {
 
@@ -45,16 +58,25 @@ object Bpe {
     "st" -> "r", "r" -> "ow", "j" -> "o", "jo" -> "in", "i" -> "l", "f" -> "il",
     "w" -> "in", "b" -> "a", "ba" -> "t", "bat" -> "c", "batc" -> "h")
 
-  /** Spark SQL expression: bracket `wordExpr`'s characters —
-    * "spark" ⇒ "(s)(p)(a)(r)(k)". */
-  def bracketSpark(wordExpr: String): String =
-    s"concat('(', array_join(transform(sequence(0, length($wordExpr) - 1), " +
-      s"i -> substring($wordExpr, i + 1, 1)), ')('), ')')"
+  /** Spark SQL expression: strip reserved parens (see the alphabet
+    * precondition above), then bracket the word's characters —
+    * "spark" ⇒ "(s)(p)(a)(r)(k)"; an all-paren word ⇒ "" (0 tokens).
+    * The CASE guards the empty word: Spark's `sequence(0, -1)` steps
+    * DOWNWARD ([0, -1]), it is not empty like DuckDB's `range(0)`. */
+  def bracketSpark(wordExpr: String): String = {
+    val w = s"translate($wordExpr, '()', '')"
+    s"(CASE WHEN length($w) = 0 THEN '' ELSE " +
+      s"concat('(', array_join(transform(sequence(0, length($w) - 1), " +
+      s"i -> substring($w, i + 1, 1)), ')('), ')') END)"
+  }
 
-  /** DuckDB expression for the same bracketing. */
-  def bracketDuck(wordExpr: String): String =
-    s"'(' || array_to_string(list_transform(range(length($wordExpr)), " +
-      s"i -> $wordExpr[i+1:i+1]), ')(') || ')'"
+  /** DuckDB expression for the same strip + bracketing. */
+  def bracketDuck(wordExpr: String): String = {
+    val w = s"replace(replace($wordExpr, '(', ''), ')', '')"
+    s"(CASE WHEN length($w) = 0 THEN '' ELSE " +
+      s"'(' || array_to_string(list_transform(range(length($w)), " +
+      s"i -> ($w)[i+1:i+1]), ')(') || ')' END)"
+  }
 
   /** The merge chain: |merges| nested replaces, identical text on both
     * engines (replace(str, search, rep) is shared syntax). */
@@ -67,12 +89,154 @@ object Bpe {
   def tokenCount(mergedExpr: String): String =
     s"(length($mergedExpr) - length(replace($mergedExpr, '(', '')))"
 
+  /** Column twin of [[bracketSpark]] (strip reserved parens, bracket the
+    * characters) for chains whose merge table is a runtime value rather
+    * than compile-time literals — the [[learn]]ed-table apply path. */
+  def bracketCol(word: Column): Column = {
+    val w = translate(word, "()", "")
+    when(length(w) === 0, lit("")).otherwise(
+      concat(lit("("),
+        array_join(transform(sequence(lit(0), length(w) - 1),
+          i => w.substr(i + 1, lit(1))), ")("),
+        lit(")")))
+  }
+
+  /** The merge chain over a LEARNED table as Column ops — the same
+    * |table| codegen'd scalar replaces as [[mergeChain]], built with
+    * `functions.replace` so learned symbols never pass through SQL-string
+    * quoting. */
+  def applyLearned(word: Column, table: Seq[(String, String)]): Column =
+    table.foldLeft(bracketCol(word)) { case (c, (a, b)) =>
+      replace(c, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+
+  /** Column twin of [[tokenCount]]: one '(' per symbol. */
+  def tokenCountCol(merged: Column): Column =
+    (length(merged) - length(replace(merged, lit("("), lit("")))).cast("long")
+
+  /** LEARN the merge table from a corpus (VERDICT r14 #6 — the step a real
+    * pipeline runs before [[mergeChain]]'s apply; Sennrich et al. 2016
+    * `learn_bpe`): starting from the character segmentation of the DISTINCT
+    * word table (weighted by occurrence count), each round counts adjacent
+    * symbol pairs across the vocabulary and fuses the most frequent one —
+    * ties broken by (pair count desc, left symbol asc, right symbol asc),
+    * a total deterministic order. Returns the merges in priority order
+    * (possibly fewer than `nMerges` when the vocabulary runs out of
+    * pairs).
+    *
+    * Distributed shape: the state is the distinct-word table (vocabulary ≪
+    * corpus — the only thing that ever shuffles), each round is ONE
+    * pair-explode + partial-aggregating groupBy + a 1-row ordered pull;
+    * the fuse is a codegen'd scalar replace over the bracketed encoding
+    * (replace-all IS the non-overlapping left-to-right fuse, the same
+    * argument as the apply chain). Pair counting mirrors Sennrich's
+    * `get_stats`: every adjacent index pair counts, so "aaa" contributes
+    * (a,a) twice even though only one fuse is possible — and the graded
+    * l49b's DuckDB oracle runs the identical unrolled learn, so the counts
+    * are engine-mirrored end to end. `words` carries one `word` row per
+    * occurrence; parens are stripped per the alphabet precondition.
+    */
+  def learn(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val picked = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var state = words
+      .select(translate(col("word"), "()", "").as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr(bracketSpark("w")).as("s"), col("cnt"))
+      .transform(graft.graph.Materialize.apply)
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val top = state
+        .select(col("cnt"),
+          split(expr("substring(s, 2, length(s) - 2)"), "\\)\\(").as("ls"))
+        .filter(size(col("ls")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(ls) - 2), " +
+            "i -> named_struct('a', ls[i], 'b', ls[i + 1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .select(col("a"), col("b"))
+        .as[(String, String)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = top.head
+        picked += ((a, b))
+        state = state
+          .select(replace(col("s"), lit(s"($a)($b)"), lit(s"($a$b)")).as("s"),
+                  col("cnt"))
+          .transform(graft.graph.Materialize.apply)
+      }
+      round += 1
+    }
+    picked.toSeq
+  }
+
+  /** DuckDB mirror of [[learn]] + the learned-table apply, as unrolled
+    * CTEs (the g10/g04 unrolled-oracle convention — the learn loop is
+    * data-dependent, so each round's pick is a 1-row CTE the next round's
+    * fuse consumes as a scalar). Emits, for `rounds` rounds over the
+    * one-`word`-per-occurrence CTE `wordsCte`:
+    *   - `bst0..bstN`: the vocabulary's bracketed state after each fuse;
+    *   - `bm1..bmN`: each round's picked (a, b) — empty when pairs ran
+    *     out, in which case the fuse uses a chr(1) sentinel no-op exactly
+    *     like the Spark loop's early stop;
+    *   - `bmrow`: ONE row carrying every round's pattern/replacement
+    *     (`p1`/`f1`..`pN`/`fN`) — cross-join it and fold
+    *     `replace(s, pK, fK)` over K to apply the learned table. */
+  def learnCtes(wordsCte: String, rounds: Int): String = {
+    val base =
+      s"""bst0 AS MATERIALIZED (SELECT ${bracketDuck("w")} AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT replace(replace(word, '(', ''), ')', '') AS w FROM $wordsCte)
+         |  WHERE length(w) > 0 GROUP BY w)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""bls$r AS MATERIALIZED (SELECT cnt, string_split(s[2:length(s) - 1], ')(') AS ls
+         |  FROM bst${r - 1} WHERE length(s) > 0),
+         |bpr$r AS MATERIALIZED (SELECT ls[i + 1] AS a, ls[i + 2] AS b, cnt
+         |  FROM bls$r, UNNEST(range(len(ls) - 1)) AS t(i)),
+         |bm$r AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, SUM(cnt) AS c FROM bpr$r GROUP BY 1, 2)
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |bst$r AS MATERIALIZED (SELECT replace(s,
+         |    '(' || COALESCE((SELECT a FROM bm$r), chr(1)) || ')(' ||
+         |           COALESCE((SELECT b FROM bm$r), chr(1)) || ')',
+         |    '(' || COALESCE((SELECT a FROM bm$r), chr(1)) ||
+         |           COALESCE((SELECT b FROM bm$r), chr(1)) || ')') AS s, cnt
+         |  FROM bst${r - 1})""".stripMargin
+    }
+    val mrow =
+      (1 to rounds).map { r =>
+        s"""'(' || COALESCE((SELECT a FROM bm$r), chr(1)) || ')(' ||
+           |COALESCE((SELECT b FROM bm$r), chr(1)) || ')' AS p$r,
+           |'(' || COALESCE((SELECT a FROM bm$r), chr(1)) ||
+           |COALESCE((SELECT b FROM bm$r), chr(1)) || ')' AS f$r""".stripMargin
+      }.mkString("bmrow AS MATERIALIZED (SELECT ", ", ", ")")
+    (base +: roundCtes :+ mrow).mkString(",\n")
+  }
+
+  /** The learned-table apply as a DuckDB expression: fold
+    * `replace(_, pK, fK)` (columns of `bmrow` — cross-join it in scope)
+    * over the bracketed word. */
+  def applyLearnedDuck(wordExpr: String, rounds: Int): String =
+    (1 to rounds).foldLeft(bracketDuck(wordExpr)) { (e, r) =>
+      s"replace($e, p$r, f$r)"
+    }
+
   /** Driver-side reference apply (BpeSpec's independent implementation):
     * per rule in priority order, fuse left-to-right non-overlapping pair
-    * occurrences — the same function the replace chain computes. */
-  def applyRef(word: String): Seq[String] = {
-    var syms = word.map(_.toString).toVector
-    for ((a, b) <- merges) {
+    * occurrences — the same function the replace chain computes. Strips
+    * reserved parens first (the alphabet guard, mirrored with
+    * [[bracketSpark]]/[[bracketDuck]]). */
+  def applyRef(word: String): Seq[String] = applyRef(word, merges)
+
+  /** [[applyRef]] against an arbitrary merge table (the learned-table
+    * spec path). */
+  def applyRef(word: String, table: Seq[(String, String)]): Seq[String] = {
+    var syms = word.filterNot(c => c == '(' || c == ')').map(_.toString).toVector
+    for ((a, b) <- table) {
       val out = Vector.newBuilder[String]
       var i = 0
       while (i < syms.length) {
@@ -83,5 +247,55 @@ object Bpe {
       syms = out.result()
     }
     syms
+  }
+
+  /** Driver-side reference LEARNER (BpeSpec's independent Sennrich
+    * `learn_bpe`): per round, count adjacent symbol pairs over the
+    * occurrence-weighted distinct-word segmentations (every adjacent index
+    * pair counts — "aaa" contributes (a,a) twice), fuse the (count desc,
+    * a asc, b asc) max everywhere, repeat. The same function [[learn]]
+    * computes as dataflow. */
+  def learnRef(words: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    val counts = words.iterator
+      .map(_.filterNot(c => c == '(' || c == ')'))
+      .filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long]) { (m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L)
+      }
+    var vocab: Map[Vector[String], Long] = counts.map { case (w, n) =>
+      w.map(_.toString).toVector -> n
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (a, b) = pairCounts.toSeq
+          .sortBy { case ((pa, pb), c) => (-c, pa, pb) }.head._1
+        picked += ((a, b))
+        vocab = vocab.map { case (syms, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> n
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+      round += 1
+    }
+    picked.toSeq
   }
 }

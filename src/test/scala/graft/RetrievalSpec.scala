@@ -125,4 +125,41 @@ class RetrievalSpec extends SparkSpec {
       assert(lexIds(id) || semIds(id), s"fused doc $id is in neither component's top-K")
     }
   }
+
+  test("bm25Batch is query-table-native: arbitrary Q and per-query term counts, no driver collect (VERDICT r14 #2)") {
+    // a query table the old fixed-pos pivot could not express: 8 queries,
+    // 1–5 terms each, from the corpus vocabulary — through ONE call
+    val docs = Tables(spark, sfDir).documents
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(12)
+      .select("w").as[String].collect().toSeq
+    val qterms = (1 to 8).flatMap { q =>
+      val n = 1 + (q % 5)
+      (0 until n).map(p => (q.toLong, vocab((q + p * 3) % vocab.length), p))
+    }.toDF("query_id", "token", "pos")
+    val got = graft.text.Retrieval.bm25Batch(docs, qterms, topK = 10)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(got.keySet === (1L to 8L).toSet, s"every query must rank: ${got.keySet}")
+    got.foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length).toSeq,
+        s"query $q ranks not dense")
+      val scores = byRank.map(_.getAs[Double]("bm25")).toSeq
+      assert(scores === scores.sorted.reverse, s"query $q not descending")
+      val nTerms = qterms.filter(col("query_id") === q).count()
+      rows.foreach(r => assert(r.getAs[Long]("n_terms_hit") <= nTerms))
+    }
+    // singleton slice ≡ the graded l48 fixture's query 2 (the pos-ordered
+    // fold is the same function at any Q)
+    val single = Seq((2L, "hash", 0), (2L, "merge", 1), (2L, "sort", 2))
+      .toDF("query_id", "token", "pos")
+    val viaSingle = graft.text.Retrieval.bm25Batch(docs, single, topK = 20)
+      .select("doc_id", "bm25", "n_terms_hit")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val viaGraded = SparkEntry.queries("l48_bm25_batch")(spark, sfDir)
+      .filter(col("query_id") === 2L).select("doc_id", "bm25", "n_terms_hit")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaSingle === viaGraded)
+  }
 }
