@@ -408,7 +408,12 @@ object Algorithms {
       val surv = survivingEdges.select(col("src"), col("dst"))
         .transform(Materialize.apply)
       if (surv.count() <= rebuildFloorEdges) {
-        val relabeled = cc(surv).transform(Materialize.apply)
+        // ccUnionFind DIRECTLY, not cc(): cc would re-materialize and
+        // re-count the edges this gate just counted, and the union-find
+        // output is a driver-built dataset — re-evaluation is free, so no
+        // checkpoint either (measured round 15: each skipped job is ~0.3 s
+        // of the small-graph overhead this floor exists to remove)
+        val relabeled = ccUnionFind(surv)
         val singletons = base.select(col("id"))
           .join(relabeled.select("id"), Seq("id"), "left_anti")
           .withColumn("component", col("id"))

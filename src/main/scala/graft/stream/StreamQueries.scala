@@ -521,7 +521,45 @@ object StreamQueries {
                    ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY ts) AS rn
             FROM tr)
       SELECT src, dst, epoch_us(ts) AS born_ts_us
-      FROM r WHERE rn = 2 ORDER BY src, dst"""))
+      FROM r WHERE rn = 2 ORDER BY src, dst""")),
+
+    // T17c (batch leg) — REPLAY-IDEMPOTENT retraction (round 15, ADVICE
+    // r14): t17b's retract assumes exactly-once cancel delivery — a
+    // replayed batch double-subtracts. This grades
+    // [[DossierMaintain.retractLogged]] under an at-least-once feed: the
+    // SAME cancel slice is applied TWICE (batch 1, then its redelivery),
+    // each pass deduplicated against the persisted retracted-orderkey log
+    // the first pass produced. The ORACLE is t17b's unchanged
+    // fold-on-surviving — so the hash-match IS the proof that the replay
+    // was a no-op (without the log, the doubled subtraction would shift
+    // every cancelled entity's count/spend and hash-mismatch). Scale:
+    // the log is cancel-history-sized (one long per ever-cancelled
+    // order) and prunes each incoming batch via one anti-join BEFORE
+    // anything watchlist-scoped runs; a fully-replayed batch costs zero
+    // state writes and zero corpus reads.
+    E("t17c_retract_replayed", (s, d) => {
+      val t = Tables(s, d)
+      val wl = t.customer.filter(col("c_custkey") % 101 === 0)
+        .select(col("c_custkey").as("wid"))
+      val cancels = t.orders.filter(col("o_orderkey") % 13 === 0)
+      val surviving = t.orders.filter(col("o_orderkey") % 13 =!= 0)
+      val full = DossierMaintain.merge(
+        DossierMaintain.seed(wl), DossierMaintain.orderDelta(wl, t.orders))
+      val emptyLog = s.range(0).select(col("id").as("o_orderkey"))
+      val (s1, log1) = DossierMaintain.retractLogged(
+        wl, full, cancels, surviving, emptyLog)
+      // the redelivered batch: same cancels, now against the updated log
+      val (s2, _) = DossierMaintain.retractLogged(
+        wl, s1.transform(graft.graph.Materialize.apply), cancels, surviving, log1)
+      DossierMaintain.present(s2).orderBy("wid")
+    }, Some("""
+      SELECT w.wid, COUNT(o.o_orderkey) AS n_orders,
+             ROUND(COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0), 2) AS total_spent,
+             COALESCE(strftime(MAX(o.o_orderdate), '%Y-%m-%d'), 'never') AS last_order
+      FROM (SELECT c_custkey AS wid FROM customer WHERE c_custkey % 101 = 0) w
+      LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 13 <> 0) o
+        ON o.o_custkey = w.wid
+      GROUP BY 1 ORDER BY wid"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

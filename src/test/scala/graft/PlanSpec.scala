@@ -592,6 +592,13 @@ class PlanSpec extends SparkSpec {
       s"query batching added corpus scans: got $scans vs l43's $l43Scans:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"qterms/df/stats must broadcast:\n$p")
+    // VERDICT r14 #2 done-clause: term pruning is a broadcast LEFT-SEMI
+    // join on the distinct term frame — no driver collect, no isin
+    // literal list in the token filter (the query-table-native shape)
+    assert(p.contains("LeftSemi"),
+      s"term pruning must be the broadcast semi-join, not an isin list:\n$p")
+    assert(!p.contains("token#") || !"""token(?:#\d+)? IN \(""".r.findFirstIn(p).isDefined,
+      s"an In-literal token filter survived the semi-join refactor:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"per-query rank filter must prune groups before the full window:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -601,8 +608,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("g69_er_decrement")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair maintenance degraded to all-pairs:\n$p")
-    assert(p.contains("Scan ExistingRDD"),
-      "the standing merge map must enter as the union-find tier's local dataset")
+    // driver-tier local data either way: Scan ExistingRDD is the
+    // materialized standing state (blast-radius path); LocalTableScan is
+    // the round-15 absolute-size floor's union-find output (small graphs
+    // route straight to the rebuild — no checkpoint needed for a
+    // driver-built dataset). Both are the union-find tier, never a
+    // distributed recompute.
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "labels must enter as the union-find tier's local dataset")
     assert(p.contains("BroadcastHashJoin"),
       "deleted-set flags and name enrichments must broadcast")
   }
@@ -644,5 +657,29 @@ class PlanSpec extends SparkSpec {
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
       s"scan reads more than (doc_id, text): $read")
+  }
+
+  test("l49b: the LEARNED-table apply keeps l49's shape — one corpus scan, expression-level chain, partial agg") {
+    // the learn loop runs its own jobs over the distinct-word vocabulary
+    // BEFORE this plan exists; the graded dataflow itself must stay l49's:
+    // one documents scan, the 12-replace chain as projection work, no join
+    val p = plan("l49b_bpe_learned")
+    val scans = """documents\.parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"learned-BPE apply must scan the corpus once, got $scans:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the apply plan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"),
+      "learned chain must stay expression-level (codegen), not UDF/mapPartitions")
+    assert("partial".r.findFirstIn(p.toLowerCase).isDefined,
+      "per-doc token counts must partial-aggregate before the shuffle")
+  }
+
+  test("g70: the two-horizon replay composes g68's shapes — no cartesian, erasure as pushed filters, label state materialized") {
+    val p = plan("g70_cc_replay")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the replay fold degraded to all-pairs:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "standing label state must enter materialized (the g68/g66 convention)")
+    assert("""% 23\)""".r.findFirstIn(p).isDefined,
+      s"the erasure batch must ride as a pushed % 23 predicate, not a separate scan:\n$p")
   }
 }
