@@ -91,8 +91,9 @@ object LlmQueries {
     * OR-amplification. Distinct multipliers give genuinely different
     * orderings of the gram set.
     */
-  private val minhashMults: Seq[Long] =
-    Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L, 73L, 79L)
+  // single-sourced with the standing dedup index (round 15): the graded
+  // batch pipeline and LshIndex sketch with the SAME lanes by construction
+  private def minhashMults: Seq[Long] = LshIndex.minhashMults
 
   /** Oracle SQL for l34 / l33, factored so l37 (the composed curation
     * decision) can embed them verbatim as subqueries — the judge-visible
@@ -332,22 +333,12 @@ object LlmQueries {
       s"bandRows=$bandRows must divide the ${minhashMults.size}-hash sketch; " +
         "a non-divisor would silently drop trailing minhashes from the banding")
     graft.functions.GraftFunctions.register(s)
-    val nBands = minhashMults.size / bandRows
-    val ws = Tables(s, d).documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-    val tg = ws.select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
-      .distinct()
+    // the trigram / sketch / bucket builders are LshIndex's (round 15
+    // single-sourcing: the standing dedup index IS this pipeline persisted)
+    val tg = LshIndex.grams(Tables(s, d).documents)
       .transform(graft.graph.Materialize.apply) // reused: sketch + sizes + rerank
-    val mins = minhashMults.zipWithIndex.map { case (m, h) =>
-      min(expr(s"poly_hash(g, 0L, ${m}L)")).as(s"mh$h") }
-    val sketch = tg.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bandCols = Seq("h") ++ (0 until bandRows).map(r => s"mh_r$r")
-    val stackExpr = (0 until nBands).map(b =>
-      (Seq(s"$b") ++ (0 until bandRows).map(r => s"mh${b * bandRows + r}")).mkString(", ")).mkString(", ")
-    val buckets = sketch.select(col("doc_id"),
-      expr(s"stack($nBands, $stackExpr)").as(bandCols))
+    val bandCols = LshIndex.bandCols(bandRows)
+    val buckets = LshIndex.bucketsOf(LshIndex.sketchOf(tg), bandRows)
     val cand = buckets.select(col("doc_id").as("a") +: bandCols.map(col): _*)
       .join(buckets.select(col("doc_id").as("b") +: bandCols.map(col): _*), bandCols)
       .filter(col("a") < col("b"))
@@ -2934,7 +2925,70 @@ object LlmQueries {
       SELECT doc_id, COUNT(*) AS n_words,
              CAST(SUM(length(word)) AS BIGINT) AS n_chars,
              CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
-      FROM t GROUP BY 1 ORDER BY doc_id"""))
+      FROM t GROUP BY 1 ORDER BY doc_id""")),
+
+    // L2f — INCREMENTAL dedup against the STANDING LSH index (round 15 —
+    // the dedup family's maintained artifact, completing the arc IvfIndex
+    // walks for vectors: l02/l46 recompute every signature per run; a
+    // 100 TB ingest pipeline sketches ONLY the arriving batch and joins
+    // its band buckets against the persisted corpus bucket table). The
+    // batch (doc_id % 25 = 0) probes the index built over the rest:
+    // candidates from the band equi-join (batch side broadcasts — the
+    // index is scanned, never shuffled), exact-Jaccard rerank re-reads
+    // the corpus for CANDIDATE docs only (left-semi pruning — rerank ∝
+    // collisions, not corpus). Sketch lanes, trigram tokenization,
+    // threshold, and rounding are l02's VERBATIM (LshIndex single-sources
+    // them), so the ORACLE is the l02 CTE machinery with a cross-slice
+    // candidate condition. LshIndexSpec proves the persisted layout:
+    // probe-from-disk ≡ in-memory, append ≡ rebuild-over-union,
+    // removeFrom's byte-level shard trio, and erased docs never
+    // re-surface as candidates.
+    E("l52_dedup_incremental", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, d).documents
+      val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+      // the arriving batch: a fresh slice PLUS a re-crawl of ~1/41 of the
+      // indexed corpus under new ids — the duplication an ingest dedup
+      // exists to catch (the l01b planted-dup argument, applied to the
+      // standing-index path: every re-crawl must surface as a
+      // jaccard_dist=0 hit against its original)
+      val batch = docs.filter(col("doc_id") % 25 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 41 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      LshIndex.build(corpus).probe(batch, corpus)
+        .orderBy("batch_id", "corpus_id")
+    }, Some("""
+      WITH cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0),
+      bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+                UNION ALL
+                SELECT doc_id + 1000000000, text FROM documents
+                WHERE doc_id % 25 <> 0 AND doc_id % 41 = 0),
+      adocs AS (SELECT doc_id, text, 1 AS is_batch FROM bdocs
+                UNION ALL SELECT doc_id, text, 0 FROM cdocs),
+      toks AS (SELECT doc_id, is_batch, string_split(text, ' ') AS ws FROM adocs
+               WHERE len(string_split(text, ' ')) >= 3),
+      tg AS (SELECT DISTINCT doc_id, is_batch, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+             FROM toks, UNNEST(range(len(ws) - 2)) AS t(i)),
+      sketch AS (SELECT doc_id, is_batch, """ + minhashMults.zipWithIndex.map { case (m, h) =>
+        s"MIN(${polyHashSql("g", 0L, m)}) AS mh$h" }.mkString(", ") + """
+                 FROM tg GROUP BY doc_id, is_batch),
+      bkt AS (""" + (0 until minhashMults.size).map(b =>
+        s"SELECT doc_id, is_batch, $b AS h, mh$b AS mh_r0 FROM sketch").mkString(" UNION ALL ") + """),
+      cand AS (SELECT DISTINCT bb.doc_id AS batch_id, bc.doc_id AS corpus_id
+               FROM bkt bb JOIN bkt bc ON bb.h = bc.h AND bb.mh_r0 = bc.mh_r0
+               WHERE bb.is_batch = 1 AND bc.is_batch = 0),
+      sz AS (SELECT doc_id, is_batch, COUNT(*) AS n FROM tg GROUP BY 1, 2),
+      inter AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS i
+                FROM cand c JOIN tg ta ON ta.doc_id = c.batch_id AND ta.is_batch = 1
+                            JOIN tg tb ON tb.doc_id = c.corpus_id AND tb.is_batch = 0
+                                      AND tb.g = ta.g
+                GROUP BY 1, 2)
+      SELECT i.batch_id, i.corpus_id,
+             ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard_dist
+      FROM inter i JOIN sz sa ON sa.doc_id = i.batch_id AND sa.is_batch = 1
+                   JOIN sz sb ON sb.doc_id = i.corpus_id AND sb.is_batch = 0
+      WHERE ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) <= 0.8
+      ORDER BY batch_id, corpus_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

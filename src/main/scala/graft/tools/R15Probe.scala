@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.text.{Bpe, IvfIndex, Retrieval}
+import graft.text.{Bpe, IvfIndex, LshIndex, Retrieval}
 import org.apache.spark.sql.functions._
 
 /** Round-15 rehearsal probes (SCALE.md protocol: /tmp/scale/sfN via
@@ -139,6 +139,51 @@ object R15Probe {
     println(f"[r15-decsplit] raw cc(T2 window) rebuild:   $wRebuild%.1f s (no universe stitch)")
   }
 
+  /** The standing-LSH-index ingest split: per arriving batch, dedup via
+    * the persisted index (sketch batch → broadcast band join → pruned
+    * rerank) vs the no-index alternative (the l02 full recompute: sketch
+    * EVERYTHING, self-join, filter cross pairs). Plus the maintenance
+    * walls (appendTo, removeFrom contiguous + replay). */
+  private def lshSplit(spark: org.apache.spark.sql.SparkSession, t: Tables): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = t.documents
+    val n = docs.count()
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+      .transform(graft.graph.Materialize.apply)
+    val batch = docs.filter(col("doc_id") % 25 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 41 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      .transform(graft.graph.Materialize.apply)
+    val dir = java.nio.file.Files.createTempDirectory("r15lsh").toString
+    val (_, wBuild) = time(LshIndex.save(LshIndex.build(corpus), dir))
+    println(f"[r15-lsh] corpus=$n%d docs, build+save index $wBuild%.1f s (the nightly artifact)")
+    val idx = LshIndex.load(spark, dir)
+    val (hits, wProbe) = time {
+      val h = idx.probe(batch, corpus).transform(graft.graph.Materialize.apply)
+      h.count()
+    }
+    println(f"[r15-lsh] probe batch (${batch.count()}%d docs) against the index: " +
+      f"$wProbe%.1f s, $hits%d near-dup hits")
+    // the no-index alternative: the SAME dedup with no standing artifact —
+    // re-sketch the whole corpus, then probe (what l02/l46-style per-run
+    // recomputation costs an ingest pipeline per batch)
+    val (nFull, wFull) = time {
+      LshIndex.build(corpus).probe(batch, corpus)
+        .transform(graft.graph.Materialize.apply).count()
+    }
+    println(f"[r15-lsh] no-index recompute (re-sketch corpus + probe): $wFull%.1f s, $nFull%d hits")
+    val (_, wAppend) = time(LshIndex.appendTo(spark, dir,
+      batch.withColumn("doc_id", col("doc_id") + lit(2000000000L))))
+    println(f"[r15-lsh] appendTo (ingest the deduped batch): $wAppend%.1f s")
+    val lo = corpus.agg(min(col("doc_id"))).head().getLong(0)
+    val erase = corpus.filter(col("doc_id") < lo + 600000L).select("doc_id")
+    val (rs, wRm) = time(LshIndex.removeFrom(spark, dir, erase))
+    println(f"[r15-lsh] removeFrom contiguous batch (${rs.nDocsRemoved}%d docs): " +
+      f"$wRm%.1f s, rewrote ${rs.rewrittenShards.size}%d shards")
+    val (rs2, wRm2) = time(LshIndex.removeFrom(spark, dir, erase))
+    println(f"[r15-lsh] replayed erasure (no-op): $wRm2%.1f s, removed ${rs2.nDocsRemoved}%d")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/sf6.4")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -150,7 +195,8 @@ object R15Probe {
       case "bpelearn" => bpeLearn(spark, t)
       case "bm25q" => bm25Q(spark, t)
       case "decsplit" => decSplit(spark, t)
-      case other => sys.error(s"unknown probe '$other' (ivfremove|bpelearn|bm25q|decsplit)")
+      case "lshsplit" => lshSplit(spark, t)
+      case other => sys.error(s"unknown probe '$other' (ivfremove|bpelearn|bm25q|decsplit|lshsplit)")
     }
     spark.stop()
   }
