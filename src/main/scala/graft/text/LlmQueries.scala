@@ -2988,7 +2988,43 @@ object LlmQueries {
       FROM inter i JOIN sz sa ON sa.doc_id = i.batch_id AND sa.is_batch = 1
                    JOIN sz sb ON sb.doc_id = i.corpus_id AND sb.is_batch = 0
       WHERE ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) <= 0.8
-      ORDER BY batch_id, corpus_id"""))
+      ORDER BY batch_id, corpus_id""")),
+
+    // L5f — PRODUCT-QUANTIZED ANN (Jégou 2011; round 15): the compression
+    // half of the canonical billion-vector stack — IVF (l05_ann_ivf)
+    // prunes WHICH vectors to read, PQ shrinks WHAT is read: each 64-dim
+    // float vector becomes 8 one-byte codes (32× smaller), quantized per
+    // 8-dim subspace against a 16-entry codebook fit by the SAME
+    // deterministic two-round Lloyd as the IVF quantizer (one dataflow
+    // for all 8 subspaces — lloydModel's explode with `sub` added to
+    // every key). The query never reads a float vector: one m×k = 128
+    // double distance table (broadcast), then per vector the FIXED-ORDER
+    // sum of its 8 table lookups (conditional pivot — the l43/l48
+    // discipline; see Pq.adc for the codebook-noise margin argument).
+    // Top-20 by (rounded ADC distance, vec_id). Composed with IvfIndex
+    // this is IVF-PQ; the composition rides the existing partition
+    // pruning unchanged. PqSpec pins codes completeness, recall against
+    // the exact top-k, and the spec-level driver recomputation.
+    E("l53_pq_adc", (s, d) => {
+      val emb = Tables(s, d).embeddings
+      val corp = emb.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("vec_id"), col("embedding"))
+      val (cb, codes) = Pq.model(corp, m = 8, k = 16)
+      // the PACKED serving path (one row per vector, driver-compiled
+      // lookup chain — Pq.adcPacked's scaladoc; values bit-identical to
+      // the join-form Pq.adc, PqSpec pins both against the driver
+      // recomputation)
+      Pq.adcPacked(cb.transform(graft.graph.Materialize.apply),
+          Pq.pack(codes, m = 8), q, m = 8)
+        .orderBy(col("pq_d2"), col("vec_id"))
+        .limit(20)
+        .orderBy(col("pq_d2"), col("vec_id"))
+    }, Some(s"""
+      WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+      qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+      ${Pq.pqCtes("corp", "qv", m = 8, k = 16)}
+      SELECT vec_id, pq_d2 FROM pq_adc
+      ORDER BY pq_d2, vec_id LIMIT 20"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -184,6 +184,60 @@ object R15Probe {
     println(f"[r15-lsh] replayed erasure (no-op): $wRm2%.1f s, removed ${rs2.nDocsRemoved}%d")
   }
 
+  /** PQ economics at rehearsal scale: codebook fit + encode (the
+    * build-once cost), the per-query ADC scan over codes, and the exact
+    * brute-force cosine scan it replaces (the 32×-fewer-bytes claim's
+    * wall-clock shadow at a size where everything still fits in page
+    * cache — the byte ratio, not the wall, is the 100 TB argument). */
+  private def pqSplit(spark: org.apache.spark.sql.SparkSession, t: Tables): Unit = {
+    import graft.text.Pq
+    graft.functions.GraftFunctions.register(spark)
+    val emb = t.embeddings
+    val n = emb.count()
+    val corp = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.graph.Materialize.apply)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.graph.Materialize.apply)
+    val ((cb, codes0), wFit) = time {
+      val r = Pq.model(corp, m = 8, k = 16)
+      (r._1.transform(graft.graph.Materialize.apply),
+       r._2.transform(graft.graph.Materialize.apply))
+    }
+    println(f"[r15-pq] corpus=$n%d vectors: codebook fit + encode $wFit%.1f s " +
+      f"(${codes0.count()}%d code rows — the build-once artifact)")
+    val packed = Pq.pack(codes0, m = 8).transform(graft.graph.Materialize.apply)
+    println(f"[r15-pq] packed code rows: ${packed.count()}%d (one per vector)")
+    val (_, wAdc) = time(
+      Pq.adc(cb, codes0, q, m = 8)
+        .orderBy(col("pq_d2"), col("vec_id")).limit(50)
+        .write.mode("overwrite").format("noop").save())
+    println(f"[r15-pq] ADC top-50, join form over 8x code rows: $wAdc%.1f s")
+    val (_, wPacked) = time(
+      Pq.adcPacked(cb, packed, q, m = 8)
+        .orderBy(col("pq_d2"), col("vec_id")).limit(50)
+        .write.mode("overwrite").format("noop").save())
+    println(f"[r15-pq] ADC top-50, PACKED serving scan: $wPacked%.1f s (no join, no float read)")
+    val (_, wExact) = time(
+      corp.crossJoin(broadcast(q.select(col("embedding").as("qv"))))
+        .withColumn("cos", expr("cosine_sim(embedding, qv)"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(50)
+        .write.mode("overwrite").format("noop").save())
+    println(f"[r15-pq] exact brute cosine top-50: $wExact%.1f s (reads every float vector)")
+    // the byte footprint — the claim that survives to 100 TB
+    val d1 = java.nio.file.Files.createTempDirectory("r15pq_codes").toString
+    val d2 = java.nio.file.Files.createTempDirectory("r15pq_vecs").toString
+    packed.write.mode("overwrite").parquet(d1)
+    corp.write.mode("overwrite").parquet(d2)
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      f.listFiles().filter(_.isFile).map(_.length).sum
+    }
+    println(f"[r15-pq] on-disk: packed codes ${dirBytes(d1) / 1024}%d KiB vs " +
+      f"float vectors ${dirBytes(d2) / 1024}%d KiB")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/sf6.4")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -196,7 +250,8 @@ object R15Probe {
       case "bm25q" => bm25Q(spark, t)
       case "decsplit" => decSplit(spark, t)
       case "lshsplit" => lshSplit(spark, t)
-      case other => sys.error(s"unknown probe '$other' (ivfremove|bpelearn|bm25q|decsplit|lshsplit)")
+      case "pq" => pqSplit(spark, t)
+      case other => sys.error(s"unknown probe '$other' (ivfremove|bpelearn|bm25q|decsplit|lshsplit|pq)")
     }
     spark.stop()
   }

@@ -21,7 +21,7 @@ class LshIndexSpec extends SparkSpec {
   private lazy val corpus = docs.filter(col("doc_id") % 25 =!= 0)
   private lazy val batch = docs.filter(col("doc_id") % 25 === 0)
     .unionByName(corpus.filter(col("doc_id") % 41 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
   private lazy val built = LshIndex.build(corpus)
 
   private def probeSet(idx: LshIndex): Set[(Long, Long, Double)] =
@@ -45,7 +45,7 @@ class LshIndexSpec extends SparkSpec {
       .filter(size(split(col("text"), " ")) >= 3)
       .select("doc_id").as[Long].collect().toSet
     eligible.foreach { id =>
-      assert(hits.contains((id + 10000000L, id, 0.0)),
+      assert(hits.contains((id + 1000000000L, id, 0.0)),
         s"re-crawl of $id did not surface as an exact dup")
     }
     assert(recrawls.nonEmpty && eligible.nonEmpty)
