@@ -3024,7 +3024,63 @@ object LlmQueries {
       qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
       ${Pq.pqCtes("corp", "qv", m = 8, k = 16)}
       SELECT vec_id, pq_d2 FROM pq_adc
-      ORDER BY pq_d2, vec_id LIMIT 20"""))
+      ORDER BY pq_d2, vec_id LIMIT 20""")),
+
+    // L5g — IVF-PQ (round 15): the two halves composed into the standard
+    // billion-vector serving stack — the IVF coarse quantizer prunes
+    // WHICH vectors score (nprobe=4 of k=16 buckets → ~1/4 of the corpus
+    // read, partition pruning on a persisted index), PQ's packed codes
+    // shrink WHAT is read per scored vector (29×, SCALE.md round 15):
+    // per query the candidate read is (nprobe/k)·(1/29) of the raw
+    // corpus. Both quantizers are the SAME deterministic two-round Lloyd
+    // (IVF on the full vector, PQ per subspace — the classic IVF-Flat +
+    // PQ-on-raw-vectors variant; residual encoding is a quality knob,
+    // not a dataflow change); the composition is ONE left-semi join
+    // between the probed buckets' membership and the packed code table,
+    // then l53's ADC scan over the survivors. ORACLE: l05_ann_ivf's
+    // lloydCtes (probe + candidates) ∘ l53's pqCtes (fit + encode + ADC)
+    // — composed from the components' oracles verbatim, the house
+    // single-sourcing rule. Same argmin near-tie hazard class as both
+    // parents (green since rounds 5/15).
+    E("l54_ivfpq_ann", (s, d) => {
+      val emb = Tables(s, d).embeddings
+      val corp = emb.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("vec_id"), col("embedding"))
+      if (corp.head(1).isEmpty || q.head(1).isEmpty)
+        // empty slice: schema-only result (the l47b empty-corpus guard —
+        // an empty index has no centroids to probe)
+        s.range(0).select(col("id").as("vec_id"),
+          lit(null).cast("double").as("pq_d2"))
+      else {
+        val idx = IvfIndex.build(corp, k = 16)
+        val probed = idx.probe(q, nprobe = 4).select(col("cluster"))
+        val cand = idx.assigned
+          .join(broadcast(probed), Seq("cluster"), "left_semi")
+          .select(col("vec_id"))
+        val (cb, codes) = Pq.model(corp, m = 8, k = 16)
+        Pq.adcPacked(cb.transform(graft.graph.Materialize.apply),
+            Pq.pack(codes, m = 8).join(cand, Seq("vec_id"), "left_semi"),
+            q, m = 8)
+          .orderBy(col("pq_d2"), col("vec_id"))
+          .limit(20)
+          .orderBy(col("pq_d2"), col("vec_id"))
+      }
+    }, Some(s"""
+      WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+      qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+      ${lloydCtes("corp", 16)},
+      ivfq AS (SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+               FROM qv, UNNEST(range(64)) AS t(i)),
+      ivfd AS (SELECT c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS d2
+               FROM ivfq q JOIN c1 c USING (pos) GROUP BY 1),
+      probes AS (SELECT cid FROM (
+                   SELECT cid, ROW_NUMBER() OVER (ORDER BY d2, cid) AS rn FROM ivfd)
+                 WHERE rn <= 4),
+      cand AS (SELECT a.vec_id FROM a2 a JOIN probes p ON p.cid = a.cid),
+      ${Pq.pqCtes("corp", "qv", m = 8, k = 16)}
+      SELECT s.vec_id, s.pq_d2
+      FROM pq_adc s JOIN cand c ON c.vec_id = s.vec_id
+      ORDER BY s.pq_d2, s.vec_id LIMIT 20"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap
