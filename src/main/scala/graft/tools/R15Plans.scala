@@ -12,7 +12,7 @@ object R15Plans {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = Seq("l48_bm25_batch", "l47c_decontaminate_erased",
-      "l49b_bpe_learned", "g04b_sssp_weighted", "g70_cc_replay", "l52_dedup_incremental", "l53_pq_adc")
+      "l49b_bpe_learned", "g04b_sssp_weighted", "g70_cc_replay", "l52_dedup_incremental", "l53_pq_adc", "l54_ivfpq_ann", "t17c_retract_replayed")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.explainString(FormattedMode)
