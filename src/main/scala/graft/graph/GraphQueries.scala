@@ -1203,7 +1203,11 @@ object GraphQueries {
         .select(col("id"), round(col("dist"), 6).as("dist"))
         .orderBy("id")
     }, Some({
-      val rounds = (1 to 32).map { r =>
+      // 40 unrolled rounds (measured 23 needed at sf0.1 — 1.7× headroom)
+      // PLUS a convergence guard (ADVICE r15): if the last round still
+      // relaxed anything, every dist goes NULL — a LOUD hash mismatch
+      // attributed to oracle headroom, never a silent short answer.
+      val rounds = (1 to 40).map { r =>
         s"""d$r AS MATERIALIZED (SELECT id, MIN(d) AS d FROM (
            |  SELECT id, d FROM d${r - 1} UNION ALL
            |  SELECT e.dst, p.d + e.cost FROM d${r - 1} p JOIN ce e ON e.src = p.id)
@@ -1214,8 +1218,12 @@ object GraphQueries {
       ce AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) / CAST(cnt AS DOUBLE) AS cost
              FROM ie_pairs WHERE cnt >= 2),
       d0 AS (SELECT CAST(7000000000 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS d),
-      $rounds
-      SELECT id, ROUND(d, 6) AS dist FROM d32 ORDER BY id"""
+      $rounds,
+      unconverged AS (SELECT COUNT(*) AS n FROM (
+        SELECT id, d FROM d40 EXCEPT SELECT id, d FROM d39))
+      SELECT id, CASE WHEN (SELECT n FROM unconverged) = 0
+                      THEN ROUND(d, 6) END AS dist
+      FROM d40 ORDER BY id"""
     })),
 
     // G6 (exhaustive) — strongly connected components via GraphX on the
@@ -3606,6 +3614,99 @@ object GraphQueries {
         SELECT id, id FROM nds
         UNION SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id)
       SELECT id, MIN(l) AS component FROM lab GROUP BY id ORDER BY id""")),
+
+    // G38 — MULTI-HORIZON ER REPLAY (VERDICT r15 #3: g70 pinned the CC
+    // fold's associativity; this is the merge-map twin): the T1 standing
+    // merge map folded through an arrival batch at T2 ([[graft.rel
+    // .FuzzyJoin.joinLev]] delta blocking + [[Algorithms.ccIncrement]] —
+    // the g67 step), then at T3 through a SECOND arrival batch AND an
+    // erasure batch ([[Algorithms.ccDecrement]] over the pair graph with
+    // erased records leaving — the g69 step), must equal ONE unsplit
+    // re-resolution over the records that survive at T3. The ORACLE
+    // computes exactly that rebuild (g48's blocking + min-label closure
+    // over non-erased records — g69's oracle shape with this fixture's
+    // erasure key), so the hash-match pins increment∘increment∘decrement
+    // ≡ re-resolution end to end, which no per-step grading implies.
+    // Fixture horizons: catalog = custkey % 5 ≠ 0 standing at T1;
+    // arrivals custkey % 10 = 5 land at T2, custkey % 10 = 0 at T3; the
+    // T3 erasure batch is custkey % 13 = 0 (it hits catalog AND arrival
+    // records — splits must cross the fold steps). Scale: each fold step
+    // is work ∝ batch (delta blocking keys ⋈ key index; blast-radius
+    // re-close), never a full re-resolution — that is the replaced cost.
+    E("g71_er_replay", (s, d) => {
+      val cust = Tables(s, d).customer.select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nk"))
+      val ents = cust.select(col("id"), col("name"))
+      def sameNation(p: DataFrame, ca: String, cb: String) = p
+        .join(broadcast(cust.select(col("id").as(ca), col("nk").as("nk_a"))), Seq(ca))
+        .join(broadcast(cust.select(col("id").as(cb), col("nk").as("nk_b"))), Seq(cb))
+        .filter(col("nk_a") === col("nk_b"))
+      val catalog = cust.filter(col("id") % 5 =!= 0)
+      val arrivals1 = cust.filter(col("id") % 10 === 5)
+      val arrivals2 = cust.filter(col("id") % 10 === 0)
+      val atT2 = cust.filter(col("id") % 10 =!= 0) // catalog ∪ arrivals1
+      val erased = cust.filter(col("id") % 13 === 0).select(col("id"))
+      val p1 = sameNation(
+          graft.rel.FuzzyJoin.selfJoinLev1(catalog.select("id", "name")),
+          "id_a", "id_b")
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val delta1 = sameNation(
+          graft.rel.FuzzyJoin.joinLev(
+            arrivals1.select("id", "name"), atT2.select("id", "name"), 1)
+            .filter(col("id_l") =!= col("id_r")),
+          "id_l", "id_r")
+        .select(col("id_l").as("src"), col("id_r").as("dst"))
+      val delta2 = sameNation(
+          graft.rel.FuzzyJoin.joinLev(
+            arrivals2.select("id", "name"), cust.select("id", "name"), 1)
+            .filter(col("id_l") =!= col("id_r")),
+          "id_l", "id_r")
+        .select(col("id_l").as("src"), col("id_r").as("dst"))
+      // the full T3 pair graph (before erasure) = P1 ∪ delta1 ∪ delta2:
+      // every new pair touches an arrival (records never change), so the
+      // union IS the unsplit blocking's pair set — split it by erasure
+      val allPairs = p1.unionByName(delta1).unionByName(delta2)
+        .transform(Materialize.apply)
+      val flagged = allPairs
+        .join(broadcast(erased.select(col("id").as("src"), lit(1).as("da"))), Seq("src"), "left")
+        .join(broadcast(erased.select(col("id").as("dst"), lit(1).as("db"))), Seq("dst"), "left")
+      val removed = flagged.filter(col("da").isNotNull || col("db").isNotNull)
+        .select(col("src"), col("dst"))
+      val surviving = flagged.filter(col("da").isNull && col("db").isNull)
+        .select(col("src"), col("dst"))
+      // the fold: T1 map → +arrivals1 (T2) → +arrivals2, −erasures (T3)
+      val l1 = Algorithms.ccIncrement(Algorithms.cc(p1), delta1)
+      val l2 = Algorithms.ccDecrement(
+        Algorithms.ccIncrement(l1, delta2), surviving, removed)
+      l2.join(broadcast(erased), Seq("id"), "left_anti") // erased records LEAVE
+        .filter(col("id") =!= col("component"))
+        .join(broadcast(ents), Seq("id"))
+        .join(broadcast(ents.select(col("id").as("component"), col("name").as("canonical_name"))),
+              Seq("component"))
+        .select(col("id").as("custkey"), col("name"),
+                col("component").as("merged_into"), col("canonical_name"))
+        .orderBy("custkey")
+    }, Some(s"""
+      WITH RECURSIVE $fuzzyPairsSql,
+      snp AS (SELECT cust_a, cust_b FROM fpairs
+              JOIN nm na ON na.ck = cust_a JOIN nm nb ON nb.ck = cust_b
+              WHERE na.nk = nb.nk
+                AND cust_a % 13 <> 0 AND cust_b % 13 <> 0),
+      sym AS (SELECT cust_a AS src, cust_b AS dst FROM snp
+              UNION SELECT cust_b, cust_a FROM snp),
+      nds AS (SELECT DISTINCT src AS id FROM sym),
+      seeds AS (SELECT id FROM nds n
+                WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = n.id AND e.dst < n.id)),
+      lab(id, l) AS (
+        SELECT id, id FROM seeds
+        UNION
+        SELECT s.dst, lab.l FROM lab JOIN sym s ON s.src = lab.id),
+      comp AS (SELECT id, MIN(l) AS cluster FROM lab GROUP BY id)
+      SELECT c.id AS custkey, na.nam AS name, c.cluster AS merged_into, nb.nam AS canonical_name
+      FROM comp c JOIN nm na ON na.ck = c.id JOIN nm nb ON nb.ck = c.cluster
+      WHERE c.id <> c.cluster
+      ORDER BY custkey""")),
 
     // G29c — CAPPED dossier ego sections (VERDICT r12 #4: the DEPLOYMENT
     // shape). g62's graded ego sections traverse nation hubs UNCAPPED —

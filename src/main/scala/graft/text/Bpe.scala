@@ -176,6 +176,103 @@ object Bpe {
     picked.toSeq
   }
 
+  /** BATCHED learn (VERDICT r15 #5): [[learn]] pays one Spark job round
+    * PER MERGE — a real tokenizer's 32k merges would take hours of
+    * round-trips even though each round's aggregation is cheap. This
+    * variant fuses a BATCH of merges per round while staying EXACTLY
+    * equal to the sequential Sennrich learner (BpeSpec proves it against
+    * [[learnRef]]; the graded l49c therefore reuses the sequential
+    * unrolled oracle). Per round it pulls the top `slice` pairs by the
+    * (count desc, a, b) order and accepts a PREFIX, cut by two rules:
+    *
+    *   1. PREFIX-DISJOINT: stop at the first pair that shares a symbol
+    *      with an accepted pair OR whose symbols include an accepted
+    *      pair's merged concat. Disjoint fuses commute and cannot change
+    *      each other's counts, so accepted counts are invariant.
+    *   2. OVERTAKE GUARD: let rCount = the stopping pair's count (or the
+    *      slice tail's when nothing in the slice stopped us — everything
+    *      unseen ranks below it). Retain only accepted pairs with
+    *      count > 2·rCount. Why 2×: after applying the batch, any pair
+    *      the batch could have touched (a conflict pair — all rank at or
+    *      after the stop, so count_old ≤ rCount) gains at most one new
+    *      occurrence per destroyed boundary adjacency, and for a FIXED
+    *      pair (u, v) the consumed boundary pair (tail(u), head(v)) is
+    *      unique — so count_new ≤ count_old(pair) + count_old(boundary)
+    *      ≤ 2·rCount < every retained count. Untouched pairs keep their
+    *      counts and rank below the prefix. Hence the sequential
+    *      learner's next |retained| picks are exactly the retained
+    *      prefix in order — equality, not approximation.
+    *
+    * The top pair alone is always sequential-correct, so a round never
+    * retains fewer than one merge (worst case this degrades to [[learn]],
+    * never below it). Scale shape per round is [[learn]]'s (one
+    * pair-explode + weighted groupBy + a `slice`-row ordered pull), but
+    * heavy-tailed pair distributions retain many merges per round —
+    * measured at sf6.4 in SCALE.md round 16.
+    */
+  def learnBatched(words: DataFrame, nMerges: Int, maxBatch: Int = 32): Seq[(String, String)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    val slice = math.max(64, 4 * maxBatch)
+    val picked = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var state = words
+      .select(translate(col("word"), "()", "").as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr(bracketSpark("w")).as("s"), col("cnt"))
+      .transform(graft.graph.Materialize.apply)
+    var done = false
+    while (picked.size < nMerges && !done) {
+      val top = state
+        .select(col("cnt"),
+          split(expr("substring(s, 2, length(s) - 2)"), "\\)\\(").as("ls"))
+        .filter(size(col("ls")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(ls) - 2), " +
+            "i -> named_struct('a', ls[i], 'b', ls[i + 1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(slice)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val usedSyms = scala.collection.mutable.Set[String]()
+        val mergedSyms = scala.collection.mutable.Set[String]()
+        var rCount: Option[Long] = None
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped && accepted.size < maxBatch) {
+          val (a, b, c) = top(i)
+          if (usedSyms(a) || usedSyms(b) || mergedSyms(a) || mergedSyms(b)) {
+            rCount = Some(c); stopped = true
+          } else {
+            accepted += ((a, b, c))
+            usedSyms += a; usedSyms += b; mergedSyms += (a + b)
+            i += 1
+          }
+        }
+        if (!stopped && i < top.length) rCount = Some(top(i)._3) // cut by maxBatch
+        else if (!stopped && top.length == slice) rCount = Some(top.last._3) // slice may be incomplete
+        val retained0 = rCount match {
+          case None => accepted.toSeq // saw EVERY pair, all disjoint
+          case Some(r) => accepted.takeWhile(_._3 > 2L * r).toSeq
+        }
+        val retained = (if (retained0.isEmpty) accepted.take(1).toSeq else retained0)
+          .take(nMerges - picked.size)
+        picked ++= retained.map(t => (t._1, t._2))
+        state = state
+          .select(retained.foldLeft(col("s")) { case (e, (a, b, _)) =>
+            replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
+          }.as("s"), col("cnt"))
+          .transform(graft.graph.Materialize.apply)
+      }
+    }
+    picked.toSeq
+  }
+
   /** DuckDB mirror of [[learn]] + the learned-table apply, as unrolled
     * CTEs (the g10/g04 unrolled-oracle convention — the learn loop is
     * data-dependent, so each round's pick is a 1-row CTE the next round's

@@ -262,7 +262,12 @@ object IvfIndex {
     require(minPerCluster >= 1, s"minPerCluster must be >= 1, got $minPerCluster")
     val old = load(spark, dir)
     val current = old.assigned.withColumnRenamed("cluster", "old_cluster")
-    val body = current.drop("old_cluster").transform(graft.graph.Materialize.apply)
+    // body stays a plain parquet read (ADVICE r15: checkpointing the FULL
+    // index just to count it is a corpus-sized read+write on the code path
+    // whose point is sub-linear refit cost — the count below is
+    // metadata-cheap on parquet, and re-reading the scan for the one
+    // assignment pass is cheaper than copying it)
+    val body = current.drop("old_cluster")
     // RATE FLOOR (VERDICT r14 #5): below ~minSamplesPerCluster points per
     // centroid the refit is fitting tessellation NOISE, not drift — the
     // moved-bucket diff (the whole point of the proportional write)
@@ -285,7 +290,9 @@ object IvfIndex {
     // vec_id ≳ 3.47e9 — exactly the large-id regime a 100 TB store uses).
     val keep = pmod(xxhash64(col("vec_id")), lit(4294967296L)) <
       lit(math.round(effRate * 4294967296.0))
-    val sample = body.filter(keep)
+    // the SAMPLE is what Lloyd re-reads across its rounds — materialize it,
+    // not the corpus-sized body
+    val sample = body.filter(keep).transform(graft.graph.Materialize.apply)
     require(sample.count() >= k,
       s"sample too small to fit $k centroids — raise rate (got rate=$rate, effective=$effRate)")
     val (c1, _) = LlmQueries.lloydModel(
@@ -374,16 +381,15 @@ object IvfIndex {
       .select(explode(array(col("cluster"), col("old_cluster"))).as("c"))
       .distinct().as[Long].collect().sorted.toSeq
     if (affected.nonEmpty) {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try fresh.assigned
+      // dynamic overwrite scoped to THIS write via the writer option
+      // (ADVICE r15: a session-conf toggle would leak into concurrent
+      // writes); crash between write and the emptied-bucket delete is
+      // recovered by replaying the refresh — it converges to the same
+      // bytes.
+      fresh.assigned
         .filter(col("cluster").isin(affected.map(java.lang.Long.valueOf): _*))
-        .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/assigned")
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(s"$dir/assigned")
       // dynamic overwrite only touches partitions PRESENT in the written
       // data — a bucket that lost its every row must be dropped explicitly.
       // Hadoop FileSystem API, not java.nio (VERDICT r13 #2): the rest of
@@ -455,15 +461,11 @@ object IvfIndex {
       .filter(col("cluster").isin(touchedLits: _*))
       .join(idFrame, Seq("vec_id"), "left_anti")
       .transform(graft.graph.Materialize.apply)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try survivors.write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$dir/assigned")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // per-write dynamic overwrite + replay-converging crash window —
+    // same note as [[rewriteDiff]]'s write (ADVICE r15)
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster").parquet(s"$dir/assigned")
     val stillPopulated = survivors.select("cluster").distinct().as[Long].collect().toSet
     val hconf = spark.sparkContext.hadoopConfiguration
     (touched.toSet -- stillPopulated).foreach { c =>

@@ -2927,6 +2927,44 @@ object LlmQueries {
              CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
       FROM t GROUP BY 1 ORDER BY doc_id""")),
 
+    // L7e — BATCHED BPE learn (VERDICT r15 #5: l49b's learn pays one
+    // Spark round PER MERGE — a real 32k-merge table would take hours of
+    // driver round-trips). [[Bpe.learnBatched]] fuses a prefix-disjoint,
+    // overtake-guarded BATCH of merges per round and is PROVABLY equal
+    // to the sequential Sennrich learner (the guard's bound is derived
+    // in its scaladoc; BpeSpec pins equality on the corpus, an
+    // adversarial created-pair fixture, and randomized vocabularies) —
+    // which is why this oracle is the SEQUENTIAL unrolled learnCtes:
+    // grading batched-Spark against sequential-DuckDB makes the
+    // equality claim itself the thing the hash pins. 16 merges at
+    // maxBatch=8 (vs l49b's 12 sequential) so the fused table genuinely
+    // exercises multi-merge rounds at every sf.
+    E("l49c_bpe_batched", (s, d) => {
+      val docs = Tables(s, d).documents
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val learned = Bpe.learnBatched(words, nMerges = 16, maxBatch = 8)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("m", Bpe.applyLearned(col("word"), learned))
+        .withColumn("n_tok", Bpe.tokenCountCol(col("m")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("n_tok")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH wsrc AS (SELECT doc_id, word FROM (
+               SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> ''),
+      ${Bpe.learnCtes("wsrc", 16)},
+      t AS (SELECT doc_id, word,
+                   ${Bpe.tokenCount(Bpe.applyLearnedDuck("word", 16))} AS n_tok
+            FROM wsrc CROSS JOIN bmrow)
+      SELECT doc_id, COUNT(*) AS n_words,
+             CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM t GROUP BY 1 ORDER BY doc_id""")),
+
     // L2f — INCREMENTAL dedup against the STANDING LSH index (round 15 —
     // the dedup family's maintained artifact, completing the arc IvfIndex
     // walks for vectors: l02/l46 recompute every signature per run; a
@@ -3080,7 +3118,61 @@ object LlmQueries {
       ${Pq.pqCtes("corp", "qv", m = 8, k = 16)}
       SELECT s.vec_id, s.pq_d2
       FROM pq_adc s JOIN cand c ON c.vec_id = s.vec_id
-      ORDER BY s.pq_d2, s.vec_id LIMIT 20"""))
+      ORDER BY s.pq_d2, s.vec_id LIMIT 20""")),
+
+    // L5h — RESIDUAL IVF-PQ, Jégou 2011's IVFADC proper (VERDICT r15 #1:
+    // l54 encodes raw vectors; the billion-scale form quantizes the
+    // RESIDUAL x − q₁(x) against the coarse centroid, so the shared
+    // codebook spends its codes on local geometry instead of re-encoding
+    // the coarse position the bucket id already carries — measured
+    // recall@10 vs raw across nprobe in SCALE.md round 16). Dataflow:
+    // [[Pq.residuals]] (one broadcast centroid join + codegen'd zip_with)
+    // feeds the UNCHANGED Pq.model fit; serving is one cluster-pruned
+    // branch per probed bucket, each the l53 compiled-CASE scan with that
+    // bucket's own query-residual table (q − centroid_c differs per
+    // bucket — the IVFADC table is per-probe by construction). ORACLE:
+    // l05_ann_ivf's lloydCtes (coarse fit + probes) ∘ Pq.pqResidualCtes
+    // (residual fit + per-bucket ADC) — composed from the components'
+    // oracles, the l54 single-sourcing rule. Same argmin near-tie hazard
+    // class as l53/l54 (green since round 15).
+    E("l54b_ivfpq_residual", (s, d) => {
+      val emb = Tables(s, d).embeddings
+      val corp = emb.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("vec_id"), col("embedding"))
+      if (corp.head(1).isEmpty || q.head(1).isEmpty)
+        s.range(0).select(col("id").as("vec_id"),
+          lit(null).cast("double").as("pq_d2"))
+      else {
+        import s.implicits._
+        val idx = IvfIndex.build(corp, k = 16)
+        val centsDf = idx.centroids.toSeq.toDF("cluster", "centroid")
+        val res = Pq.residuals(corp, idx.assigned.select("vec_id", "cluster"), centsDf)
+          .transform(graft.graph.Materialize.apply)
+        val (cb, codes) = Pq.model(res.select(col("vec_id"), col("embedding")), m = 8, k = 16)
+        val packed = Pq.pack(codes, m = 8)
+          .join(res.select(col("vec_id"), col("cluster")), "vec_id")
+        val qArr = q.select(expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+          .head.getSeq[Double](0).toArray
+        Pq.adcPackedResidual(cb.transform(graft.graph.Materialize.apply),
+            packed, q, idx.centroids, idx.nearestClusters(qArr, 4).toSeq, m = 8)
+          .orderBy(col("pq_d2"), col("vec_id"))
+          .limit(20)
+          .orderBy(col("pq_d2"), col("vec_id"))
+      }
+    }, Some(s"""
+      WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+      qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+      ${lloydCtes("corp", 16)},
+      ivfq AS (SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+               FROM qv, UNNEST(range(64)) AS t(i)),
+      ivfd AS (SELECT c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS d2
+               FROM ivfq q JOIN c1 c USING (pos) GROUP BY 1),
+      probes AS (SELECT cid FROM (
+                   SELECT cid, ROW_NUMBER() OVER (ORDER BY d2, cid) AS rn FROM ivfd)
+                 WHERE rn <= 4),
+      ${Pq.pqResidualCtes("corp", "qv", m = 8, k = 16)}
+      SELECT vec_id, pq_d2 FROM pq_adc
+      ORDER BY pq_d2, vec_id LIMIT 20"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -168,8 +168,10 @@ object LshIndex {
   }
 
   def load(spark: SparkSession, dir: String): LshIndex = {
+    // meta columns read BY NAME (ADVICE r15): positional gets would
+    // silently mis-read if the meta schema ever grows or reorders
     val meta = spark.read.parquet(s"$dir/meta").head()
-    val bandRows = meta.getInt(0)
+    val bandRows = meta.getAs[Int]("band_rows")
     LshIndex(spark.read.parquet(s"$dir/buckets").drop("shard")
       .select(col("doc_id") +: bandCols(bandRows).map(col): _*), bandRows)
   }
@@ -180,7 +182,8 @@ object LshIndex {
     * index equals a from-scratch rebuild of the union (LshIndexSpec). */
   def appendTo(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    val (bandRows, rowsPerShard) = (meta.getInt(0), meta.getLong(1))
+    val (bandRows, rowsPerShard) =
+      (meta.getAs[Int]("band_rows"), meta.getAs[Long]("rows_per_shard"))
     buckets(delta, bandRows)
       .withColumn("shard", (col("doc_id") / lit(rowsPerShard)).cast("long"))
       .write.mode("append").partitionBy("shard").parquet(s"$dir/buckets")
@@ -207,15 +210,16 @@ object LshIndex {
       .filter(col("shard").isin(touchedLits: _*))
       .join(idFrame, Seq("doc_id"), "left_anti")
       .transform(graft.graph.Materialize.apply)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try survivors.write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/buckets")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // dynamic overwrite scoped to THIS write via the writer option (takes
+    // precedence over the session conf — ADVICE r15: mutating the session
+    // conf would leak dynamic mode into concurrent writes). Crash window:
+    // a failure between this write and the emptied-shard delete below
+    // leaves erased rows on disk until the batch is replayed — replay
+    // converges (unknown ids are no-ops, surviving shards rewrite to the
+    // same bytes), which is the at-least-once recovery expectation.
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(s"$dir/buckets")
     val stillPopulated = survivors.select("shard").distinct().as[Long].collect().toSet
     val hconf = spark.sparkContext.hadoopConfiguration
     (touched.toSet -- stillPopulated).foreach { sh =>

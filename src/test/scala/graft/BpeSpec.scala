@@ -131,4 +131,50 @@ class BpeSpec extends SparkSpec {
     val tiny = Bpe.learn(Seq("aa").toDF("word"), nMerges = 5)
     assert(tiny === Bpe.learnRef(Seq("aa"), 5))
   }
+
+  test("learnBatched equals the sequential Sennrich reference on the corpus (VERDICT r15 #5)") {
+    val corpus = Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val refWords = corpus.as[String].collect().toSeq
+    for (batch <- Seq(1, 4, 16)) {
+      assert(Bpe.learnBatched(corpus, nMerges = 24, maxBatch = batch) ===
+        Bpe.learnRef(refWords, 24), s"maxBatch=$batch diverged from sequential")
+    }
+  }
+
+  test("learnBatched overtake fixture: a created pair outranks a disjoint lower pick") {
+    // the adversarial shape from the batching proof: after fusing (a,b),
+    // the CREATED pair (x,ab) — count 59, from the destroyed (x,a) —
+    // outranks (c,d)=58, so a batcher that skipped the conflicting (x,a)
+    // and took the disjoint (c,d) in the same round would diverge from
+    // sequential. The prefix cut + overtake guard must yield exactly the
+    // sequential table: (a,b), (x,ab), (c,d), ...
+    val words =
+      Seq.fill(59)("xab") ++   // (x,a)=59, (a,b)=59
+      Seq.fill(1)("ab") ++     // (a,b) -> 60: the unambiguous first pick
+      Seq.fill(58)("cd")       // (c,d)=58
+    val df = words.toDF("word")
+    val ref = Bpe.learnRef(words, 4)
+    // sequential: (a,b) first; then the created (x,ab)=59 overtakes (c,d)=58
+    assert(ref.take(3) === Seq(("a", "b"), ("x", "ab"), ("c", "d")))
+    for (batch <- Seq(2, 8)) {
+      assert(Bpe.learnBatched(df, nMerges = 4, maxBatch = batch) === ref,
+        s"maxBatch=$batch diverged on the overtake fixture")
+    }
+  }
+
+  test("learnBatched equals learnRef across randomized small-alphabet fixtures") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 8).foreach { trial =>
+      val alpha = "abcd".take(2 + rnd.nextInt(3))
+      val words = Seq.fill(40 + rnd.nextInt(40)) {
+        (0 until (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val n = 3 + rnd.nextInt(8)
+      val got = Bpe.learnBatched(words.toDF("word"), nMerges = n,
+        maxBatch = 1 + rnd.nextInt(8))
+      assert(got === Bpe.learnRef(words, n), s"trial $trial: $words")
+    }
+  }
 }

@@ -685,6 +685,113 @@ class StreamingSpec extends SparkSpec {
     assert(got === got.keySet.map(n => n -> reb.getOrElse(n, n)).toMap)
     assert(edges.as[(Long, Long)].collect().toSet === Set((9L, 10L), (2L, 5L)))
   }
+
+  test("streaming LSH index maintenance: appendTo/removeFrom per micro-batch converge the persisted index to the surviving corpus (VERDICT r15 #6)") {
+    import graft.stream.{DocEvent, IndexMaintain}
+    import graft.text.LshIndex
+    import org.apache.spark.sql.DataFrame
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, sfDir).documents
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val allIds = texts.keys.toSeq.sorted
+    val initialIds = allIds.filter(_ % 4 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("lshm").toString
+    LshIndex.save(LshIndex.build(
+      docs.filter(col("doc_id") % 4 === 0).select("doc_id", "text")), dir,
+      rowsPerShard = 64)
+    val source = MemoryStream[DocEvent](spark)
+    val q = source.toDS().toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        IndexMaintain.applyDocBatch(spark, dir, b)
+      }.start()
+    def fold(evs: DocEvent*): Unit = { source.addData(evs: _*); q.processAllAvailable() }
+    // b1: an arrival batch
+    val b1Ids = allIds.filter(_ % 4 == 1).take(20)
+    fold(b1Ids.map(i => DocEvent(i, texts(i), erased = false)): _*)
+    // b2: more arrivals PLUS an erasure batch hitting the initial slice
+    val b2Ids = allIds.filter(_ % 4 == 2).take(20)
+    val erasedIds = initialIds.filter(_ % 8 == 0).take(10)
+    fold((b2Ids.map(i => DocEvent(i, texts(i), erased = false)) ++
+          erasedIds.map(i => DocEvent(i, "", erased = true))): _*)
+    // b3: same-batch erase + re-ingest of a b1 doc with CHANGED text (the
+    // upsert order contract), plus a replayed erasure (idempotence)
+    val reId = b1Ids.head
+    val newText = texts(reId) + " revised revised revised"
+    fold(DocEvent(reId, "", erased = true), DocEvent(reId, newText, erased = false),
+         DocEvent(erasedIds.head, "", erased = true))
+    q.stop()
+    // surviving corpus after the whole feed
+    val survivingTexts = (initialIds.filterNot(erasedIds.contains).map(i => (i, texts(i))) ++
+      b1Ids.filterNot(_ == reId).map(i => (i, texts(i))) ++
+      b2Ids.map(i => (i, texts(i))) :+ ((reId, newText)))
+    val survivors = survivingTexts.toDF("doc_id", "text")
+    val maintained = LshIndex.load(spark, dir)
+    val rebuilt = LshIndex.build(survivors)
+    assert(maintained.bandRows === rebuilt.bandRows)
+    // bucket-table equality: per-doc signatures are pure, so the
+    // maintained index must BE the rebuild over the survivors
+    def rows(i: LshIndex) = i.buckets.collect().map(_.toSeq).toSet
+    assert(rows(maintained) === rows(rebuilt),
+      "maintained bucket table diverged from the rebuild over survivors")
+    // and it probes identically (incl. the revised doc's new sketch)
+    val probeBatch = docs.filter(col("doc_id") % 4 === 3)
+      .select("doc_id", "text").limit(30)
+    def probeSet(i: LshIndex) = i.probe(probeBatch, survivors)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probeSet(maintained) === probeSet(rebuilt))
+  }
+
+  test("streaming IVF index maintenance: per-batch assign-appends and bucket-local erasures converge to the one-pass assignment of survivors") {
+    import graft.stream.{IndexMaintain, VecEvent}
+    import graft.text.IvfIndex
+    import org.apache.spark.sql.DataFrame
+    // synthetic 8-dim vectors: three loose clusters, ids 1..60 (double
+    // throughout so appended parquet files match the initial schema)
+    def vec(i: Long): Seq[Double] = {
+      val base = (i % 3).toDouble * 10.0
+      (0 until 8).map(j => base + ((i * 31 + j * 7) % 5).toDouble * 0.1)
+    }
+    val allIds = (1L to 60L).toSeq
+    val initialIds = allIds.filter(_ <= 20)
+    val initial = initialIds.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val idx0 = IvfIndex.build(initial, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfm").toString
+    IvfIndex.save(idx0, dir)
+    val source = MemoryStream[VecEvent](spark)
+    val q = source.toDS().toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        IndexMaintain.applyVecBatch(spark, dir, b)
+      }.start()
+    def fold(evs: VecEvent*): Unit = { source.addData(evs: _*); q.processAllAvailable() }
+    fold((21L to 40L).map(i => VecEvent(i, vec(i), erased = false)): _*)
+    // arrivals + an erasure batch spanning initial AND batch-1 vectors
+    val erased = Seq(3L, 9L, 27L)
+    fold(((41L to 60L).map(i => VecEvent(i, vec(i), erased = false)) ++
+          erased.map(i => VecEvent(i, Seq.empty, erased = true))): _*)
+    // replayed erasure: a no-op
+    fold(VecEvent(3L, Seq.empty, erased = true))
+    q.stop()
+    val survivors = allIds.filterNot(erased.contains)
+      .map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val maintained = IvfIndex.load(spark, dir)
+    // centroids are the STANDING quantizer — maintenance never refits
+    assert(maintained.centroids.map(_._1).toSeq === idx0.centroids.map(_._1).toSeq)
+    maintained.centroids.zip(idx0.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq, "maintenance moved a centroid")
+    }
+    // the maintained assignment equals the ONE-PASS assignment of the
+    // surviving vectors against the standing centroids (the append
+    // contract; refresh is the refit's job)
+    def asgSet(df: DataFrame) = df.select(col("vec_id"), col("cluster"))
+      .as[(Long, Long)].collect().toSet
+    assert(asgSet(maintained.assigned) === asgSet(idx0.assign(survivors)),
+      "maintained assignments diverged from the one-pass assignment of survivors")
+    // and probes agree with the in-memory maintained twin
+    val qv = vec(2L).toArray
+    assert(maintained.candidates(qv, 2).select("vec_id").as[Long].collect().toSet ===
+      IvfIndex(idx0.centroids, idx0.assign(survivors)).candidates(qv, 2)
+        .select("vec_id").as[Long].collect().toSet)
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
