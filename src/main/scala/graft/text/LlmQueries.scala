@@ -100,8 +100,13 @@ object LlmQueries {
     * single-sourcing rule: a composite's oracle must be built FROM its
     * components' oracles, never re-derived.
     */
-  private val gopherSql = """
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** The l34 Gopher-gate CTE chain over any (doc_id, text) relation,
+    * ending in `gq(doc_id, n_words, mean_word_len, top_bigram,
+    * top_bigram_char_frac, dup3_char_frac, stop_hits, gopher_pass)` —
+    * parameterized (round 16) so the l55 curation tick can gate its
+    * surviving batch with the SAME oracle machinery l34 grades. */
+  private def gopherCtes(src: String): String = s"""
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
       base AS (SELECT doc_id, len(ws) AS n_words,
                       LENGTH(array_to_string(ws, '')) AS n_chars_tok FROM toks),
       bg AS (SELECT doc_id, g, COUNT(*) AS c FROM
@@ -121,7 +126,7 @@ object LlmQueries {
       stops AS (SELECT doc_id, COUNT(*) AS stop_hits FROM
                 (SELECT doc_id, UNNEST(ws) AS t FROM toks)
                 WHERE t IN ('the', 'a', 'and', 'of', 'to', 'in') GROUP BY 1),
-      scored AS (SELECT b.doc_id, b.n_words,
+      gscored AS (SELECT b.doc_id, b.n_words,
         FLOOR(CAST(b.n_chars_tok AS DOUBLE) / b.n_words * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
         COALESCE(t.top_bigram, '') AS top_bigram,
         FLOOR(CAST(COALESCE(LENGTH(REPLACE(t.top_bigram, ' ', '')) * t.top_c, 0) AS DOUBLE)
@@ -129,12 +134,95 @@ object LlmQueries {
         FLOOR(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / b.n_chars_tok * 1000000.0 + 0.5) / 1000000.0 AS dup3_char_frac,
         COALESCE(s.stop_hits, 0) AS stop_hits
         FROM base b LEFT JOIN topbg t USING (doc_id) LEFT JOIN covc c USING (doc_id)
-             LEFT JOIN stops s USING (doc_id))
-      SELECT *,
+             LEFT JOIN stops s USING (doc_id)),
+      gq AS (SELECT *,
         (n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0
          AND top_bigram_char_frac <= 0.10 AND dup3_char_frac <= 0.05
          AND stop_hits >= 2) AS gopher_pass
-      FROM scored ORDER BY doc_id"""
+        FROM gscored)"""
+
+  private val gopherSql =
+    s"WITH ${gopherCtes("documents")} SELECT * FROM gq ORDER BY doc_id"
+
+  /** The l51 shard-local greedy FFD packer over any (doc_id, text) frame
+    * (factored out round 16 — l55's curation tick packs its surviving
+    * batch with the SAME dataflow l51 grades): shard = doc_id % 8, bins
+    * filled in doc_id order to capacity `cap` tokens, tokens = the
+    * non-empty-word count (null text packs as zero tokens — the
+    * NullInputSpec tolerance bar). Only 3 longs per doc cross the
+    * shuffle; the fold is per-shard local state (flatMapSortedGroups).
+    * Unordered; callers sort. */
+  private def packGreedy(docs: DataFrame, cap: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select((col("doc_id") % 8).as("shard"), col("doc_id"),
+        coalesce(size(filter(split(col("text"), " "), w => w =!= "")).cast("long"),
+                 lit(0L)).as("tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id").asc) { (shard, it) =>
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+        var bin = 0L; var tok = 0L; var n = 0L
+        it.foreach { case (_, _, t) =>
+          if (n > 0 && tok + t > cap) {
+            out += ((shard, bin, n, tok)); bin += 1; tok = 0L; n = 0L
+          }
+          tok += t; n += 1
+        }
+        if (n > 0) out += ((shard, bin, n, tok))
+        out
+      }
+      .toDF("shard", "bin_id", "n_docs", "bin_tokens")
+  }
+
+  /** The l34 Gopher gate over any (doc_id, text) frame — [[gopherCtes]]'s
+    * Spark twin, factored out (round 16) so l55's curation tick gates with
+    * the SAME dataflow l34 grades. Unordered; callers sort. */
+  private def gopherQuality(docs: DataFrame): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val base = toks.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      length(array_join(col("ws"), "")).cast("long").as("n_chars_tok"))
+    val bg = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 1), i -> array_join(slice(ws, i, 2), ' '))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+    val topbg = bg.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_bigram"), col("c").as("top_c"))
+    val g3 = toks.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("ws"), explode(expr("sequence(1, size(ws) - 2)")).as("i"))
+      .select(col("doc_id"), col("ws"), col("i"), expr("array_join(slice(ws, i, 3), ' ')").as("g"))
+    val dup3 = g3.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("doc_id", "g")
+    val cov = g3.join(dup3, Seq("doc_id", "g"))
+      .select(col("doc_id"), col("ws"), explode(expr("sequence(i, i + 2)")).as("pos"))
+      .dropDuplicates("doc_id", "pos")
+      .select(col("doc_id"), length(element_at(col("ws"), col("pos"))).cast("long").as("wl"))
+      .groupBy("doc_id").agg(sum(col("wl")).as("dup_chars"))
+    val stops = toks.select(col("doc_id"), explode(col("ws")).as("t"))
+      .filter(col("t").isin("the", "a", "and", "of", "to", "in"))
+      .groupBy("doc_id").agg(count(lit(1)).as("stop_hits"))
+    base
+      .join(topbg, Seq("doc_id"), "left_outer")
+      .join(cov, Seq("doc_id"), "left_outer")
+      .join(stops, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        r6(col("n_chars_tok").cast("double") / col("n_words")).as("mean_word_len"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        r6(coalesce(length(regexp_replace(col("top_bigram"), " ", "")) * col("top_c"), lit(0L))
+          .cast("double") / col("n_chars_tok")).as("top_bigram_char_frac"),
+        r6(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars_tok")).as("dup3_char_frac"),
+        coalesce(col("stop_hits"), lit(0L)).as("stop_hits"))
+      .withColumn("gopher_pass",
+        col("n_words").between(10, 1000) &&
+        col("mean_word_len").between(2.0, 12.0) &&
+        (col("top_bigram_char_frac") <= 0.10) &&
+        (col("dup3_char_frac") <= 0.05) &&
+        (col("stop_hits") >= 2))
+  }
 
   private val dsirSql = s"""
       WITH tok AS (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS t FROM documents),
@@ -1711,53 +1799,9 @@ object LlmQueries {
     // stop-words). Scale shape: three narrow per-doc explode+agg passes —
     // no join crosses documents, so the op is embarrassingly parallel and
     // shuffle cost is O(corpus tokens) regardless of corpus size.
-    E("l34_gopher_quality", (s, d) => {
-      def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-      val toks = Tables(s, d).documents
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val base = toks.select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        length(array_join(col("ws"), "")).cast("long").as("n_chars_tok"))
-      val bg = toks.filter(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(ws) - 1), i -> array_join(slice(ws, i, 2), ' '))")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
-      val topbg = bg.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("g").as("top_bigram"), col("c").as("top_c"))
-      val g3 = toks.filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), col("ws"), explode(expr("sequence(1, size(ws) - 2)")).as("i"))
-        .select(col("doc_id"), col("ws"), col("i"), expr("array_join(slice(ws, i, 3), ' ')").as("g"))
-      val dup3 = g3.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select("doc_id", "g")
-      val cov = g3.join(dup3, Seq("doc_id", "g"))
-        .select(col("doc_id"), col("ws"), explode(expr("sequence(i, i + 2)")).as("pos"))
-        .dropDuplicates("doc_id", "pos")
-        .select(col("doc_id"), length(element_at(col("ws"), col("pos"))).cast("long").as("wl"))
-        .groupBy("doc_id").agg(sum(col("wl")).as("dup_chars"))
-      val stops = toks.select(col("doc_id"), explode(col("ws")).as("t"))
-        .filter(col("t").isin("the", "a", "and", "of", "to", "in"))
-        .groupBy("doc_id").agg(count(lit(1)).as("stop_hits"))
-      base
-        .join(topbg, Seq("doc_id"), "left_outer")
-        .join(cov, Seq("doc_id"), "left_outer")
-        .join(stops, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("n_words"),
-          r6(col("n_chars_tok").cast("double") / col("n_words")).as("mean_word_len"),
-          coalesce(col("top_bigram"), lit("")).as("top_bigram"),
-          r6(coalesce(length(regexp_replace(col("top_bigram"), " ", "")) * col("top_c"), lit(0L))
-            .cast("double") / col("n_chars_tok")).as("top_bigram_char_frac"),
-          r6(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars_tok")).as("dup3_char_frac"),
-          coalesce(col("stop_hits"), lit(0L)).as("stop_hits"))
-        .withColumn("gopher_pass",
-          col("n_words").between(10, 1000) &&
-          col("mean_word_len").between(2.0, 12.0) &&
-          (col("top_bigram_char_frac") <= 0.10) &&
-          (col("dup3_char_frac") <= 0.05) &&
-          (col("stop_hits") >= 2))
-        .orderBy("doc_id")
-    }, Some(gopherSql)),
-
+    E("l34_gopher_quality", (s, d) =>
+      gopherQuality(Tables(s, d).documents).orderBy("doc_id"),
+      Some(gopherSql)),
     // L33 — DSIR-style importance weighting (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score each
     // doc by log p_target/p_raw under bag-of-hashed-unigram models, target
@@ -2400,32 +2444,9 @@ object LlmQueries {
     // running remainder"), with the per-shard iterator sorted by the
     // engine, not collected; the ORACLE mirrors the same fold as a
     // per-shard linear recursive CTE. Output: one row per (shard, bin).
-    E("l51_pack_sequences", (s, d) => {
-      import s.implicits._
-      val C = 512L
-      val docs = Tables(s, d).documents
-        .select((col("doc_id") % 8).as("shard"), col("doc_id"),
-          // null text packs as a zero-token document (size(null) is null
-          // under the non-legacy default — NullInputSpec's tolerance bar)
-          coalesce(size(filter(split(col("text"), " "), w => w =!= "")).cast("long"),
-                   lit(0L)).as("tokens"))
-        .as[(Long, Long, Long)]
-      docs.groupByKey(_._1)
-        .flatMapSortedGroups(col("doc_id").asc) { (shard, it) =>
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-          var bin = 0L; var tok = 0L; var n = 0L
-          it.foreach { case (_, _, t) =>
-            if (n > 0 && tok + t > C) {
-              out += ((shard, bin, n, tok)); bin += 1; tok = 0L; n = 0L
-            }
-            tok += t; n += 1
-          }
-          if (n > 0) out += ((shard, bin, n, tok))
-          out
-        }
-        .toDF("shard", "bin_id", "n_docs", "bin_tokens")
-        .orderBy("shard", "bin_id")
-    }, Some("""
+    E("l51_pack_sequences", (s, d) =>
+      packGreedy(Tables(s, d).documents, 512L).orderBy("shard", "bin_id"),
+    Some("""
       WITH RECURSIVE docs AS (
         SELECT doc_id % 8 AS shard, doc_id,
                COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS tokens,
@@ -3172,7 +3193,145 @@ object LlmQueries {
                  WHERE rn <= 4),
       ${Pq.pqResidualCtes("corp", "qv", m = 8, k = 16)}
       SELECT vec_id, pq_d2 FROM pq_adc
-      ORDER BY pq_d2, vec_id LIMIT 20"""))
+      ORDER BY pq_d2, vec_id LIMIT 20""")),
+
+    // L15b — THE CURATION TICK, end to end (VERDICT r15 #7: the pipeline
+    // every standing artifact exists FOR, graded as ONE composition): an
+    // arriving batch (the l52 fixture — fresh docs + re-crawls under new
+    // ids) flows through (1) dedup against the standing LSH index (any
+    // probe hit ≤0.8 drops the doc — re-crawls die here), (2) semantic
+    // DECONTAMINATION: each survivor's embedding probes an IVF index
+    // over the eval set (nprobe=2 of k=4) and a cosine ≥0.99 against any
+    // probed eval vector drops it (docs without an embedding are clean
+    // by construction — the inner probe join holds them out and the
+    // anti-join keeps them); (3) the l34 Gopher gate; (4) the l51
+    // shard-local greedy packer over the curated survivors. Every stage
+    // is the GRADED component's own dataflow (LshIndex single-sources
+    // l02/l52; the probe/cosine leg is l47b's shape on the batch side;
+    // gopherQuality/packGreedy are l34/l51's factored bodies), and the
+    // ORACLE is the same four stages composed from the components' CTE
+    // machinery verbatim (l52 sketch chain → lloydCtes probe → gopherCtes
+    // → l51's recursive packer) — the l54 single-sourcing rule: the
+    // hash-match pins the INTER-STAGE contracts (who drops whom, in what
+    // order), which no per-stage grading implies. Scale: stage 1 is ∝
+    // batch (index scanned, never shuffled), stage 2 broadcasts the
+    // eval-sized index, stages 3–4 are per-doc scans of the shrinking
+    // survivor set — the tick never touches the corpus except to rerank
+    // stage-1 collisions.
+    E("l55_curation_tick", (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables(s, d).documents
+      val emb = Tables(s, d).embeddings
+      val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+      val batch = docs.filter(col("doc_id") % 25 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 41 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+        .select(col("doc_id"), col("text"))
+      // stage 1: dedup — any standing-index hit drops the batch doc
+      val dupHits = LshIndex.build(corpus).probe(batch, corpus)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val deduped = batch.join(dupHits, Seq("doc_id"), "left_anti")
+        .transform(graft.graph.Materialize.apply)
+      // stage 2: decontamination — probe the eval-set IVF index (an EMPTY
+      // eval set means nothing to decontaminate against: the stage is a
+      // no-op, never a throw — the l47b empty-slice discipline)
+      val ev = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val decon = (if (ev.head(1).isEmpty) deduped else {
+        val evIdx = IvfIndex.build(ev, k = 4)
+        val bq = deduped
+          .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        val probes = evIdx
+          .probe(bq.select(col("doc_id").as("vec_id"), col("embedding")), nprobe = 2)
+          .select(col("vec_id").as("doc_id"), col("cluster"))
+        val contaminated = probes
+          .join(evIdx.assigned.select(col("vec_id").as("eval_id"),
+                col("embedding").as("evv"), col("cluster")), Seq("cluster"))
+          .join(bq.select(col("doc_id"), col("embedding")), Seq("doc_id"))
+          .withColumn("cos", round(expr("cosine_sim(embedding, evv)"), 6))
+          .filter(col("cos") >= 0.99)
+          .select(col("doc_id")).distinct()
+        deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      }).transform(graft.graph.Materialize.apply)
+      // stage 3: the l34 gate; stage 4: the l51 packer over survivors
+      val passed = decon.join(
+        gopherQuality(decon).filter(col("gopher_pass")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      packGreedy(passed, 512L).orderBy("shard", "bin_id")
+    }, Some(s"""
+      WITH RECURSIVE
+      cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0),
+      bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+                UNION ALL
+                SELECT doc_id + 1000000000, text FROM documents
+                WHERE doc_id % 25 <> 0 AND doc_id % 41 = 0),
+      adocs AS (SELECT doc_id, text, 1 AS is_batch FROM bdocs
+                UNION ALL SELECT doc_id, text, 0 FROM cdocs),
+      dtok AS (SELECT doc_id, is_batch, string_split(text, ' ') AS ws FROM adocs
+               WHERE len(string_split(text, ' ')) >= 3),
+      dtg AS (SELECT DISTINCT doc_id, is_batch, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+              FROM dtok, UNNEST(range(len(ws) - 2)) AS t(i)),
+      dsk AS (SELECT doc_id, is_batch, """ + minhashMults.zipWithIndex.map { case (m, h) =>
+        s"MIN(${polyHashSql("g", 0L, m)}) AS mh$h" }.mkString(", ") + """
+               FROM dtg GROUP BY doc_id, is_batch),
+      dbkt AS (""" + (0 until minhashMults.size).map(b =>
+        s"SELECT doc_id, is_batch, $b AS h, mh$b AS mh_r0 FROM dsk").mkString(" UNION ALL ") + s"""),
+      dcand AS (SELECT DISTINCT bb.doc_id AS batch_id, bc.doc_id AS corpus_id
+                FROM dbkt bb JOIN dbkt bc ON bb.h = bc.h AND bb.mh_r0 = bc.mh_r0
+                WHERE bb.is_batch = 1 AND bc.is_batch = 0),
+      dsz AS (SELECT doc_id, is_batch, COUNT(*) AS n FROM dtg GROUP BY 1, 2),
+      dinter AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS i
+                 FROM dcand c JOIN dtg ta ON ta.doc_id = c.batch_id AND ta.is_batch = 1
+                              JOIN dtg tb ON tb.doc_id = c.corpus_id AND tb.is_batch = 0
+                                         AND tb.g = ta.g
+                 GROUP BY 1, 2),
+      dhits AS (SELECT DISTINCT i.batch_id FROM dinter i
+                JOIN dsz sa ON sa.doc_id = i.batch_id AND sa.is_batch = 1
+                JOIN dsz sb ON sb.doc_id = i.corpus_id AND sb.is_batch = 0
+                WHERE ROUND(1.0 - CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) <= 0.8),
+      dedup AS (SELECT doc_id, text FROM bdocs
+                WHERE doc_id NOT IN (SELECT batch_id FROM dhits)),
+      evemb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      ${lloydCtes("evemb", 4)},
+      bq AS (SELECT dd.doc_id, e.embedding FROM dedup dd
+             JOIN embeddings e ON e.vec_id = dd.doc_id),
+      bqp AS (SELECT doc_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+              FROM bq, UNNEST(range(64)) AS t(i)),
+      bpd AS (SELECT q.doc_id, c.cid, SUM((q.v - c.c) * (q.v - c.c)) AS d2
+              FROM bqp q JOIN c1 c USING (pos) GROUP BY 1, 2),
+      bprobes AS (SELECT doc_id, cid FROM (
+                    SELECT doc_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, cid) AS rn
+                    FROM bpd) WHERE rn <= 2),
+      bcand AS (SELECT p.doc_id, a.vec_id AS eval_id FROM bprobes p JOIN a2 a ON a.cid = p.cid),
+      cont AS (SELECT DISTINCT c.doc_id
+               FROM bcand c JOIN bq b ON b.doc_id = c.doc_id
+                    JOIN evemb ev ON ev.vec_id = c.eval_id
+               WHERE ROUND(${dotSql("b.embedding", "ev.embedding")} /
+                           (SQRT(${dotSql("b.embedding", "b.embedding")}) *
+                            SQRT(${dotSql("ev.embedding", "ev.embedding")})), 6) >= 0.99),
+      decon AS (SELECT doc_id, text FROM dedup
+                WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      ${gopherCtes("decon")},
+      pdocs AS (SELECT doc_id % 8 AS shard, doc_id,
+                       COALESCE(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS tokens,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+                FROM decon WHERE doc_id IN (SELECT doc_id FROM gq WHERE gopher_pass)),
+      prec(shard, rn, bin_id, bin_tokens, tokens) AS (
+        SELECT shard, rn, CAST(0 AS BIGINT), tokens, tokens
+        FROM pdocs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn,
+               CASE WHEN r.bin_tokens + d.tokens > 512
+                    THEN r.bin_id + 1 ELSE r.bin_id END,
+               CASE WHEN r.bin_tokens + d.tokens > 512
+                    THEN d.tokens ELSE r.bin_tokens + d.tokens END,
+               d.tokens
+        FROM prec r JOIN pdocs d ON d.shard = r.shard AND d.rn = r.rn + 1)
+      SELECT shard, bin_id, COUNT(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+      FROM prec GROUP BY 1, 2
+      ORDER BY shard, bin_id"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,285 @@
+package graft.tools
+
+import graft.Tables
+import graft.text.{Bpe, IvfIndex, LshIndex, Pq}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 rehearsal probes (SCALE.md protocol: /tmp/scale/sfN via
+  * tools/ScaleUp, SPARK_DRIVER_MEM=32g, SPARK_GRAFT_SHUFFLE_PARTITIONS=128
+  * at sf6.4):
+  *
+  *   recall — VERDICT r15 #1's measurement: recall@10 vs exact euclidean
+  *     for {raw, residual} PQ × nprobe ∈ {1,2,4,8} over the IVF-PQ stack,
+  *     plus the candidate-fraction (the bytes-read proxy) per nprobe.
+  *   lshdup — VERDICT r15 #4: the standing LSH index at a REALISTIC ~1%
+  *     duplicate rate (the ScaleUp 64-copy fixture made every batch doc a
+  *     64-way dup and the rerank drowned the corpus-sketch saving):
+  *     probe-with-persisted-index vs sketch-everything-fresh.
+  *   bpebatched — VERDICT r15 #5's measurement: learnBatched at ≥256
+  *     merges (walls, rounds, merges/round) vs the sequential per-merge
+  *     baseline.
+  *   pqstore — VERDICT r15 #2's walls: PQ fit+pack+save, encodeTo of an
+  *     arrival batch, removeFrom of a contiguous erasure batch + replay.
+  */
+object R16Probe {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** recall@10 of the IVF-PQ serving stack vs exact euclidean, raw vs
+    * residual encoding, across nprobe (the last row probes ALL buckets —
+    * pure PQ-distortion recall, no prune loss). Queries = the 8 lowest-id
+    * vectors, HELD OUT of the corpus (so recall isn't inflated by
+    * self-hits). Runs on the given (vec_id, embedding) frame: the graded
+    * fixture's embeddings are ISOTROPIC (within-label = across-label
+    * distance, measured — 1-NN label agreement at chance), so coarse
+    * pruning there CANNOT beat recall ≈ candidate-fraction for any ANN
+    * method; `recallsynth` plants a 256-cluster Gaussian mixture at
+    * rehearsal size, where the stack's recall is the meaningful number.
+    */
+  private def recallOn(spark: SparkSession, emb0: DataFrame, what: String,
+                       kPq0: Int = 16): Unit = {
+    import spark.implicits._
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val qIds = emb.orderBy("vec_id").limit(8).select("vec_id").as[Long].collect().toSet
+    val corp = emb.filter(!col("vec_id").isin(qIds.toSeq.map(java.lang.Long.valueOf): _*))
+      .transform(graft.graph.Materialize.apply)
+    val n = corp.count()
+    val kCoarse = 64
+    val m = 8
+    val kPq = kPq0
+    println(f"[r16-recall:$what%s] corpus=$n%d vectors (8 held-out queries), coarse k=$kCoarse%d, PQ m=$m%d k=$kPq%d")
+    val (idx, wIvf) = time(IvfIndex.build(corp, kCoarse))
+    val centsDf = idx.centroids.toSeq.toDF("cluster", "centroid")
+    val asg = idx.assigned.select(col("vec_id"), col("cluster"))
+      .transform(graft.graph.Materialize.apply)
+    // raw PQ
+    val ((cbRawDf, codesRaw), wRaw) = time {
+      val (a, b) = Pq.model(corp, m, kPq)
+      (graft.graph.Materialize(a), graft.graph.Materialize(b))
+    }
+    // residual PQ
+    val ((cbResDf, codesRes), wRes) = time {
+      val res = Pq.residuals(corp, asg, centsDf)
+        .transform(graft.graph.Materialize.apply)
+      val (a, b) = Pq.model(res.select(col("vec_id"), col("embedding")), m, kPq)
+      (graft.graph.Materialize(a), graft.graph.Materialize(b))
+    }
+    println(f"[r16-recall:$what%s] fits: IVF $wIvf%.1f s, raw PQ $wRaw%.1f s, residual PQ $wRes%.1f s")
+    // driver copies of both codebooks — the probe scores via the JOIN-form
+    // ADC (k-agnostic; the compiled-CASE serving scan is the same sums,
+    // PqSpec pins them bit-for-bit at the graded k)
+    def bookOf(cb: DataFrame): Map[(Long, Long), Array[Double]] =
+      cb.select(col("sub"), col("cid"), col("pos"), col("c"))
+        .as[(Long, Long, Long, Double)].collect()
+        .groupBy(r => (r._1, r._2)).view
+        .mapValues(_.sortBy(_._3).map(_._4).toArray).toMap
+    val bookRaw = bookOf(cbRawDf)
+    val bookRes = bookOf(cbResDf)
+    val subDim = 8
+    // fixed-order per-vector sum of the m table lookups (the adc pivot)
+    val fixedSum = (0 until m)
+      .map(s0 => coalesce(max(when(col("sub") === s0, col("d"))), lit(0.0)))
+      .reduce(_ + _)
+    def top10(codes: DataFrame, table: Seq[(Long, Long, Long, Double)],
+              candIds: DataFrame): Set[Long] = {
+      val tdf = broadcast(table.toDF("cluster", "sub", "cid", "d"))
+      codes.join(asg, "vec_id")
+        .join(candIds, Seq("vec_id"), "left_semi")
+        .join(tdf, Seq("cluster", "sub", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(round(fixedSum, 6).as("pq_d2"))
+        .orderBy(col("pq_d2"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    // exact ground truth, driver-side (corpus is rehearsal-sized; the
+    // probe grades the SERVING scan, not this oracle)
+    val vecs = emb.select(col("vec_id"), expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => i -> v.toArray }.toMap
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    for (nprobe <- Seq(1, 2, 4, 8, kCoarse)) {
+      var rRaw = 0.0; var rRes = 0.0; var candFrac = 0.0
+      qIds.toSeq.sorted.foreach { qid =>
+        val qv = vecs(qid)
+        val probed = idx.nearestClusters(qv, nprobe).toSeq
+        candFrac += probed.map(sizes(_)).sum.toDouble / n
+        def d2(id: Long): Double = {
+          val v = vecs(id); var s = 0.0; var i = 0
+          while (i < v.length) { val d = v(i) - qv(i); s += d * d; i += 1 }
+          s
+        }
+        val exact10 = vecs.keysIterator.filterNot(qIds).toSeq
+          .sortBy(id => (d2(id), id)).take(10).toSet
+        val candIds = asg
+          .filter(col("cluster").isin(probed.map(java.lang.Long.valueOf): _*))
+          .select("vec_id")
+        val centById = idx.centroids.toMap
+        // per-(probed cluster, sub, code) query tables, driver-built: raw
+        // uses the plain query subvectors; residual subtracts the bucket
+        // centroid first (the IVFADC per-probe table)
+        def tableFor(book: Map[(Long, Long), Array[Double]],
+                     residual: Boolean): Seq[(Long, Long, Long, Double)] =
+          probed.flatMap { cl =>
+            val cent = centById(cl)
+            book.toSeq.map { case ((s0, cid), c) =>
+              var dd = 0.0
+              var j = 0
+              while (j < c.length) {
+                val i = s0.toInt * subDim + j
+                val qj = if (residual) qv(i) - cent(i) else qv(i)
+                val diff = qj - c(j); dd += diff * diff; j += 1
+              }
+              (cl, s0, cid, dd)
+            }
+          }
+        val rawTop = top10(codesRaw, tableFor(bookRaw, residual = false), candIds)
+        val resTop = top10(codesRes, tableFor(bookRes, residual = true), candIds)
+        rRaw += (exact10 intersect rawTop).size / 10.0
+        rRes += (exact10 intersect resTop).size / 10.0
+      }
+      val nq = qIds.size
+      val tag = if (nprobe == kCoarse) " (all buckets: PQ distortion only)" else ""
+      println(f"[r16-recall:$what%s] nprobe=$nprobe%d: recall@10 raw=${rRaw / nq}%.3f " +
+        f"residual=${rRes / nq}%.3f candidate_frac=${candFrac / nq}%.3f " +
+        f"(x 1/29 packed bytes = ${candFrac / nq / 29.0}%.4f of raw corpus bytes read)$tag%s")
+    }
+  }
+
+  /** A 256-cluster Gaussian mixture at rehearsal size (32k × 64, seeded)
+    * — the planted-structure twin of `recall` (the graded fixture's
+    * embeddings are isotropic; see recallOn's doc). */
+  private def syntheticClustered(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val centers = Array.fill(256)(Array.fill(64)(rnd.nextGaussian()))
+    (0 until 32768).map { i =>
+      val c = centers(i % 256)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** The standing LSH index at a ~1% planted-dup rate: 16k-doc arriving
+    * batch (160 near-dups of corpus docs + 15840 genuinely-new synthetic
+    * docs), probe against the persisted index vs the no-index pipeline
+    * (sketch corpus + batch fresh, same join + rerank). */
+  private def lshDup(spark: SparkSession, t: Tables): Unit = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // poly_hash for the sketch
+    val corpus = t.documents.select(col("doc_id"), col("text"))
+      .transform(graft.graph.Materialize.apply)
+    val nCorpus = corpus.count()
+    // near-dups: 160 corpus docs re-crawled with one word appended
+    val dups = corpus.orderBy("doc_id").limit(160)
+      .select((col("doc_id") + lit(2000000000L)).as("doc_id"),
+              concat(col("text"), lit(" recrawled")).as("text"))
+    // new docs: synthetic hash-soup, 40 words each — no shared trigrams
+    val fresh = spark.range(15840)
+      .select((col("id") + lit(3000000000L)).as("doc_id"),
+        expr("array_join(transform(sequence(1, 40), " +
+          "i -> substring(sha2(concat(CAST(id AS STRING), '-', CAST(i AS STRING)), 256), 1, 12)), ' ')")
+          .as("text"))
+    val batch = dups.unionByName(fresh).transform(graft.graph.Materialize.apply)
+    val nBatch = batch.count()
+    println(f"[r16-lshdup] corpus=$nCorpus%d docs, batch=$nBatch%d (160 planted near-dups = ${160.0 / nBatch * 100}%.1f%%)")
+    val dir = java.nio.file.Files.createTempDirectory("r16lsh").toString
+    // decomposed walls: the corpus sketch is what the standing index
+    // amortizes away; the probe tail (batch sketch + bucket join + rerank)
+    // is paid by both pipelines
+    val (builtMem, wSketch) = time {
+      val b = LshIndex.build(corpus)
+      b.buckets.count(); b
+    }
+    println(f"[r16-lshdup] corpus sketch+materialize ALONE: $wSketch%.1f s (the per-batch saving the index buys; ∝ corpus tokens)")
+    val (_, wSave) = time(LshIndex.save(builtMem, dir))
+    println(f"[r16-lshdup] save: $wSave%.1f s (one-time)")
+    val (hits, wProbe) = time {
+      val h = LshIndex.load(spark, dir).probe(batch, corpus)
+        .transform(graft.graph.Materialize.apply)
+      h.count()
+    }
+    println(f"[r16-lshdup] probe WITH standing index (load from disk): $wProbe%.1f s, $hits%d dup pairs surfaced")
+    val (hits2, wFresh) = time {
+      val h = LshIndex.build(corpus).probe(batch, corpus)
+        .transform(graft.graph.Materialize.apply)
+      h.count()
+    }
+    println(f"[r16-lshdup] no-index pipeline (re-sketch corpus every batch): $wFresh%.1f s, $hits2%d pairs")
+    println(f"[r16-lshdup] net per-batch saving = ${wFresh - wProbe}%.1f s " +
+      f"(probe tail ~${wProbe}%.1f s is shared; the index pays once corpus sketch > disk-read overhead)")
+  }
+
+  /** learnBatched at real merge counts. */
+  private def bpeBatched(spark: SparkSession, t: Tables): Unit = {
+    val words = t.documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .transform(graft.graph.Materialize.apply)
+    val nWords = words.count()
+    println(f"[r16-bpe] $nWords%d word occurrences")
+    val (seq12, wSeq) = time(Bpe.learn(words, nMerges = 12))
+    println(f"[r16-bpe] sequential learn, 12 merges: $wSeq%.1f s (${wSeq / 12}%.2f s/merge — the r15 baseline)")
+    for (nm <- Seq(64, 256)) {
+      val (tab, w) = time(Bpe.learnBatched(words, nMerges = nm, maxBatch = 32))
+      println(f"[r16-bpe] learnBatched, $nm%d merges (maxBatch=32): $w%.1f s " +
+        f"(${w / nm}%.3f s/merge, got ${tab.size}%d merges)")
+    }
+    // equality spot-check at rehearsal scale (the spec proves it at spec
+    // scale; this guards the batching on the REAL vocabulary)
+    val (seqTab, _) = time(Bpe.learn(words, nMerges = 24))
+    val (batTab, _) = time(Bpe.learnBatched(words, nMerges = 24, maxBatch = 16))
+    println(s"[r16-bpe] batched == sequential over 24 merges at sf6.4: ${seqTab == batTab}")
+  }
+
+  /** PQ artifact maintenance walls. */
+  private def pqStore(spark: SparkSession, t: Tables): Unit = {
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      .transform(graft.graph.Materialize.apply)
+    val n = emb.count()
+    val m = 8
+    val base = emb.filter(col("vec_id") % 13 =!= 0)
+    val delta = emb.filter(col("vec_id") % 13 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("r16pq").toString
+    val (_, wFit) = time {
+      val (cb, codes) = Pq.model(base, m, 16)
+      Pq.save(cb, Pq.pack(codes, m), dir, m, rowsPerShard = 1L << 16)
+    }
+    println(f"[r16-pq] corpus=$n%d vectors; fit+pack+save over ${n - n / 13}%d base vectors: $wFit%.1f s")
+    val (_, wEnc) = time(Pq.encodeTo(spark, dir, delta))
+    println(f"[r16-pq] encodeTo (${n / 13}%d arrivals, FIXED codebooks): $wEnc%.1f s — the ingest path never refits")
+    val sorted = spark.read.parquet(s"$dir/codes").select("vec_id")
+    import spark.implicits._
+    val lo = sorted.agg(min("vec_id")).as[Long].head()
+    val erase = emb.filter(col("vec_id").between(lo, lo + (1L << 16) * 2))
+      .select(col("vec_id"))
+    val (st, wRm) = time(Pq.removeFrom(spark, dir, erase))
+    println(f"[r16-pq] removeFrom (contiguous id range): $wRm%.1f s — " +
+      f"erased ${st.nRemoved}%d, rewrote ${st.rewrittenShards.size}%d shards (codebook untouched)")
+    val (st2, wReplay) = time(Pq.removeFrom(spark, dir, erase))
+    println(f"[r16-pq] replayed erasure (no-op): $wReplay%.1f s, removed ${st2.nRemoved}%d")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/sf6.4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, sfDir)
+    args.headOption.getOrElse("recall") match {
+      case "recall" => recallOn(spark, t.embeddings, "fixture")
+      case "recallsynth" => recallOn(spark, syntheticClustered(spark), "synth256")
+      case "recall8bit" => recallOn(spark, t.embeddings, "fixture-8bit", kPq0 = 256)
+      case "recallsynth8bit" =>
+        recallOn(spark, syntheticClustered(spark), "synth256-8bit", kPq0 = 256)
+      case "lshdup" => lshDup(spark, t)
+      case "bpebatched" => bpeBatched(spark, t)
+      case "pqstore" => pqStore(spark, t)
+      case other => sys.error(
+        s"unknown probe '$other' (recall|recallsynth|recall8bit|recallsynth8bit|lshdup|bpebatched|pqstore)")
+    }
+    spark.stop()
+  }
+}
