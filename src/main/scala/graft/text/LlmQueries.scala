@@ -152,7 +152,7 @@ object LlmQueries {
     * NullInputSpec tolerance bar). Only 3 longs per doc cross the
     * shuffle; the fold is per-shard local state (flatMapSortedGroups).
     * Unordered; callers sort. */
-  private def packGreedy(docs: DataFrame, cap: Long): DataFrame = {
+  private[graft] def packGreedy(docs: DataFrame, cap: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -179,7 +179,7 @@ object LlmQueries {
   /** The l34 Gopher gate over any (doc_id, text) frame — [[gopherCtes]]'s
     * Spark twin, factored out (round 16) so l55's curation tick gates with
     * the SAME dataflow l34 grades. Unordered; callers sort. */
-  private def gopherQuality(docs: DataFrame): DataFrame = {
+  private[graft] def gopherQuality(docs: DataFrame): DataFrame = {
     def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val base = toks.select(col("doc_id"),
@@ -274,6 +274,49 @@ object LlmQueries {
         .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("c"))
     val c1 = update(assign(init))
     (c1, assign(c1))
+  }
+
+  /** [[lloydModel]] generalized to `updates` centroid-update rounds — the
+    * PRODUCTION fit knob (round 16): SCALE.md's planted-mixture recall
+    * measurements isolated the composed IVF-PQ stack's remaining
+    * distortion to the QUANTIZER (the graded 1-update fit underfits; the
+    * serving dataflow is not the ceiling), and this is the recovery —
+    * same deterministic seeding (k lowest ids), same (d2, cid) tie order,
+    * same assign/update bodies, just iterated, with each round's
+    * centroids materialized so the plan stays one round deep instead of
+    * growing 2^rounds. `updates = 1` IS [[lloydModel]] (IvfIndexSpec pins
+    * the equality), so the graded oracle mirror stays single-sourced; the
+    * k-means objective is non-increasing in `updates` by construction
+    * (each assign is a per-point argmin, each update a per-cluster mean).
+    * Cost: one assignment join + one mean per round over the fit set —
+    * production runs it on [[IvfIndex.refreshSampled]]'s sample, so
+    * rounds scale against the sample, never the corpus. */
+  private[text] def lloydModelIterated(emb: DataFrame, k: Int,
+                                       updates: Int): (DataFrame, DataFrame) = {
+    require(updates >= 1, s"updates must be >= 1, got $updates")
+    def byPos(df: DataFrame, idCol: String, vCol: String) = df
+      .select(col(idCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+              col("v").cast("double").as(vCol))
+    val pts = byPos(emb, "vec_id", "v")
+      .transform(graft.graph.Materialize.apply)
+    val init = byPos(emb.orderBy("vec_id").limit(k)
+      .withColumnRenamed("vec_id", "cid"), "cid", "c")
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      pts.join(cent, Seq("pos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    }
+    def update(asg: DataFrame): DataFrame =
+      asg.join(pts, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("c"))
+    var cent = init
+    for (_ <- 1 to updates)
+      cent = update(assign(cent)).transform(graft.graph.Materialize.apply)
+    (cent, assign(cent))
   }
 
   private def lloydAssign(emb: DataFrame): DataFrame = lloydModel(emb, 4)._2
@@ -3331,7 +3374,69 @@ object LlmQueries {
       SELECT shard, bin_id, COUNT(*) AS n_docs,
              CAST(SUM(tokens) AS BIGINT) AS bin_tokens
       FROM prec GROUP BY 1, 2
-      ORDER BY shard, bin_id"""))
+      ORDER BY shard, bin_id""")),
+
+    // L10e — BM25 over the MAINTAINED inverted index (round 16): the
+    // retrieval family's standing artifact, graded through its whole
+    // maintenance life — build over the corpus slice, APPEND an arriving
+    // batch (only the batch tokenizes; postings/doclens are per-document,
+    // so append ≡ rebuild-over-union), ERASE a slice (posting + doclen
+    // rows leave, so N/avgdl/df shift exactly as a rebuild over
+    // survivors), then probe with l48's query table. The ORACLE computes
+    // BM25 FROM SCRATCH over the surviving documents with l48's CTE
+    // machinery verbatim — the hash pins append∘remove ≡
+    // rebuild-over-survivors END TO END, the strongest form of the
+    // maintenance claim (Bm25IndexSpec adds the persisted-layout trio:
+    // save/load/probeFrom term-shard pruning, appendTo, tombstone
+    // removeFrom + compact). Scale shape: a probe reads the query terms'
+    // posting lists (term-shard pruning + broadcast semi-join) and the
+    // doclen table (2 longs/doc) — never the corpus text; scoring is
+    // Retrieval.scoreTf, the SAME body l48 grades, so the artifact
+    // cannot drift from the audited pipeline.
+    E("l56_bm25_indexed", (s, d) => {
+      import s.implicits._
+      val docs = Tables(s, d).documents
+      val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+      val batch = docs.filter(col("doc_id") % 25 === 0)
+      val erase = corpus.filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+      val qterms = Seq(
+        (1L, "spark", 0), (1L, "join", 1), (1L, "filter", 2),
+        (2L, "hash", 0), (2L, "merge", 1), (2L, "sort", 2),
+        (3L, "stream", 0), (3L, "window", 1), (3L, "batch", 2))
+        .toDF("query_id", "token", "pos")
+      Bm25Index.build(corpus).append(batch).remove(erase)
+        .probe(qterms, topK = 20)
+        .orderBy("query_id", "rk")
+    }, Some("""
+      WITH qterms(query_id, token, pos) AS (VALUES
+        (1, 'spark', 0), (1, 'join', 1), (1, 'filter', 2),
+        (2, 'hash', 0), (2, 'merge', 1), (2, 'sort', 2),
+        (3, 'stream', 0), (3, 'window', 1), (3, 'batch', 2)),
+      surv AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 25 = 0 OR doc_id % 37 <> 0),
+      tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM surv),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             WHERE token IN (SELECT DISTINCT token FROM qterms) GROUP BY 1, 2),
+      df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      w AS (SELECT tf.doc_id, tf.token,
+                   LN(1.0 + (CAST(n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS w
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+      p AS (SELECT q.query_id, w.doc_id, COUNT(*) AS n_terms_hit,
+                     COALESCE(MAX(CASE WHEN q.pos = 0 THEN w.w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN q.pos = 1 THEN w.w END), 0.0)
+                   + COALESCE(MAX(CASE WHEN q.pos = 2 THEN w.w END), 0.0) AS raw
+            FROM w JOIN qterms q USING (token) GROUP BY 1, 2),
+      r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   ROUND(raw, 6) AS bm25, n_terms_hit,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(raw, 6) DESC, doc_id) AS rk
+            FROM p)
+      SELECT query_id, doc_id, bm25, n_terms_hit, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 20 ORDER BY query_id, rk"""))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.fn).toMap

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The whitespace tokenization every BM25 surface shares (l43/l48's
+    * shape, factored round 16 so [[Bm25Index]]'s build/append can never
+    * drift from the graded queries): one (doc_id, token) row per token
+    * occurrence; null text yields no rows (a null-text doc has no length
+    * row and drops out of the corpus stats — the l43 discipline). */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
   /** Per-query BM25 top-`topK` for every query in `qterms` against `docs`
     * in ONE corpus pass. `docs` carries (doc_id, text); `qterms` carries
     * (query_id, token, pos) with pos UNIQUE within each query (pos is the
@@ -41,12 +49,26 @@ object Retrieval {
   def bm25Batch(docs: DataFrame, qterms: DataFrame, topK: Int = 20,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = qterms.select(col("token")).distinct()
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tok = tokenize(docs)
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
-                       count(lit(1)).as("n_docs"))
     val tf = tok.join(broadcast(terms), Seq("token"), "left_semi")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    scoreTf(tf, dl, qterms, topK, k1, b)
+  }
+
+  /** The BM25 scoring tail over INDEX-SHAPED frames — `tf`(doc_id, token,
+    * tf) already pruned to the query's terms and `dl`(doc_id, dl) covering
+    * the WHOLE serving corpus (corpus stats N/avgdl come from `dl`, so a
+    * maintained index that appends/erases doclen rows moves every score
+    * exactly as a from-scratch rebuild would). This IS l48's dataflow from
+    * the tf/dl frames down — [[bm25Batch]] calls it after tokenizing, and
+    * [[Bm25Index.probe]] calls it with persisted postings/doclens — so the
+    * graded batch queries and the standing artifact share one scoring
+    * body (the LshIndex single-sourcing rule applied to retrieval). */
+  def scoreTf(tf: DataFrame, dl: DataFrame, qterms: DataFrame,
+              topK: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+                       count(lit(1)).as("n_docs"))
     val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
     val w = tf.join(broadcast(df_), "token")
       .join(dl, "doc_id").crossJoin(broadcast(stats))

@@ -41,7 +41,7 @@ object R16Probe {
     * rehearsal size, where the stack's recall is the meaningful number.
     */
   private def recallOn(spark: SparkSession, emb0: DataFrame, what: String,
-                       kPq0: Int = 16): Unit = {
+                       kPq0: Int = 16, updates: Int = 1): Unit = {
     import spark.implicits._
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val qIds = emb.orderBy("vec_id").limit(8).select("vec_id").as[Long].collect().toSet
@@ -51,21 +51,21 @@ object R16Probe {
     val kCoarse = 64
     val m = 8
     val kPq = kPq0
-    println(f"[r16-recall:$what%s] corpus=$n%d vectors (8 held-out queries), coarse k=$kCoarse%d, PQ m=$m%d k=$kPq%d")
-    val (idx, wIvf) = time(IvfIndex.build(corp, kCoarse))
+    println(f"[r16-recall:$what%s] corpus=$n%d vectors (8 held-out queries), coarse k=$kCoarse%d, PQ m=$m%d k=$kPq%d, lloyd updates=$updates%d")
+    val (idx, wIvf) = time(IvfIndex.buildIterated(corp, kCoarse, updates))
     val centsDf = idx.centroids.toSeq.toDF("cluster", "centroid")
     val asg = idx.assigned.select(col("vec_id"), col("cluster"))
       .transform(graft.graph.Materialize.apply)
     // raw PQ
     val ((cbRawDf, codesRaw), wRaw) = time {
-      val (a, b) = Pq.model(corp, m, kPq)
+      val (a, b) = Pq.modelIterated(corp, m, kPq, updates)
       (graft.graph.Materialize(a), graft.graph.Materialize(b))
     }
     // residual PQ
     val ((cbResDf, codesRes), wRes) = time {
       val res = Pq.residuals(corp, asg, centsDf)
         .transform(graft.graph.Materialize.apply)
-      val (a, b) = Pq.model(res.select(col("vec_id"), col("embedding")), m, kPq)
+      val (a, b) = Pq.modelIterated(res.select(col("vec_id"), col("embedding")), m, kPq, updates)
       (graft.graph.Materialize(a), graft.graph.Materialize(b))
     }
     println(f"[r16-recall:$what%s] fits: IVF $wIvf%.1f s, raw PQ $wRaw%.1f s, residual PQ $wRes%.1f s")
@@ -262,6 +262,52 @@ object R16Probe {
     println(f"[r16-pq] replayed erasure (no-op): $wReplay%.1f s, removed ${st2.nRemoved}%d")
   }
 
+  /** The standing BM25 index's rehearsal economics: from-scratch query
+    * cost (the l43 shape — re-tokenize the corpus per query batch) vs
+    * build-once + probeFrom (read the query terms' posting shards + the
+    * doclen table), plus the maintenance verbs' walls. */
+  private def bm25Index(spark: SparkSession, t: Tables): Unit = {
+    import spark.implicits._
+    import graft.text.{Bm25Index, Retrieval}
+    val docs = t.documents.select(col("doc_id"), col("text"))
+      .transform(graft.graph.Materialize.apply)
+    val n = docs.count()
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    val batch = docs.filter(col("doc_id") % 25 === 0)
+      .transform(graft.graph.Materialize.apply)
+    val nBatch = batch.count()
+    val qterms = Seq(
+      (1L, "spark", 0), (1L, "join", 1), (1L, "filter", 2),
+      (2L, "hash", 0), (2L, "merge", 1), (2L, "sort", 2),
+      (3L, "stream", 0), (3L, "window", 1), (3L, "batch", 2))
+      .toDF("query_id", "token", "pos")
+    println(s"[r16-bm25] corpus=$n docs; probing 3 queries x 3 terms")
+    val (_, wScratch) = time(Retrieval.bm25Batch(docs, qterms).collect())
+    val (_, wScratch2) = time(Retrieval.bm25Batch(docs, qterms).collect())
+    println(f"[r16-bm25] from-scratch bm25Batch (per query batch, re-tokenizes corpus): $wScratch%.1f s cold, $wScratch2%.1f s warm")
+    val dir = java.nio.file.Files.createTempDirectory("bm25r16").toString
+    val (_, wBuild) = time(Bm25Index.save(Bm25Index.build(corpus), dir))
+    println(f"[r16-bm25] build + save (once; ${n - nBatch}%d docs): $wBuild%.1f s")
+    val (_, wProbe) = time(Bm25Index.probeFrom(spark, dir, qterms).collect())
+    val (_, wProbe2) = time(Bm25Index.probeFrom(spark, dir, qterms).collect())
+    println(f"[r16-bm25] probeFrom (term-shard pruned postings + doclens, no corpus read): $wProbe%.1f s cold, $wProbe2%.1f s warm")
+    val (_, wAppend) = time(Bm25Index.appendTo(spark, dir, batch))
+    println(f"[r16-bm25] appendTo ($nBatch%d arrivals; tokenizes batch only): $wAppend%.1f s")
+    val (_, wProbe3) = time(Bm25Index.probeFrom(spark, dir, qterms).collect())
+    println(f"[r16-bm25] probe after append (serves the union): $wProbe3%.1f s")
+    val lo = docs.agg(min("doc_id")).as[Long].head()
+    val erase = docs.filter(col("doc_id").between(lo + 1000, lo + 40000))
+      .select(col("doc_id"))
+    val (nRm, wRm) = time(Bm25Index.removeFrom(spark, dir, erase))
+    val (_, wProbe4) = time(Bm25Index.probeFrom(spark, dir, qterms).collect())
+    println(f"[r16-bm25] removeFrom (tombstone $nRm%d docs): $wRm%.1f s; probe-over-survivors after: $wProbe4%.1f s")
+    val (st, wCp) = time(Bm25Index.compact(spark, dir))
+    println(f"[r16-bm25] compact: $wCp%.1f s — dropped ${st.nDocsCompacted}%d docs, rewrote " +
+      f"${st.rewrittenTermShards.size}%d/${Bm25Index.defaultTermShards}%d term shards + ${st.rewrittenDoclenShards.size}%d doclen shards")
+    val (_, wProbe5) = time(Bm25Index.probeFrom(spark, dir, qterms).collect())
+    println(f"[r16-bm25] probe after compact (unchanged scores): $wProbe5%.1f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale/sf6.4")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -274,11 +320,14 @@ object R16Probe {
       case "recall8bit" => recallOn(spark, t.embeddings, "fixture-8bit", kPq0 = 256)
       case "recallsynth8bit" =>
         recallOn(spark, syntheticClustered(spark), "synth256-8bit", kPq0 = 256)
+      case "recallsynth8bitit8" =>
+        recallOn(spark, syntheticClustered(spark), "synth256-8bit-it8", kPq0 = 256, updates = 8)
       case "lshdup" => lshDup(spark, t)
       case "bpebatched" => bpeBatched(spark, t)
       case "pqstore" => pqStore(spark, t)
+      case "bm25index" => bm25Index(spark, t)
       case other => sys.error(
-        s"unknown probe '$other' (recall|recallsynth|recall8bit|recallsynth8bit|lshdup|bpebatched|pqstore)")
+        s"unknown probe '$other' (recall|recallsynth|recall8bit|recallsynth8bit|recallsynth8bitit8|lshdup|bpebatched|pqstore|bm25index)")
     }
     spark.stop()
   }

@@ -792,6 +792,64 @@ class StreamingSpec extends SparkSpec {
       IvfIndex(idx0.centroids, idx0.assign(survivors)).candidates(qv, 2)
         .select("vec_id").as[Long].collect().toSet)
   }
+
+  test("streaming curation tick: cross-batch dedup against self-maintained state, gate drops, erasure re-admits (the l55 loop)") {
+    import graft.stream.{CurationMaintain, DocEvent}
+    import org.apache.spark.sql.DataFrame
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic hand texts with KNOWN gate outcomes: distinct content
+    // words + two stopwords pass every Gopher bound; the 5-word runt
+    // fails the length gate (and nothing else, so it isolates the gate)
+    def passText(salt: Int): String = {
+      val words = (0 until 28).map(i => s"w${salt}x$i")
+      (Seq("the") ++ words.take(14) ++ Seq("of") ++ words.drop(14)).mkString(" ")
+    }
+    val failText = "a a a a a"
+    val storeDir = java.nio.file.Files.createTempDirectory("cur").toString
+    val seed = (0L to 3L).map(i => (i, passText(i.toInt))).toDF("doc_id", "text")
+    CurationMaintain.init(spark, storeDir, seed, rowsPerShard = 8)
+    val packedPerBatch = scala.collection.mutable.Map[Long, Set[(Long, Long, Long, Long)]]()
+    val source = MemoryStream[DocEvent](spark)
+    val q = source.toDS().toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        packedPerBatch(id) = CurationMaintain.applyBatch(spark, storeDir, b)
+          .as[(Long, Long, Long, Long)].collect().toSet
+      }.start()
+    def fold(evs: DocEvent*): Unit = { source.addData(evs: _*); q.processAllAvailable() }
+    // b1: a re-crawl of seed doc 0 (dropped by dedup), a fresh passer
+    // (accepted), a gate-failing runt (dropped by the gate, not dedup)
+    fold(DocEvent(10L, passText(0), erased = false),
+         DocEvent(11L, passText(11), erased = false),
+         DocEvent(12L, failText, erased = false))
+    // b2: a re-crawl of doc 11 — accepted ONE BATCH AGO, so only the
+    // loop's own maintained state can catch it — plus a fresh passer
+    fold(DocEvent(20L, passText(11), erased = false),
+         DocEvent(21L, passText(21), erased = false))
+    // b3: erase doc 11, then a re-crawl of its text under a new id — with
+    // the original erased there is nothing left to collide with, so the
+    // re-crawl is ACCEPTED (erasure means gone, the g69 leave-semantics)
+    fold(DocEvent(11L, "", erased = true),
+         DocEvent(22L, passText(11), erased = false))
+    q.stop()
+    val acceptedIds = CurationMaintain.accepted(spark, storeDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(acceptedIds === Set(0L, 1L, 2L, 3L, 21L, 22L),
+      s"accepted store diverged from the expected fold: $acceptedIds")
+    // per-batch packed output covers exactly that batch's accepted slice
+    def packedOf(ids: (Long, String)*) =
+      graft.text.LlmQueries.packGreedy(ids.toSeq.toDF("doc_id", "text"), 512L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(packedPerBatch(0L) === packedOf((11L, passText(11))))
+    assert(packedPerBatch(1L) === packedOf((21L, passText(21))))
+    assert(packedPerBatch(2L) === packedOf((22L, passText(11))))
+    // the maintained LSH index equals a rebuild over the accepted corpus
+    val rebuilt = graft.text.LshIndex.build(
+      CurationMaintain.accepted(spark, storeDir))
+    val maintained = graft.text.LshIndex.load(spark, s"$storeDir/lsh")
+    assert(maintained.buckets.collect().map(_.toSeq).toSet ===
+           rebuilt.buckets.collect().map(_.toSeq).toSet,
+      "maintained LSH index diverged from the rebuild over accepted docs")
+  }
 }
 
 case class ScreenRec(id: Long, name: String)
