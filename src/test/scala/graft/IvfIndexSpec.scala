@@ -647,4 +647,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(last < first * 0.5,
       f"iterated fit should rescue the bad seeding: $first%.2f -> $last%.2f")
   }
+
+  test("refreshSampled threads the update-rounds knob into the sampled refit and stays internally consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(IvfIndex.build(emb, k = 16), dir)
+    val stats = IvfIndex.refreshSampled(spark, dir, k = 16, rate = 0.5,
+      minPerCluster = 1, updates = 4)
+    assert(stats.nTotal === 500L)
+    // the refit's improved centroids still tessellate the store exactly:
+    // every stored assignment equals the nearest-centroid recomputation
+    val idx = IvfIndex.load(spark, dir)
+    val stored = idx.assigned.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val recomputed = idx.probe(idx.assigned.drop("cluster"), nprobe = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(stored === recomputed)
+  }
 }
