@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vocab-driven BPE tokenizer APPLY (VERDICT r13 #8 — the one LLM-pipeline
@@ -113,6 +113,28 @@ object Bpe {
   /** Column twin of [[tokenCount]]: one '(' per symbol. */
   def tokenCountCol(merged: Column): Column =
     (length(merged) - length(replace(merged, lit("("), lit("")))).cast("long")
+
+  /** Persist a learned merge table (round 16 — the vocabulary artifact's
+    * missing verb; LshIndex/IvfIndex/Pq/Bm25Index all persist, and a BPE
+    * table is learned nightly and applied for months): rank carries the
+    * merge PRIORITY — apply order is load-bearing, a reordered table
+    * tokenizes differently — so load() restores the exact sequence. The
+    * table is a few thousand rows; one file. */
+  def save(table: Seq[(String, String)], spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    table.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table in its learned priority order. */
+  def load(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .orderBy("rank")
+      .select(col("left"), col("right"))
+      .as[(String, String)].collect().toSeq
+  }
 
   /** LEARN the merge table from a corpus (VERDICT r14 #6 — the step a real
     * pipeline runs before [[mergeChain]]'s apply; Sennrich et al. 2016

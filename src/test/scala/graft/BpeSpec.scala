@@ -177,4 +177,24 @@ class BpeSpec extends SparkSpec {
       assert(got === Bpe.learnRef(words, n), s"trial $trial: $words")
     }
   }
+
+  test("a learned table persists and reloads in priority order; the reloaded table tokenizes identically") {
+    val words = Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").limit(2000)
+      .transform(graft.graph.Materialize.apply)
+    val learned = Bpe.learn(words, nMerges = 8)
+    assert(learned.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    Bpe.save(learned, spark, dir)
+    val reloaded = Bpe.load(spark, dir)
+    assert(reloaded === learned, "priority order is load-bearing and must round-trip")
+    // the reloaded table drives the SAME tokenization through the
+    // codegen'd apply chain
+    val sample = words.limit(50)
+    def toks(t: Seq[(String, String)]) = sample
+      .select(col("word"), Bpe.applyLearned(col("word"), t).as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(toks(reloaded) === toks(learned))
+  }
 }
