@@ -11,7 +11,7 @@ object R16Plans {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = Seq("l54b_ivfpq_residual", "l55_curation_tick",
-      "g71_er_replay", "l49c_bpe_batched")
+      "g71_er_replay", "l49c_bpe_batched", "l56_bm25_indexed")
     names.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.explainString(FormattedMode)
