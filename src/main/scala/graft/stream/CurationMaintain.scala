@@ -21,6 +21,12 @@ import graft.text.{LlmQueries, LshIndex}
   * bodies — the same ones l55 composes), so the streaming tick can never
   * drift from the batch-audited pipeline.
   *
+  * The batch also dedups AGAINST ITSELF before probing the index (round
+  * 16): two near-identical docs in one micro-batch collide with nothing
+  * standing — the within-batch LSH self-join catches them, first-by-id
+  * wins, so acceptance is independent of how a crawler happened to chop
+  * the feed into batches.
+  *
   * Signed-batch contract (the t17c/IndexMaintain convention): arrivals
   * carry text, erasures carry ids. Erasures apply FIRST — they leave both
   * the LSH index (touched-shard rewrite) and the accepted store, so a
@@ -75,12 +81,42 @@ object CurationMaintain {
       removeAccepted(spark, storeDir, erase)
     }
     if (arrivals.isEmpty) return LlmQueries.packGreedy(arrivals, cap)
-    // stage 1: dedup against everything accepted so far (post-erasure)
+    // stage 1a: WITHIN-BATCH dedup — two near-identical docs arriving in
+    // the SAME micro-batch collide with nothing in the standing index
+    // (neither is ingested yet), so the batch dedups against itself
+    // first: LSH candidate pairs from the batch's own bucket table
+    // (ordered doc_id < doc_id so each pair appears once), exact-Jaccard
+    // reranked with the l02 threshold, and the HIGHER id of each
+    // confirmed pair drops (first-by-id wins — the deterministic greedy
+    // a single streaming pass can apply without closing clusters; a dup
+    // of a dropped doc still drops, because its smaller-id partner
+    // remains a pair witness whether or not that partner survived)
+    val idx = LshIndex.load(spark, s"$storeDir/lsh")
+    val bb = LshIndex.buckets(arrivals, idx.bandRows)
+      .transform(graft.graph.Materialize.apply)
+    val selfCand = bb.withColumnRenamed("doc_id", "a")
+      .join(bb.withColumnRenamed("doc_id", "b"),
+        LshIndex.bandCols(idx.bandRows))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val tg = LshIndex.grams(arrivals)
+      .transform(graft.graph.Materialize.apply)
+    val sz = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val selfDups = selfCand
+      .join(tg.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(tg.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(round(lit(1.0) - col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 6) <= 0.8)
+      .select(col("b").as("doc_id")).distinct()
+    val batchUnique = arrivals.join(selfDups, Seq("doc_id"), "left_anti")
+    // stage 1b: dedup against everything accepted so far (post-erasure)
     val corpus = accepted(spark, storeDir)
-    val hits = LshIndex.load(spark, s"$storeDir/lsh")
-      .probe(arrivals, corpus)
+    val hits = idx.probe(batchUnique, corpus)
       .select(col("batch_id").as("doc_id")).distinct()
-    val deduped = arrivals.join(hits, Seq("doc_id"), "left_anti")
+    val deduped = batchUnique.join(hits, Seq("doc_id"), "left_anti")
     // stage 2: the l34 gate over the deduped survivors
     val passed = deduped.join(
       LlmQueries.gopherQuality(deduped).filter(col("gopher_pass")).select("doc_id"),

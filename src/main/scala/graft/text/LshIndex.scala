@@ -106,7 +106,7 @@ object LshIndex {
     * batch side broadcast. */
   val defaultRowsPerShard: Long = 1L << 20
 
-  private[text] def bandCols(bandRows: Int): Seq[String] =
+  private[graft] def bandCols(bandRows: Int): Seq[String] =
     Seq("h") ++ (0 until bandRows).map(r => s"mh_r$r")
 
   /** Distinct word-trigram set per doc — the l02/l03/l16 tokenization

@@ -822,9 +822,14 @@ class StreamingSpec extends SparkSpec {
          DocEvent(11L, passText(11), erased = false),
          DocEvent(12L, failText, erased = false))
     // b2: a re-crawl of doc 11 — accepted ONE BATCH AGO, so only the
-    // loop's own maintained state can catch it — plus a fresh passer
+    // loop's own maintained state can catch it — plus a fresh passer,
+    // plus a WITHIN-BATCH dup pair (ids 25 < 26, same text): neither is
+    // in the index yet, so only the batch's self-dedup can catch it —
+    // first-by-id wins
     fold(DocEvent(20L, passText(11), erased = false),
-         DocEvent(21L, passText(21), erased = false))
+         DocEvent(21L, passText(21), erased = false),
+         DocEvent(25L, passText(25), erased = false),
+         DocEvent(26L, passText(25), erased = false))
     // b3: erase doc 11, then a re-crawl of its text under a new id — with
     // the original erased there is nothing left to collide with, so the
     // re-crawl is ACCEPTED (erasure means gone, the g69 leave-semantics)
@@ -833,14 +838,14 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val acceptedIds = CurationMaintain.accepted(spark, storeDir)
       .select("doc_id").as[Long].collect().toSet
-    assert(acceptedIds === Set(0L, 1L, 2L, 3L, 21L, 22L),
+    assert(acceptedIds === Set(0L, 1L, 2L, 3L, 21L, 22L, 25L),
       s"accepted store diverged from the expected fold: $acceptedIds")
     // per-batch packed output covers exactly that batch's accepted slice
     def packedOf(ids: (Long, String)*) =
       graft.text.LlmQueries.packGreedy(ids.toSeq.toDF("doc_id", "text"), 512L)
         .as[(Long, Long, Long, Long)].collect().toSet
     assert(packedPerBatch(0L) === packedOf((11L, passText(11))))
-    assert(packedPerBatch(1L) === packedOf((21L, passText(21))))
+    assert(packedPerBatch(1L) === packedOf((21L, passText(21)), (25L, passText(25))))
     assert(packedPerBatch(2L) === packedOf((22L, passText(11))))
     // the maintained LSH index equals a rebuild over the accepted corpus
     val rebuilt = graft.text.LshIndex.build(
